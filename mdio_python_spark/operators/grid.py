@@ -1,0 +1,111 @@
+"""Grid build & QC (J1/J2, A2, A6, A7, P2/P3) — the trace→cell pivot.
+
+The reference builds a dense uint64 map cell→trace with batched
+``np.searchsorted`` (``src/mdio/core/grid.py:95-146``). In Spark the dense
+map disappears: each trace row gets per-dim **cell indices** via a broadcast
+join against tiny dim tables, and the "live mask" is simply row existence.
+
+Scale design: dim tables are small (distinct values of a header field —
+thousands, not billions), so J1 is a *broadcast* join per dim: zero shuffle
+of the trace table. A global ``dense_rank`` window would sort 100 TB; the
+broadcast-dim-join expresses the same assignment shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_values(df: DataFrame, dim_col: str) -> DataFrame:
+    """A2 — sorted distinct dim coordinate values with 0-based index
+    (``ingestion/segy/index_strategies.py:83-90``: ``np.unique``).
+
+    The window here runs over the already-distinct (small) dim table, so the
+    global sort is over |dim| rows, never |traces|.
+    """
+    w = Window.orderBy(dim_col)
+    return (
+        df.select(dim_col)
+        .distinct()
+        .withColumn(f"{dim_col}_idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    )
+
+
+def assign_cells(df: DataFrame, dims: Sequence[str]) -> DataFrame:
+    """J1 — per-dim cell index via broadcast dim-table joins
+    (reference: batched searchsorted, ``core/grid.py:95-146``).
+
+    Adds ``<dim>_idx`` for each dim. The trace table never shuffles.
+    """
+    out = df
+    for d in dims:
+        out = out.join(F.broadcast(dim_values(df, d)), on=d, how="inner")
+    return out
+
+
+def chunk_keys(df: DataFrame, dims: Sequence[str], chunks: Sequence[int]) -> DataFrame:
+    """Chunk-key assignment: ``floor(dim_idx / chunk)`` per dim — the Spark
+    analog of the reference's chunked Zarr layout (template chunk shapes,
+    ``builder/templates/*``). These keys are the store's partition columns.
+    """
+    out = df
+    for d, c in zip(dims, chunks):
+        out = out.withColumn(f"{d}_chunk", (F.col(f"{d}_idx") / F.lit(c)).cast("long"))
+    return out
+
+
+def duplicate_cells(df: DataFrame, dims: Sequence[str]) -> DataFrame:
+    """A7 — duplicate dim-tuple detection (GridTraceCountError,
+    ``ingestion/segy/pipeline.py:89-114``). Better error reporting than the
+    reference's live-count mismatch: returns the offending tuples."""
+    return (
+        df.groupBy(*dims)
+        .agg(F.count(F.lit(1)).alias("n_traces"))
+        .where(F.col("n_traces") > 1)
+    )
+
+
+def coordinate_gather(
+    df: DataFrame, coord_dims: Sequence[str], coord_cols: Sequence[str]
+) -> DataFrame:
+    """J2 — reduce non-dim coordinates onto their dims
+    (``src/mdio/ingestion/coordinates.py:29-77``).
+
+    The reference takes the value at index 0 of reduced dims ("first wins",
+    with a TODO to verify consistency). We use ``min`` — deterministic, and
+    identical when the coordinate is constant per tuple (the valid case).
+    """
+    aggs = [F.min(c).alias(c) for c in coord_cols]
+    return df.groupBy(*coord_dims).agg(*aggs)
+
+
+def live_filter(df: DataFrame, mask_df: DataFrame, dims: Sequence[str]) -> DataFrame:
+    """P3 — selection-mask export filter as a semi-join
+    (``src/mdio/converters/mdio.py:103-130``)."""
+    return df.join(mask_df.select(*dims), on=list(dims), how="left_semi")
+
+
+def bounding_box(df: DataFrame, dims: Sequence[str]) -> DataFrame:
+    """P3 — live-extent bounding box (min/max per dim) used for partition
+    pruning before export (``converters/mdio.py:115-126``)."""
+    aggs = []
+    for d in dims:
+        aggs += [F.min(d).alias(f"{d}_min"), F.max(d).alias(f"{d}_max")]
+    return df.agg(*aggs)
+
+
+def ordered_export(df: DataFrame, dims: Sequence[str]) -> DataFrame:
+    """K3 — the flatten leg: global trace order by dims
+    (``segy/blocked_io.py:214-302`` merge tree).
+
+    ``row_number`` over the dim order gives each trace its global export
+    ordinal. At scale the physical plan is ``repartitionByRange(dims) +
+    sortWithinPartitions`` — Spark's range partitioner replaces the
+    reference's hand-built hierarchical merge tree. (The window form here is
+    the *logical* statement; the SEG-Y writer uses repartitionByRange.)
+    """
+    w = Window.orderBy(*dims)
+    return df.withColumn("export_ordinal", F.row_number().over(w).cast("long"))

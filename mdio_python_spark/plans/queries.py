@@ -1,0 +1,618 @@
+"""Declared-query registry: every implemented operator from SURVEY §2 gets a
+(name -> Spark DataFrame builder, name -> DuckDB oracle SQL) pair here.
+
+Conventions (driver contract, see /root/repo/__spark_entry__.py):
+- each builder takes ``(spark, sf_dir)`` and returns a DataFrame;
+- every computed column is aliased identically in Spark and oracle SQL;
+- float aggregates use exact-decimal determinism (functions.determinism);
+- window functions always order by a total order (unique key tie-break);
+- no raw TIMESTAMP columns in outputs (ns/us precision differs across
+  engines) — we emit formatted strings or epoch numbers instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdio_python_spark.functions.determinism import dec, dsum, sql_dsum, sql_dsum_sq
+from mdio_python_spark.functions.scalars import apply_coordinate_scalar
+from mdio_python_spark.operators import geometry, grid, index_transforms, stats
+from mdio_python_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => driver runs rows-only check
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1 — summary statistics (statsV1, nonzero-masked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "summary_stats_nonzero",
+    f"""
+    WITH s AS (
+      SELECT COUNT(l_extendedprice) AS count,
+             CAST(MIN(l_extendedprice) AS DOUBLE) AS min,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS max,
+             {sql_dsum("l_extendedprice")} AS sum,
+             {sql_dsum_sq("l_extendedprice")} AS sum_squares
+      FROM lineitem WHERE l_extendedprice <> 0
+    )
+    SELECT count, min, max, sum, sum_squares,
+           sum / CAST(count AS DOUBLE) AS mean,
+           sqrt((sum_squares - (sum * sum) / CAST(count AS DOUBLE))
+                / (CAST(count AS DOUBLE) - 1.0)) AS std
+    FROM s
+    """,
+)
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (``src/mdio/segy/_workers.py:179-194``): nonzero-only stats with
+    automatic partial/final aggregation."""
+    return stats.summary_statistics(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", nonzero_only=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style pricing summary (A1 + groupBy; the flagship query)
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity")} AS sum_qty,
+       {sql_dsum("l_extendedprice")} AS sum_base_price,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       COUNT(*) AS count_order,
+       {sql_dsum("l_quantity")} / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", _PRICING_ORACLE)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.col("sum_qty") / F.col("count_order").cast("double")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — sorted distinct dim values (dim table build)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_distinct_values",
+    """
+    SELECT o_orderpriority,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT)
+             AS o_orderpriority_idx
+    FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    """,
+)
+def q_dim_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (``index_strategies.py:83-90``): np.unique -> distinct+sort."""
+    return grid.dim_values(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# J1 — grid cell assignment via broadcast dim joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grid_assign_cells",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(DENSE_RANK() OVER (ORDER BY c_nationkey) - 1 AS BIGINT)
+             AS c_nationkey_idx,
+           CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
+             AS c_mktsegment_idx
+    FROM customer
+    """,
+)
+def q_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (``core/grid.py:95-146``): trace->cell via broadcast dim tables —
+    zero shuffle of the big table (a dense_rank window would global-sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    return grid.assign_cells(cust, ["c_nationkey", "c_mktsegment"]).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_nationkey_idx",
+        "c_mktsegment_idx",
+    )
+
+
+@register(
+    "chunk_keys",
+    """
+    SELECT c_custkey,
+           CAST(FLOOR((DENSE_RANK() OVER (ORDER BY c_nationkey) - 1) / 8.0)
+                AS BIGINT) AS c_nationkey_chunk,
+           CAST(FLOOR((DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1) / 2.0)
+                AS BIGINT) AS c_mktsegment_chunk
+    FROM customer
+    """,
+)
+def q_chunk_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2 analog: chunk-key assignment ``floor(dim_idx/chunk)`` — the
+    store partition columns (template chunk shapes, ``builder/templates/*``)."""
+    cust = _t(spark, sf_dir, "customer")
+    cells = grid.assign_cells(cust, ["c_nationkey", "c_mktsegment"])
+    return grid.chunk_keys(cells, ["c_nationkey", "c_mktsegment"], [8, 2]).select(
+        "c_custkey", "c_nationkey_chunk", "c_mktsegment_chunk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — coordinate gather (dedup-aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "coordinate_gather",
+    """
+    SELECT o_custkey, MIN(o_totalprice) AS o_totalprice
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_coordinate_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (``ingestion/coordinates.py:29-77``): reduce coords onto dims."""
+    return grid.coordinate_gather(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], ["o_totalprice"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — geometry detectors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geometry_channel_ranges",
+    """
+    SELECT l_suppkey, MIN(l_partkey) AS chan_min, MAX(l_partkey) AS chan_max
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+)
+def q_channel_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (``header_analysis.py:82-139``) on the driver tables: suppkey as
+    cable, partkey as channel."""
+    return geometry.channel_ranges(
+        _t(spark, sf_dir, "lineitem"), cable_col="l_suppkey", channel_col="l_partkey"
+    )
+
+
+@register(
+    "geometry_gun_analysis",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(DISTINCT l_orderkey) AS n_shots,
+           COUNT(DISTINCT CAST(FLOOR(l_orderkey / 7) AS BIGINT)) AS n_wrapped_shots
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_gun_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (``header_analysis.py:142-191``): per (line,gun) distinct-shot
+    analysis driving the Type-A/Type-B decision."""
+    return geometry.gun_analysis(
+        _t(spark, sf_dir, "lineitem"),
+        line_col="l_returnflag",
+        gun_col="l_linestatus",
+        shot_col="l_orderkey",
+        num_guns=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — grid QC
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grid_sparsity_qc",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS card_l_partkey,
+           COUNT(DISTINCT l_suppkey) AS card_l_suppkey,
+           COUNT(*) AS num_traces,
+           COUNT(DISTINCT l_partkey) * COUNT(DISTINCT l_suppkey) AS grid_cells,
+           CAST(COUNT(DISTINCT l_partkey) * COUNT(DISTINCT l_suppkey) AS DOUBLE)
+             / COUNT(*) AS sparsity_ratio
+    FROM lineitem
+    """,
+)
+def q_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (``ingestion/grid_qc.py:19-69``)."""
+    return stats.grid_sparsity(_t(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"])
+
+
+@register(
+    "duplicate_detection",
+    """
+    SELECT l_partkey, l_suppkey, COUNT(*) AS n_traces
+    FROM lineitem GROUP BY l_partkey, l_suppkey HAVING COUNT(*) > 1
+    """,
+)
+def q_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (``ingestion/segy/pipeline.py:89-114``): duplicate dim tuples with
+    the offending keys (richer than the reference's count mismatch)."""
+    return grid.duplicate_cells(_t(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"])
+
+
+# ---------------------------------------------------------------------------
+# W2–W6 — index strategies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "channel_wrap",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           l_partkey - MIN(l_partkey) OVER (PARTITION BY l_suppkey) + 1
+             AS channel
+    FROM lineitem
+    """,
+)
+def q_channel_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 AutoChannelWrap (``index_strategies.py:206-233``)."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "channel")
+    out = index_transforms.wrap_channels(li, cable_col="l_suppkey", channel_col="channel")
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey", "channel")
+
+
+@register(
+    "shot_index_dense",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) - 1
+                AS BIGINT) AS shot_index
+    FROM orders
+    """,
+)
+def q_shot_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 Type A — CalculateShotIndex via dense_rank
+    (``index_strategies.py:267-299``)."""
+    out = index_transforms.shot_index_dense(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], shot_col="o_orderdate"
+    )
+    return out.select("o_orderkey", "o_custkey", "shot_index")
+
+
+@register(
+    "shot_index_floor",
+    """
+    SELECT event_id, user_id,
+           CAST(FLOOR(event_id / 4)
+                - MIN(FLOOR(event_id / 4)) OVER (PARTITION BY user_id)
+                AS BIGINT) AS shot_index
+    FROM events
+    """,
+)
+def q_shot_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 Type B — AutoShotWrap floor-div variant
+    (``index_strategies.py:236-265``)."""
+    out = index_transforms.shot_index_floor(
+        _t(spark, sf_dir, "events"), ["user_id"], shot_col="event_id", num_guns=4
+    )
+    return out.select("event_id", "user_id", "shot_index")
+
+
+@register(
+    "component_synthesis",
+    "SELECT s_suppkey, s_name, CAST(1 AS INT) AS component FROM supplier",
+)
+def q_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 ComponentSynthesis (``index_strategies.py:302-328``)."""
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return index_transforms.synthesize_component(sup)
+
+
+@register(
+    "duplicate_ordinal",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey, l_returnflag
+                              ORDER BY l_orderkey, l_linenumber) AS trace
+    FROM lineitem
+    """,
+)
+def q_dup_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 HasDuplicates (``index_strategies.py:116-165``): row_number
+    replaces the reference's nested dict tree."""
+    out = index_transforms.duplicate_ordinal(
+        _t(spark, sf_dir, "lineitem"),
+        dim_cols=["l_suppkey", "l_returnflag"],
+        order_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag", "trace")
+
+
+@register(
+    "nonbinned_collapse",
+    """
+    SELECT l_returnflag, l_linestatus, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                              ORDER BY l_orderkey, l_linenumber, l_quantity) AS trace
+    FROM lineitem
+    """,
+)
+def q_nonbinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 NonBinned (``index_strategies.py:168-203``): collapsed dims become
+    per-trace coordinates (here l_quantity rides along).
+
+    (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+    ordering tie-break includes every output-visible column — otherwise
+    row_number assignment across ties is engine-dependent.
+    """
+    out = index_transforms.nonbinned_collapse(
+        _t(spark, sf_dir, "lineitem"),
+        kept_dims=["l_returnflag", "l_linestatus"],
+        order_cols=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    return out.select("l_returnflag", "l_linestatus", "l_quantity", "trace")
+
+
+# ---------------------------------------------------------------------------
+# F1/F2 — scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "coordinate_scalar_apply",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 0 THEN -100 ELSE 10 END AS coordinate_scalar,
+           CASE WHEN c_custkey % 2 = 0
+                THEN CAST(c_acctbal / 100 AS DOUBLE)
+                ELSE CAST(c_acctbal * 10 AS DOUBLE) END AS cdp_x
+    FROM customer
+    """,
+)
+def q_coord_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (``src/mdio/segy/scalar.py:20-59``): negative => divide,
+    positive => multiply."""
+    cust = _t(spark, sf_dir, "customer")
+    scalar = F.when(F.col("c_custkey") % 2 == 0, F.lit(-100)).otherwise(F.lit(10))
+    return cust.select(
+        "c_custkey",
+        scalar.alias("coordinate_scalar"),
+        apply_coordinate_scalar(F.col("c_acctbal"), scalar).alias("cdp_x"),
+    )
+
+
+@register(
+    "sample_label_normalize",
+    """
+    SELECT DISTINCT CAST(FLOOR(l_quantity * 1000) AS BIGINT) AS label_us,
+           CAST(FLOOR(l_quantity * 1000) AS BIGINT) / 1000.0 AS label_ms
+    FROM lineitem
+    """,
+)
+def q_label_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (``ingestion/segy/reader.py:85-87``): /1000 normalization."""
+    li = _t(spark, sf_dir, "lineitem")
+    label_us = F.floor(F.col("l_quantity") * 1000).cast("long")
+    return li.select(
+        label_us.alias("label_us"),
+        (label_us / F.lit(1000.0)).cast("double").alias("label_ms"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — masks, bounding box
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "live_mask_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q_live_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (``converters/mdio.py:103-130``): selection mask as a semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    mask = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return grid.live_filter(li, mask, ["l_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "bounding_box_prune",
+    """
+    SELECT MIN(o_custkey) AS o_custkey_min, MAX(o_custkey) AS o_custkey_max,
+           MIN(o_totalprice) AS o_totalprice_min,
+           MAX(o_totalprice) AS o_totalprice_max
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (``converters/mdio.py:115-126``): live-extent bounding box that
+    drives partition pruning before export."""
+    sel = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return grid.bounding_box(sel, ["o_custkey", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# K3 — ordered export (the flatten leg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ordered_export",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT)
+             AS export_ordinal
+    FROM lineitem
+    """,
+)
+def q_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 (``segy/blocked_io.py:214-302``): global trace order; physically a
+    repartitionByRange in the SEG-Y writer, logically this row_number."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return grid.ordered_export(li, ["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (the query surface Spark gives for free; SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+_REVENUE_ORACLE = f"""
+SELECT n_name,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+GROUP BY n_name
+"""
+
+
+@register("revenue_by_nation", _REVENUE_ORACLE)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝ region. Dims are
+    broadcast (nation/region/customer tiny vs lineitem); only the
+    lineitem⨝orders join shuffles, on the natural key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name").isin("AMERICA", "ASIA"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec(disc_price)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — window + filter (SURVEY §2.7: reference has no
+    top-k; Spark idiom)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-bucketed aggregation (batch form of the streaming surface)
+# ---------------------------------------------------------------------------
+
+_EVENTS_HOURLY_ORACLE = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", 6)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_hourly", _EVENTS_HOURLY_ORACLE)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg (batch twin of streaming.events); hour emitted as
+    a string to dodge ns-vs-us timestamp hashing."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+
+Schemas are declared, never inferred — mirroring the reference's
+declared-schema discipline (``src/mdio/builder/schemas/core.py:10-19``:
+pydantic ``extra="forbid"`` validation). Parquet carries its own schema so
+declaration here is a *check*, not inference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects it unless
+        # read as raw int64. Normalize to a microsecond TimestampType with
+        # integer division (a double round-trip would lose precision at
+        # ~1.7e18 ns). DuckDB truncates ns->us the same way, so oracles match.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load the named tables and register them as temp views.
+
+    Registering views lets operator code mix DataFrame API and SQL freely;
+    Catalyst produces the same plan for either.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
