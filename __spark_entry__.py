@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from mdio_python_spark.plans import queries as _q  # noqa: E402
+from mdio_python_spark.plans import registry as _q  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

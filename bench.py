@@ -17,7 +17,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from mdio_python_spark.plans.queries import registry  # noqa: E402
+from mdio_python_spark.plans.registry import registry  # noqa: E402
 from mdio_python_spark.session import get_spark  # noqa: E402
 
 

@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star). Scale design:
+
+- exact dedup: one hash-groupBy — the canonical map-side-combinable shuffle.
+- MinHash+LSH: shingle -> K min-hashes -> band -> bucket self-join. The
+  self-join is on (band_id, band_hash), so only *colliding* documents meet;
+  at 100 TB the bucket join replaces the quadratic all-pairs comparison.
+- SimHash: per-token bit votes aggregated per doc — one groupBy.
+- Jaccard verify: shingle-set join restricted to LSH candidate pairs.
+
+All hashes are the md5-based 60-bit ``hash64`` so DuckDB oracles match
+bit-for-bit (no murmur3 — Spark's and DuckDB's native hashes differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mdio_python_spark.functions.scalars import hash64
+from mdio_python_spark.operators.text import tokens
+
+
+def exact_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: md5(text) -> keeper id + multiplicity."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per exact text hash (semi-join against keepers)."""
+    keepers = exact_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def word_shingles(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document (id, shingle)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    shingle = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(shingle).alias("shingle")).distinct()
+
+
+def _seeded_hash(shingle: Column, seed: int) -> Column:
+    return hash64(F.concat(F.lit(f"{seed}|"), shingle))
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """K min-hash values per doc: one groupBy, K mins — map-side combinable,
+    so the shuffle carries K longs per doc regardless of document size."""
+    aggs = [
+        F.min(_seeded_hash(F.col("shingle"), k)).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_hash): docs agreeing
+    on ALL rows of any band become candidate pairs (a < b)."""
+    bands = []
+    for band in range(num_hashes // rows_per_band):
+        cols = [
+            F.col(f"mh_{band * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band_id"),
+                hash64(F.concat_ws("_", *cols)).alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band_id", "b.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """True n-gram Jaccard for candidate pairs via a shingle-set join.
+
+    |A ∩ B| from the equi-join on shingle; |A| and |B| from per-doc counts
+    (broadcastable); union = |A| + |B| - |A ∩ B|. Exact integer arithmetic,
+    one double divide at the end.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.withColumnRenamed(id_col, "doc_a")
+    b = shingles.withColumnRenamed(id_col, "doc_b")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash over the token multiset: per-bit ±1 votes summed per doc,
+    sign of each vote becomes the bit. ``bits`` kept small so the expression
+    stays a flat aggregate (still one shuffle of `bits` longs per doc)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    h = hash64(F.col("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"v_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star):
+
+- brute-force cosine top-k — the correctness baseline. Dot products are
+  explicit left-fold double sums (zip_with + aggregate) so the oracle's
+  list_reduce fold produces bit-identical doubles.
+- sign-bucket ANN (IVF/LSH-style) — the scale path: bucket by the sign
+  pattern of the leading dimensions, search within bucket. At 100 TB the
+  bucket key becomes the partition/cluster key and each probe touches one
+  bucket instead of the full corpus.
+
+No UDFs: array expressions are JVM-side (codegen'd higher-order functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product: deterministic evaluation order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query scored against every candidate.
+
+    The query side is expected to be small (it is broadcast); the candidate
+    scan parallelizes over the corpus. Ties broken by candidate id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """IVF-style coarse bucket: sign pattern of the first ``bits`` dims.
+
+    A degenerate (data-independent) random-hyperplane LSH — axis-aligned
+    planes. Deterministic, oracle-expressible, and the right *shape* for the
+    scale path: bucket id becomes the partition key.
+    """
+    b = F.lit(0).cast("long")
+    for i in range(bits):
+        b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return b
+
+
+def bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via sign-bucket co-partitioning: candidates scored only within
+    the query's bucket — the equi-join prunes the cross product."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            "bucket",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "bucket", "cosine", "rank")
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting. All pure Column
+expressions — JVM-side, codegen'd, no Python in the hot path; at 100 TB these
+are embarrassingly parallel scans with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mdio_python_spark.functions.scalars import hash64
+
+# ASCII-safe regexes: Java (Spark) and RE2 (DuckDB) agree on \w/\s for ASCII.
+WORD_SPLIT = r"\s+"
+BPE_ISH = r"\w+|[^\w\s]"
+PUNCT = r"[^\w\s]"
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), WORD_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish word/punct regex (regexp_count is
+    JVM-side; same RE2-compatible pattern in the oracle)."""
+    return F.regexp_count(text, F.lit(BPE_ISH)).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT)).cast("long")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, punct ratio, stopword ratio.
+
+    Ratios are exact-count divisions (long/long in double) — deterministic
+    across engines.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.withColumns(
+        {
+            "n_chars_computed": F.length(t).cast("long"),
+            "n_tokens": n_tok,
+            "n_bpe_tokens": bpe_ish_token_count(t),
+            "punct_ratio": punct_count(t).cast("double") / F.length(t).cast("double"),
+            "stopword_ratio": stopword_count(t, LANG_MARKERS["en"]).cast("double")
+            / n_tok.cast("double"),
+        }
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language (the n-gram heuristic's
+    arithmetic core)."""
+    return {lang: stopword_count(text, marks) for lang, marks in LANG_MARKERS.items()}
+
+
+def predict_language(text: Column) -> Column:
+    """Argmax over language scores with a fixed lexicographic tie-break —
+    identical CASE chain in the oracle keeps it deterministic."""
+    scores = language_scores(text)
+    langs = sorted(scores)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best
+        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return pred
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized lowercase
+    text (rolling-hash analog; same md5-based hash in the oracle)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return hash64(normalized)

@@ -1,0 +1,396 @@
+"""LLM-data-pipeline declared queries: dedup, similarity search, text
+analysis, multimodal plumbing — the beyond-reference surface from
+BASELINE.json's north star, each with a DuckDB oracle.
+
+Oracle notes:
+- all hashing via the shared md5-based 60-bit hash (functions.scalars.hash64)
+- DuckDB ``0.0`` literals are DECIMAL — oracles CAST to DOUBLE explicitly
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's replace-all
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdio_python_spark.functions.scalars import hash64, sql_hash64
+from mdio_python_spark.operators import dedup, similarity, text
+from mdio_python_spark.plans.registry import register
+from mdio_python_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# shared oracle CTE fragments ------------------------------------------------
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_SHINGLES_CTE = f"""
+  shingled AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len({_TOKS}) >= 3
+                  THEN list_transform(
+                         generate_series(1, len({_TOKS}) - 2),
+                         i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))
+                  ELSE [] END) AS shingle
+    FROM documents
+  )
+"""
+
+_MH = ", ".join(
+    "MIN({h}) AS mh_{k}".format(h=sql_hash64(f"concat('{k}|', shingle)"), k=k)
+    for k in range(8)
+)
+
+_SIGNATURES_CTE = f"""
+  signatures AS (
+    SELECT doc_id, {_MH}
+    FROM shingled GROUP BY doc_id
+  )
+"""
+
+_BANDS_CTE = f"""
+  bands AS (
+    SELECT doc_id, 0 AS band_id,
+           {sql_hash64("concat(CAST(mh_0 AS VARCHAR), '_', CAST(mh_1 AS VARCHAR))")} AS band_hash
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 1,
+           {sql_hash64("concat(CAST(mh_2 AS VARCHAR), '_', CAST(mh_3 AS VARCHAR))")}
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 2,
+           {sql_hash64("concat(CAST(mh_4 AS VARCHAR), '_', CAST(mh_5 AS VARCHAR))")}
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 3,
+           {sql_hash64("concat(CAST(mh_6 AS VARCHAR), '_', CAST(mh_7 AS VARCHAR))")}
+    FROM signatures
+  ),
+  candidate_pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy (map-side combinable)."""
+    return dedup.exact_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_kept",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    """,
+)
+def q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH + Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    f"WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE} SELECT * FROM signatures",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over word 3-shingles): the shuffle
+    carries 8 longs per doc regardless of document length."""
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3)
+    return dedup.minhash_signatures(sh, num_hashes=8)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE} "
+    "SELECT doc_a, doc_b FROM candidate_pairs",
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands x 2 rows): near-dup candidates via bucket
+    self-join — the scale path that avoids the quadratic all-pairs scan."""
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+
+
+@register(
+    "near_dup_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM candidate_pairs p
+      JOIN shingled a ON a.doc_id = p.doc_a
+      JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+            / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
+    exact Jaccard verify at 0.5 — the canonical training-data dedup DAG."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    return dedup.jaccard_pairs(pairs, sh).where(F.col("jaccard") >= 0.5)
+
+
+@register(
+    "simhash_16",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    hashed AS (SELECT doc_id, {sql_hash64("token")} AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}" for b in range(16))}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"CASE WHEN v_{b} >= 0 THEN {2**b} ELSE 0 END" for b in range(16))}
+                AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) over the token multiset: per-bit votes in one
+    groupBy."""
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_features",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter({_TOKS},
+                    t -> t IN ('the','a','and','of','to'))) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword features, all codegen'd
+    column expressions — shuffle-free scan."""
+    return text.quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars_computed",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+def _lang_score_sql(langs_markers: dict[str, tuple[str, ...]]) -> dict[str, str]:
+    return {
+        lang: (
+            f"CAST(len(list_filter({_TOKS}, t -> t IN "
+            f"({', '.join(repr(m) for m in marks)}))) AS BIGINT)"
+        )
+        for lang, marks in langs_markers.items()
+    }
+
+
+_SCORES = _lang_score_sql(text.LANG_MARKERS)
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{sql} AS s_{lang}" for lang, sql in sorted(_SCORES.items()))}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_zh > GREATEST(s_de, s_en, s_es, s_fr) THEN 'zh'
+            WHEN s_fr > GREATEST(s_de, s_en, s_es) THEN 'fr'
+            WHEN s_es > GREATEST(s_de, s_en) THEN 'es'
+            WHEN s_en > s_de THEN 'en'
+            ELSE 'de' END AS pred_lang
+FROM scored
+"""
+
+
+@register("lang_id_heuristic", _LANG_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-marker argmax (fixed lexicographic
+    tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", text.predict_language(F.col("text")).alias("pred_lang")
+    )
+
+
+_NORMALIZED = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           {sql_hash64(_NORMALIZED)} AS fingerprint,
+           substr(md5(text), 1, 8) AS md5_prefix
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 60-bit hash of normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("md5_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+_COSINE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id AS candidate_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, candidate_id,
+         {_DOT.format(a="q_vec", b="c_vec")}
+           / (sqrt({_DOT.format(a="q_vec", b="q_vec")})
+              * sqrt({_DOT.format(a="c_vec", b="c_vec")})) AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> candidate_id
+)
+SELECT query_id, candidate_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, candidate_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("embedding_topk_cosine", _COSINE_ORACLE)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (correctness baseline for ANN): queries are
+    broadcast; candidate scan parallelizes; left-fold double dot products."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_BUCKET_SQL = (
+    "CAST("
+    + " + ".join(
+        f"CASE WHEN {{v}}[{i + 1}] > 0 THEN {2**i} ELSE 0 END" for i in range(6)
+    )
+    + " AS BIGINT)"
+)
+
+_BUCKETED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec,
+         {_BUCKET_SQL.format(v="embedding")} AS bucket
+  FROM embeddings WHERE vec_id < 50
+),
+c AS (
+  SELECT vec_id AS candidate_id, embedding AS c_vec,
+         {_BUCKET_SQL.format(v="embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, candidate_id, c.bucket,
+         {_DOT.format(a="q_vec", b="c_vec")}
+           / (sqrt({_DOT.format(a="q_vec", b="q_vec")})
+              * sqrt({_DOT.format(a="c_vec", b="c_vec")})) AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> candidate_id
+)
+SELECT query_id, candidate_id, bucket, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, candidate_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("embedding_bucketed_ann", _BUCKETED_ORACLE)
+def q_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-style bucketed ANN (scale path): sign-bucket equi-join prunes
+    the cross product; bucket id is the natural partition key at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.bucketed_topk(
+        emb.where(F.col("vec_id") < 50), emb, k=3, bits=6
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns with typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binary_payload_stats",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: treat payloads as binary + typed
+    metadata; here byte length (UTF-8, exercises multi-byte zh docs) and a
+    content digest — the schema pattern the image/audio operators build on
+    (operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )

@@ -12,51 +12,15 @@ Conventions (driver contract, see /root/repo/__spark_entry__.py):
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mdio_python_spark.plans.registry import register
 
 from mdio_python_spark.functions.determinism import dec, dsum, sql_dsum, sql_dsum_sq
 from mdio_python_spark.functions.scalars import apply_coordinate_scalar
 from mdio_python_spark.operators import geometry, grid, index_transforms, stats
 from mdio_python_spark.sources.tables import load_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    fn: QueryFn
-    oracle: str | None  # None => driver runs rows-only check
-
-
-_REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
-    def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = QuerySpec(name, fn, oracle)
-        return fn
-
-    return deco
-
-
-def registry() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None
-    }
-
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)

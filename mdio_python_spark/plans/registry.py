@@ -1,0 +1,56 @@
+"""Declared-query registry shared by all query modules.
+
+Conventions (driver contract, see /root/repo/__spark_entry__.py):
+- each builder takes ``(spark, sf_dir)`` and returns a DataFrame;
+- every computed column is aliased identically in Spark and oracle SQL;
+- float aggregates use exact-decimal determinism (functions.determinism);
+- window functions order by a total order over output-visible columns;
+- no raw TIMESTAMP columns in outputs (ns/us precision differs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => driver runs rows-only check
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in registry().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in registry().items() if spec.oracle is not None
+    }
+
+
+def _ensure_loaded() -> None:
+    """Import every query module exactly once (registration side effect)."""
+    from mdio_python_spark.plans import llm_queries, queries  # noqa: F401

@@ -13,7 +13,7 @@ import pytest
 
 from tests.conftest import SF_SMOKE, register_duck_views
 
-from mdio_python_spark.plans.queries import registry
+from mdio_python_spark.plans.registry import registry
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
