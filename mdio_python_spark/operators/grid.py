@@ -84,8 +84,15 @@ def coordinate_gather(
 
 def live_filter(df: DataFrame, mask_df: DataFrame, dims: Sequence[str]) -> DataFrame:
     """P3 — selection-mask export filter as a semi-join
-    (``src/mdio/converters/mdio.py:103-130``)."""
-    return df.join(mask_df.select(*dims), on=list(dims), how="left_semi")
+    (``src/mdio/converters/mdio.py:103-130``).
+
+    The mask may cover only the outer dims (the reference's
+    ``mask_num_dims``); the join keys are the mask's columns ∩ dims.
+    """
+    keys = [d for d in dims if d in mask_df.columns]
+    if not keys:
+        raise ValueError(f"mask columns {mask_df.columns} share no dims with {dims}")
+    return df.join(mask_df.select(*keys), on=keys, how="left_semi")
 
 
 def bounding_box(df: DataFrame, dims: Sequence[str]) -> DataFrame:

@@ -1,0 +1,69 @@
+"""Store -> SEG-Y export (SURVEY §3.3, ``src/mdio/converters/mdio.py:32-159``).
+
+Spark shape: ``SELECT ... WHERE mask ORDER BY dims`` with
+``repartitionByRange`` + per-partition encode + ordered concat (the
+flatten leg, K3/K4). Selection-mask semantics (P3) are a semi-join;
+the bounding-box prune happens for free via partition pruning on the
+chunk-key predicates Catalyst derives from dim filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdio_python_spark.operators import grid
+from mdio_python_spark.sources import segy, store
+
+
+class EmptySelectionError(ValueError):
+    """Mask ∩ live traces is empty (``converters/mdio.py:108-113``)."""
+
+
+def store_to_segy(
+    spark: SparkSession,
+    store_path: str,
+    out_path: str,
+    selection_mask: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> int:
+    """Export the store back to SEG-Y; returns the trace count written.
+
+    Uses the verbatim ``raw_header`` column when present (byte-identical
+    roundtrip); otherwise headers are re-encoded from dim/coord columns.
+    """
+    st = store.open_store(spark, store_path)
+    dims = st.spatial_dims
+    traces = st.traces
+
+    if selection_mask is not None:
+        traces = grid.live_filter(traces, selection_mask, dims)  # P3 semi-join
+
+    n = traces.count()
+    if n == 0:
+        raise EmptySelectionError("no live traces selected for export")
+
+    attrs = st.dataset.attributes
+    write_spec = segy.SegyWriteSpec(
+        samples_per_trace=next(
+            d.size for d in st.dataset.dimensions if d.name == attrs["verticalDim"]
+        ),
+        sample_interval=attrs["sampleIntervalUs"],
+        data_format=attrs.get("dataFormat", 5),
+        measurement_system=attrs.get("binaryHeader", {}).get(
+            "measurement_system", 1
+        ),
+        text_header=attrs.get("textHeader", ""),
+    )
+
+    cols = [*dims, "samples"]
+    if "raw_header" in traces.columns:
+        cols.append("raw_header")
+    segy.write_segy(
+        traces.select(*cols),
+        out_path,
+        order_by=dims,
+        write_spec=write_spec,
+        num_partitions=num_partitions,
+    )
+    return n

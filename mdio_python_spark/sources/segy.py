@@ -1,0 +1,262 @@
+"""Distributed SEG-Y source & sink.
+
+Reading (S1/S2/S3, ``src/mdio/segy/file.py:152-186``, ``parsers.py:23-76``,
+``_raw_trace_wrapper.py:14-49``): the driver scans the 3600-byte file header
+once; trace blocks are then read by executor tasks, each seeking its own
+byte range — the Spark analog of the reference's 10k-trace process-pool
+fan-out, except partitioning is declarative (one input partition per block)
+and decode happens in Arrow-batched numpy, not per row.
+
+Writing (K3/K4, ``segy/blocked_io.py:214-302``, ``creation.py:61-125``):
+``repartitionByRange(dims) + sortWithinPartitions`` gives totally-ordered
+part files (range partition i holds keys < partition i+1), so the driver's
+in-order concat replaces the reference's hierarchical merge tree.
+
+Scale: at 100 TB the read path is embarrassingly parallel byte-range scans
+(no shuffle); the write path shuffles once on the export sort key — the
+minimum any globally-ordered output requires.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from mdio_python_spark.sources import segy_codec as codec
+
+
+@dataclass
+class SegyFileInfo:
+    """S1 file-info scan result (``segy/file.py:152-186``)."""
+
+    path: str
+    num_traces: int
+    samples_per_trace: int
+    sample_interval: int  # microseconds
+    data_format: int
+    measurement_system: int
+    text_header: str
+    binary_header: dict[str, int]
+    sample_bytes: int = 4
+
+    @property
+    def trace_bytes(self) -> int:
+        return codec.TRACE_HEADER_BYTES + self.samples_per_trace * self.sample_bytes
+
+    def sample_labels_us(self) -> np.ndarray:
+        """Sample labels in microvalue units; /1000 normalization (F2)
+        happens in the ingest pipeline."""
+        return np.arange(self.samples_per_trace, dtype=np.int64) * self.sample_interval
+
+
+def segy_file_info(path: str, text_encoding: str = "cp037") -> SegyFileInfo:
+    """Driver-side one-shot scan of text header, binary header, trace count."""
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        text_raw = f.read(codec.TEXT_HEADER_BYTES)
+        bin_raw = f.read(codec.BINARY_HEADER_BYTES)
+    bin_hdr = codec.decode_binary_header(bin_raw)
+    data_format = bin_hdr["data_format"] or codec.FORMAT_IEEE32
+    sample_bytes = codec.SAMPLE_BYTES[data_format]
+    ns = bin_hdr["samples_per_trace"]
+    trace_bytes = codec.TRACE_HEADER_BYTES + ns * sample_bytes
+    payload = file_size - codec.FILE_HEADER_BYTES
+    if payload % trace_bytes:
+        raise ValueError(
+            f"{path}: trailing {payload % trace_bytes} bytes — not a whole trace"
+        )
+    return SegyFileInfo(
+        path=path,
+        num_traces=payload // trace_bytes,
+        samples_per_trace=ns,
+        sample_interval=bin_hdr["sample_interval"],
+        data_format=data_format,
+        measurement_system=bin_hdr["measurement_system"],
+        text_header=codec.decode_text_header(text_raw, text_encoding),
+        binary_header=bin_hdr,
+        sample_bytes=sample_bytes,
+    )
+
+
+def read_traces(
+    spark: SparkSession,
+    info: SegyFileInfo,
+    fields: list[str],
+    include_samples: bool = True,
+    include_raw_header: bool = False,
+    block_size: int = 10_000,
+    spec: dict[str, tuple[int, str]] | None = None,
+) -> DataFrame:
+    """S2/S3 — distributed trace scan: one input partition per trace block.
+
+    Column pruning is explicit: only ``fields`` are decoded (P1,
+    ``ingestion/segy/reader.py:48-57``). Output schema:
+    ``src_trace_idx long, <field> long ..., [raw_header binary,]
+    [samples array<float>]``.
+    """
+    path = info.path
+    trace_bytes = info.trace_bytes
+    ns = info.samples_per_trace
+    data_format = info.data_format
+    n_blocks = max(1, math.ceil(info.num_traces / block_size))
+    num_traces = info.num_traces
+
+    parts = [
+        "src_trace_idx long",
+        *[f"{f} long" for f in fields],
+    ]
+    if include_raw_header:
+        parts.append("raw_header binary")
+    if include_samples:
+        parts.append("samples array<float>")
+    schema = ", ".join(parts)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in batches:
+                for block_id in pdf["id"]:
+                    start = int(block_id) * block_size
+                    n = min(block_size, num_traces - start)
+                    if n <= 0:
+                        continue
+                    f.seek(codec.FILE_HEADER_BYTES + start * trace_bytes)
+                    raw = np.frombuffer(
+                        f.read(n * trace_bytes), dtype=np.uint8
+                    ).reshape(n, trace_bytes)
+                    headers = raw[:, : codec.TRACE_HEADER_BYTES]
+                    cols: dict[str, object] = {
+                        "src_trace_idx": np.arange(start, start + n, dtype=np.int64)
+                    }
+                    cols.update(codec.decode_trace_headers(headers, fields, spec))
+                    if include_raw_header:
+                        cols["raw_header"] = list(headers.tobytes()[i * 240 : (i + 1) * 240] for i in range(n))
+                    if include_samples:
+                        samples = codec.decode_samples(
+                            raw[:, codec.TRACE_HEADER_BYTES :].reshape(n, -1),
+                            data_format,
+                        ).reshape(n, ns)
+                        cols["samples"] = list(samples)
+                    yield pd.DataFrame(cols)
+
+    blocks = spark.range(n_blocks).repartition(min(n_blocks, 256))
+    return blocks.mapInPandas(scan, schema=schema)
+
+
+@dataclass
+class SegyWriteSpec:
+    """K4 skeleton parameters + encoding config for export."""
+
+    samples_per_trace: int
+    sample_interval: int
+    data_format: int = codec.FORMAT_IEEE32
+    measurement_system: int = 1
+    text_header: str = ""
+    revision_major: int = 1
+    revision_minor: int = 0
+    extra_binary_fields: dict[str, int] = field(default_factory=dict)
+
+    def binary_header(self) -> dict[str, int]:
+        out = {
+            "sample_interval": self.sample_interval,
+            "samples_per_trace": self.samples_per_trace,
+            "data_format": self.data_format,
+            "measurement_system": self.measurement_system,
+            "segy_revision": codec.encode_segy_revision(
+                self.revision_major, self.revision_minor
+            ),
+            "fixed_length_flag": 1,
+        }
+        out.update(self.extra_binary_fields)
+        return out
+
+
+def write_segy(
+    df: DataFrame,
+    out_path: str,
+    order_by: list[str],
+    write_spec: SegyWriteSpec,
+    header_fields: list[str] | None = None,
+    spec: dict[str, tuple[int, str]] | None = None,
+    num_partitions: int | None = None,
+    text_encoding: str = "cp037",
+) -> None:
+    """K3/K4 — ordered SEG-Y export.
+
+    ``df`` columns: the ``order_by`` dims, either ``raw_header`` (binary,
+    written verbatim — byte-identical roundtrip path) or the listed
+    ``header_fields`` (re-encoded per spec, F4), and ``samples``.
+
+    Physical plan: one range shuffle on the export key; each task streams
+    its ordered slice to ``part-<i>``; the driver concatenates parts in
+    partition order (range partitions are globally ordered, replacing the
+    reference's merge tree, ``blocked_io.py:226-251``).
+    """
+    ns = write_spec.samples_per_trace
+    data_format = write_spec.data_format
+    use_raw = "raw_header" in df.columns
+    header_fields = header_fields or []
+    hdr_spec = spec or codec.DEFAULT_TRACE_HEADER_SPEC
+
+    tmp_dir = out_path + ".parts"
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    if num_partitions is None:
+        # ~300 MB processing chunks, matching the reference's export
+        # rechunk target (``segy/utilities.py:146-198``, C3)
+        n_rows = df.count()
+        rows_per_part = max(1, (300 << 20) // (240 + ns * 4))
+        num_partitions = max(1, math.ceil(n_rows / rows_per_part))
+
+    ordered = df.repartitionByRange(num_partitions, *order_by).sortWithinPartitions(
+        *order_by
+    )
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        part_path = os.path.join(tmp_dir, f"part-{pid:06d}")
+        n_written = 0
+        with open(part_path, "wb") as f:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                if use_raw:
+                    headers = np.frombuffer(
+                        b"".join(pdf["raw_header"]), dtype=np.uint8
+                    ).reshape(n, codec.TRACE_HEADER_BYTES)
+                else:
+                    headers = codec.encode_trace_headers(
+                        {fname: pdf[fname].to_numpy() for fname in header_fields},
+                        n,
+                        hdr_spec,
+                    )
+                samples = np.stack(pdf["samples"].to_numpy()).astype(np.float32)
+                raw_samples = codec.encode_samples(samples, data_format)
+                block = np.concatenate([headers, raw_samples], axis=1)
+                f.write(block.tobytes())
+                n_written += n
+        if n_written == 0:
+            os.remove(part_path)
+        yield pd.DataFrame({"partition": [pid], "n_traces": [n_written]})
+
+    counts = ordered.mapInPandas(
+        write_partition, schema="partition int, n_traces long"
+    ).collect()
+
+    # skeleton + in-order concat (driver)
+    with open(out_path, "wb") as out:
+        out.write(codec.encode_text_header(write_spec.text_header, text_encoding))
+        out.write(codec.encode_binary_header(write_spec.binary_header()))
+        for name in sorted(os.listdir(tmp_dir)):
+            with open(os.path.join(tmp_dir, name), "rb") as part:
+                shutil.copyfileobj(part, out, length=64 << 20)
+    shutil.rmtree(tmp_dir)

@@ -1,0 +1,143 @@
+"""End-to-end golden tests (SURVEY §5.2, modeled on the reference's Teapot
+roundtrip ``tests/integration/test_segy_roundtrip_teapot.py``):
+
+synthetic 3-D poststack SEG-Y -> segy_to_store -> store checks (stats,
+dims, strided-slice query) -> store_to_segy -> byte-identical compare.
+"""
+
+from __future__ import annotations
+
+import filecmp
+import os
+
+import numpy as np
+import pytest
+
+from tests.segy_factory import make_poststack_3d
+
+from mdio_python_spark.pipelines.export import store_to_segy
+from mdio_python_spark.pipelines.ingest import segy_to_store
+from mdio_python_spark.schemas import default_registry
+from mdio_python_spark.sources.store import dense_slice, open_store
+
+
+@pytest.fixture(scope="module")
+def cube(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("segy3d")
+    path = str(tmp / "cube.sgy")
+    headers, samples, rows = make_poststack_3d(
+        path, n_inline=12, n_crossline=9, n_samples=25, dead_fraction=0.1
+    )
+    return path, headers, samples, rows, str(tmp)
+
+
+@pytest.fixture(scope="module")
+def ingested(cube, spark):
+    path, headers, samples, rows, tmp = cube
+    store_path = os.path.join(tmp, "store.mdio")
+    template = default_registry().get("PostStack3DTime")
+    dataset = segy_to_store(spark, path, store_path, template)
+    return dataset, store_path
+
+
+def test_stats_match_numpy(ingested, cube):
+    _, _, samples, _, _ = cube
+    dataset, _ = ingested
+    st = dataset.variable("amplitude").stats
+    nz = samples[samples != 0].astype(np.float64)
+    assert st.count == nz.size
+    assert st.min == pytest.approx(nz.min(), rel=1e-6)
+    assert st.max == pytest.approx(nz.max(), rel=1e-6)
+    # exact-decimal sums quantize each value at 1e-7
+    assert st.sum == pytest.approx(nz.sum(), abs=1e-7 * nz.size)
+    assert st.mean == pytest.approx(nz.mean(), rel=1e-6)
+    assert st.std == pytest.approx(nz.std(ddof=1), rel=1e-6)
+
+
+def test_dims_and_manifest(ingested, spark):
+    dataset, store_path = ingested
+    st = open_store(spark, store_path)
+    assert st.spatial_dims == ["inline", "crossline"]
+    sizes = {d.name: d.size for d in st.dataset.dimensions}
+    assert sizes["inline"] == 12 and sizes["crossline"] == 9 and sizes["time"] == 25
+    il = st.dims["inline"].orderBy("inline").toPandas()
+    assert list(il["inline"]) == list(range(1, 13))
+    assert list(il["inline_idx"]) == list(range(12))
+    # coordinate scalar applied: cdp_x stored as double / 100
+    row = st.traces.where("inline = 1").orderBy("crossline").limit(1).collect()[0]
+    assert row["cdp_x"] == pytest.approx((700000 + 100 + 3) / 100.0)
+
+
+def test_strided_slice_query(ingested, cube, spark):
+    """The reference's flagship query shape: strided slice mean/std
+    (``test_segy_roundtrip_teapot.py:264-283``)."""
+    _, headers, samples, rows, _ = cube
+    _, store_path = ingested
+    st = open_store(spark, store_path)
+    from pyspark.sql import functions as F
+
+    got = (
+        st.traces.where(F.col("inline") % 3 == 0)
+        .select(F.explode("samples").alias("s"))
+        .agg(F.avg("s").alias("mean"), F.stddev("s").alias("std"))
+        .collect()[0]
+    )
+    mask = np.array([il % 3 == 0 for il, _ in rows])
+    expect = samples[mask].astype(np.float64)
+    assert got["mean"] == pytest.approx(expect.mean(), rel=1e-6)
+    assert got["std"] == pytest.approx(expect.std(ddof=1), rel=1e-6)
+
+
+def test_dense_slice_rectangle(ingested, spark):
+    _, store_path = ingested
+    st = open_store(spark, store_path)
+    rect = dense_slice(st, spark, {"inline": (1, 4), "crossline": (1, 9)})
+    assert rect.count() == 4 * 9  # dense: dead cells present as null rows
+    live = rect.where("samples IS NOT NULL").count()
+    assert live <= 36
+
+
+def test_byte_identical_roundtrip(ingested, cube, spark):
+    """Export equals input byte-for-byte (reference golden:
+    ``test_segy_roundtrip_teapot.py:286-310``). Input was written in
+    (inline, crossline) order, which is the export order."""
+    path, _, _, _, tmp = cube
+    _, store_path = ingested
+    out = os.path.join(tmp, "export.sgy")
+    n = store_to_segy(spark, store_path, out)
+    assert os.path.getsize(out) == os.path.getsize(path)
+    assert filecmp.cmp(path, out, shallow=False)
+    assert n > 0
+
+
+def test_masked_export(ingested, cube, spark):
+    """P3 selection-mask export (masked matrix,
+    ``test_segy_import_export_masked.py``)."""
+    path, headers, samples, rows, tmp = cube
+    _, store_path = ingested
+    st = open_store(spark, store_path)
+    mask = st.dims["inline"].where("inline <= 6").select("inline")
+    out = os.path.join(tmp, "masked.sgy")
+    n = store_to_segy(spark, store_path, out, selection_mask=mask)
+    n_expected = sum(1 for il, _ in rows if il <= 6)
+    assert n == n_expected
+    # masked file contains exactly those traces, in order, byte-identical
+    trace_bytes = 240 + 25 * 4
+    with open(path, "rb") as f:
+        f.seek(3600)
+        original = f.read()
+    with open(out, "rb") as f:
+        f.seek(3600)
+        masked = f.read()
+    assert len(masked) == n_expected * trace_bytes
+    assert masked == original[: n_expected * trace_bytes]
+
+
+def test_empty_selection_raises(ingested, spark):
+    from mdio_python_spark.pipelines.export import EmptySelectionError
+
+    _, store_path = ingested
+    st = open_store(spark, store_path)
+    empty = st.dims["inline"].where("inline > 1000").select("inline")
+    with pytest.raises(EmptySelectionError):
+        store_to_segy(spark, store_path, "/tmp/should-not-exist.sgy", selection_mask=empty)
