@@ -27,9 +27,15 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark("mdio-spark-bench")
-    # Warm the JVM/codegen path so per-query numbers measure the plan, not
-    # session startup.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm-up: run every query once at the smallest SF so the timed runs
+    # measure the plan, not JVM codegen/classloading for each operator's
+    # expression tree (md5/conv/regexp/window codegen dominates cold runs).
+    warm_dir = "/root/testdata/sf0.001"
+    for name, spec in sorted(registry().items()):
+        try:
+            spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, spec in sorted(registry().items()):

@@ -43,28 +43,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keepers, on=id_col, how="left_semi")
 
 
-def word_shingles(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document (id, shingle)."""
+def word_shingles(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document (id, shingle).
+
+    ``distinct=True`` gives set semantics (needed for Jaccard counts);
+    MinHash callers pass ``distinct=False`` — min over the multiset equals
+    min over the set, and skipping the dedup avoids a full shuffle of the
+    shingle strings (the largest intermediate in the near-dup pipeline).
+    """
     toks = tokens(F.lower(F.col(text_col)))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
     shingle = F.when(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(shingle).alias("shingle")).distinct()
+    out = df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
-def _seeded_hash(shingle: Column, seed: int) -> Column:
-    return hash64(F.concat(F.lit(f"{seed}|"), shingle))
+def mix_constant(k: int) -> int:
+    """k-th XOR mixing constant (60-bit, golden-ratio multiples) — shared
+    with the DuckDB oracle."""
+    return (0x9E3779B97F4A7C15 * (k + 1)) & ((1 << 60) - 1)
 
 
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
     """K min-hash values per doc: one groupBy, K mins — map-side combinable,
-    so the shuffle carries K longs per doc regardless of document size."""
+    so the shuffle carries K longs per doc regardless of document size.
+
+    One md5 base hash per shingle; the K family members are XOR mixes of it
+    (a bijective permutation per seed) — 8x cheaper than K independent md5s,
+    and the dominant cost in the near-dup pipeline at scale.
+    """
+    base = hash64(F.col("shingle"))
     aggs = [
-        F.min(_seeded_hash(F.col("shingle"), k)).alias(f"mh_{k}")
+        F.min(base.bitwiseXOR(F.lit(mix_constant(k)))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
@@ -93,18 +114,29 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band_id", "b.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Pairs are generated *within* each bucket (groupBy + in-array
+    # combinations) rather than via a self-join: the signature subtree is
+    # computed exactly once, and only colliding docs ever meet. Bucket
+    # sizes are naturally small; a pathological hot bucket (e.g. empty-text
+    # signature) is the same quadratic blowup a self-join would have — cap
+    # upstream by filtering degenerate documents if needed.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 

@@ -39,8 +39,12 @@ _SHINGLES_CTE = f"""
   )
 """
 
+from mdio_python_spark.operators.dedup import mix_constant
+
 _MH = ", ".join(
-    "MIN({h}) AS mh_{k}".format(h=sql_hash64(f"concat('{k}|', shingle)"), k=k)
+    "MIN(xor({h}, {c})) AS mh_{k}".format(
+        h=sql_hash64("shingle"), c=mix_constant(k), k=k
+    )
     for k in range(8)
 )
 
@@ -118,7 +122,7 @@ def q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over word 3-shingles): the shuffle
     carries 8 longs per doc regardless of document length."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3)
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3, distinct=False)
     return dedup.minhash_signatures(sh, num_hashes=8)
 
 
@@ -130,7 +134,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands x 2 rows): near-dup candidates via bucket
     self-join — the scale path that avoids the quadratic all-pairs scan."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3)
+    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3, distinct=False)
     sig = dedup.minhash_signatures(sh, num_hashes=8)
     return dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
 
@@ -161,10 +165,12 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
     exact Jaccard verify at 0.5 — the canonical training-data dedup DAG."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures(
+        dedup.word_shingles(docs, n=3, distinct=False), num_hashes=8
+    )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    return dedup.jaccard_pairs(pairs, sh).where(F.col("jaccard") >= 0.5)
+    shingle_sets = dedup.word_shingles(docs, n=3, distinct=True)
+    return dedup.jaccard_pairs(pairs, shingle_sets).where(F.col("jaccard") >= 0.5)
 
 
 @register(
