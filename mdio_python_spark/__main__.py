@@ -1,0 +1,97 @@
+"""Thin CLI over the library (the reference's CLI surface,
+``src/mdio/__main__.py:76-88`` — note its import/export bodies call pre-v1
+APIs and are stale; parity target is the library, re-exposed here).
+
+    python -m mdio_python_spark info   <store>
+    python -m mdio_python_spark import <segy> <store> --template NAME
+    python -m mdio_python_spark export <store> <segy>
+    python -m mdio_python_spark copy   <store> <dest>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mdio_python_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_info = sub.add_parser("info", help="print store manifest summary")
+    p_info.add_argument("store")
+
+    p_imp = sub.add_parser("import", help="SEG-Y -> store")
+    p_imp.add_argument("segy")
+    p_imp.add_argument("store")
+    p_imp.add_argument("--template", default="PostStack3DTime")
+
+    p_exp = sub.add_parser("export", help="store -> SEG-Y")
+    p_exp.add_argument("store")
+    p_exp.add_argument("segy")
+
+    p_cp = sub.add_parser("copy", help="store -> store passthrough")
+    p_cp.add_argument("src")
+    p_cp.add_argument("dest")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "info":
+        # manifest-only: no Spark session needed (mirrors `mdio info`)
+        import os
+
+        with open(os.path.join(args.store, "manifest.json")) as f:
+            manifest = json.load(f)
+        ds = manifest["dataset"]
+        out = {
+            "name": ds["name"],
+            "apiVersion": ds["api_version"],
+            "dimensions": {d["name"]: d["size"] for d in ds["dimensions"]},
+            "variables": [v["name"] for v in ds["variables"]],
+            "chunks": manifest["chunks"],
+            "stats": next(
+                (v["stats"] for v in ds["variables"] if v.get("stats")), None
+            ),
+            "accessViews": list(manifest.get("accessViews", {})),
+        }
+        print(json.dumps(out, indent=2))
+        return 0
+
+    from mdio_python_spark.session import get_spark
+
+    spark = get_spark("mdio-spark-cli")
+    if args.cmd == "import":
+        from mdio_python_spark.pipelines.ingest import segy_to_store
+        from mdio_python_spark.schemas import default_registry
+
+        ds = segy_to_store(
+            spark, args.segy, args.store, default_registry().get(args.template)
+        )
+        print(f"ingested {ds.name}: dims " + ", ".join(f"{d.name}={d.size}" for d in ds.dimensions))
+    elif args.cmd == "export":
+        from mdio_python_spark.pipelines.export import store_to_segy
+
+        n = store_to_segy(spark, args.store, args.segy)
+        print(f"exported {n} traces -> {args.segy}")
+    elif args.cmd == "copy":
+        # K5 dataset copy (``src/mdio/commands/copy.py:49-80``)
+        import shutil
+
+        from mdio_python_spark.sources.store import open_store
+
+        st = open_store(spark, args.src)
+        st.traces.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{args.dest}/traces"
+        )
+        for d in st.dims:
+            st.dims[d].coalesce(1).write.mode("overwrite").parquet(
+                f"{args.dest}/dims/{d}"
+            )
+        shutil.copyfile(f"{args.src}/manifest.json", f"{args.dest}/manifest.json")
+        print(f"copied {args.src} -> {args.dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

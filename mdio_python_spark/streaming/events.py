@@ -1,0 +1,95 @@
+"""Streaming event ingestion: readStream -> watermark -> windowed aggs.
+
+The reference has no streaming surface (bounded batch only, SURVEY §2.12);
+this is the "watch a directory" extension its ingestion design implies. The
+same aggregations run in batch mode (plans/queries.events_hourly) — one
+logical plan, two execution modes, which is exactly Structured Streaming's
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (driver parquet layout)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    Spark's file stream source watches a *directory*; the driver testdata is
+    a single parquet file, so we stage a watch directory with a symlink —
+    exactly the "drop files in, they get processed" deployment shape.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    watch_dir = src
+    if os.path.isfile(src):
+        watch_dir = tempfile.mkdtemp(prefix="events-stream-")
+        os.symlink(src, os.path.join(watch_dir, "events.parquet"))
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(watch_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts with late-data handling via watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: activity bursts separated by >= gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded file stream to completion into an in-memory table
+    (test/smoke harness; production sinks are kafka/delta/foreachBatch)."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,75 @@
+"""Access-pattern views (C5) + CLI surface tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.segy_factory import make_poststack_3d
+
+from mdio_python_spark.operators import access_pattern as ap
+from mdio_python_spark.pipelines.ingest import segy_to_store
+from mdio_python_spark.schemas import default_registry
+from mdio_python_spark.sources.store import open_store
+
+
+@pytest.fixture(scope="module")
+def small_store(tmp_path_factory, spark):
+    tmp = tmp_path_factory.mktemp("apviews")
+    sgy = str(tmp / "cube.sgy")
+    make_poststack_3d(sgy, n_inline=10, n_crossline=6, n_samples=20)
+    store_path = str(tmp / "store")
+    segy_to_store(spark, sgy, store_path, default_registry().get("PostStack3DTime"))
+    return store_path, sgy
+
+
+def test_fast_view_sorted_and_manifest(small_store, spark):
+    store_path, _ = small_store
+    st = open_store(spark, store_path)
+    ap.build_access_view(st, "crossline", num_partitions=4)
+    view = ap.open_access_view(spark, st, "crossline")
+    assert view.count() == st.traces.count()
+    # range partitioning: files hold disjoint crossline ranges
+    from pyspark.sql import functions as F
+
+    per_file = (
+        view.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("crossline").alias("lo"), F.max("crossline").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert all(hi < lo2 for (_, hi), (lo2, _) in zip(spans, spans[1:]))
+    with open(os.path.join(store_path, "manifest.json")) as f:
+        assert "fast_crossline" in json.load(f)["accessViews"]
+
+
+def test_lossy_quantization_bounds_error(small_store, spark):
+    store_path, _ = small_store
+    st = open_store(spark, store_path)
+    std = st.dataset.variable("amplitude").stats.std
+    tol = 0.01 * std
+    q = ap.quantize_samples(st.traces, tolerance=tol)
+    orig = np.concatenate([r["samples"] for r in st.traces.orderBy("inline", "crossline").collect()])
+    quant = np.concatenate([r["samples"] for r in q.orderBy("inline", "crossline").collect()])
+    assert np.abs(orig - quant).max() <= tol * (1 + 1e-6)
+
+
+def test_cli_info_and_export(small_store, tmp_path):
+    store_path, sgy = small_store
+    out = subprocess.run(
+        [sys.executable, "-m", "mdio_python_spark", "info", store_path],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    info = json.loads(out.stdout)
+    assert info["dimensions"] == {"inline": 10, "crossline": 6, "time": 20}
+    assert "amplitude" in info["variables"]
+    assert info["stats"]["count"] > 0
