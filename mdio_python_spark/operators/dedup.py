@@ -56,14 +56,43 @@ def word_shingles(
     MinHash callers pass ``distinct=False`` — min over the multiset equals
     min over the set, and skipping the dedup avoids a full shuffle of the
     shingle strings (the largest intermediate in the near-dup pipeline).
+
+    Construction is n whole-array slices + ``arrays_zip`` + one explode —
+    all codegen-capable expressions. (The per-position
+    ``transform(i -> slice(toks, i, n))`` form is ~4x slower: higher-order
+    functions are CodegenFallback, evaluated interpreted.)
     """
     toks = tokens(F.lower(F.col(text_col)))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
-    shingle = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, n_sh) for i in range(n)])
+    exploded = df.select(F.col(id_col), F.explode(zipped).alias("z"))
+    fields = [f.name for f in exploded.schema["z"].dataType.fields]
+    out = exploded.select(
+        F.col(id_col),
+        F.concat_ws(" ", *[F.col("z").getField(f) for f in fields]).alias("shingle"),
+    )
+    return out.distinct() if distinct else out
+
+
+def shingle_hashes(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, sh) rows — the 60-bit hash of each word n-shingle occurrence.
+
+    The 8-byte hash replaces the shingle *string* as the unit of exchange:
+    downstream shuffles/joins move longs, not text, and the md5 is computed
+    exactly once per occurrence in the scan stage (not re-evaluated inside
+    each aggregate). Collision odds at 60 bits are negligible relative to
+    corpus sizes (~2^-60 per pair), and the string-based DuckDB oracles
+    remain bit-identical because min/distinct/join results agree whenever
+    no collision occurs.
+    """
+    sh = word_shingles(df, n, text_col, id_col, distinct=False)
+    out = sh.select(F.col(id_col), hash64(F.col("shingle")).alias("sh"))
     return out.distinct() if distinct else out
 
 
@@ -81,14 +110,23 @@ def minhash_signatures(
 
     One md5 base hash per shingle; the K family members are XOR mixes of it
     (a bijective permutation per seed) — 8x cheaper than K independent md5s,
-    and the dominant cost in the near-dup pipeline at scale.
+    and the dominant cost in the near-dup pipeline at scale. Accepts either
+    hashed shingles (``sh`` long column from :func:`shingle_hashes` — the
+    fast path: the md5 is a materialized projection, the aggregate only
+    XORs longs) or raw ``shingle`` strings.
     """
-    base = hash64(F.col("shingle"))
+    if "sh" in shingles.columns:
+        base_df, base = shingles, F.col("sh")
+    else:
+        base_df = shingles.select(
+            F.col(id_col), hash64(F.col("shingle")).alias("sh")
+        )
+        base = F.col("sh")
     aggs = [
         F.min(base.bitwiseXOR(F.lit(mix_constant(k)))).alias(f"mh_{k}")
         for k in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return base_df.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -146,16 +184,19 @@ def jaccard_pairs(
 ) -> DataFrame:
     """True n-gram Jaccard for candidate pairs via a shingle-set join.
 
-    |A ∩ B| from the equi-join on shingle; |A| and |B| from per-doc counts
-    (broadcastable); union = |A| + |B| - |A ∩ B|. Exact integer arithmetic,
-    one double divide at the end.
+    |A ∩ B| from the equi-join on the shingle key; |A| and |B| from per-doc
+    counts (broadcastable); union = |A| + |B| - |A ∩ B|. Exact integer
+    arithmetic, one double divide at the end. Prefers the 8-byte ``sh``
+    hash key (:func:`shingle_hashes`) over raw strings so the join shuffle
+    moves longs.
     """
+    key = "sh" if "sh" in shingles.columns else "shingle"
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.withColumnRenamed(id_col, "doc_a")
     b = shingles.withColumnRenamed(id_col, "doc_b")
     inter = (
         pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", key])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -181,8 +222,8 @@ def simhash(
     stays a flat aggregate (still one shuffle of `bits` longs per doc)."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
-    )
-    h = hash64(F.col("token"))
+    ).select(id_col, hash64(F.col("token")).alias("h"))
+    h = F.col("h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(

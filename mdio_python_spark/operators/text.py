@@ -79,16 +79,52 @@ def language_scores(text: Column) -> dict[str, Column]:
 
 def predict_language(text: Column) -> Column:
     """Argmax over language scores with a fixed lexicographic tie-break —
-    identical CASE chain in the oracle keeps it deterministic."""
+    identical CASE chain in the oracle keeps it deterministic.
+
+    Single-Column form; prefer :func:`language_id` on DataFrames — it stages
+    tokenization and the per-language scores as materialized projections so
+    each is computed once per row instead of re-expanded per comparison.
+    """
     scores = language_scores(text)
+    return _argmax_lang({lang: scores[lang] for lang in scores})
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """CASE chain: lang wins iff strictly greater than every earlier
+    (sorted) lang — earliest lang wins ties, matching the oracle."""
     langs = sorted(scores)
     pred = F.lit(langs[0])
-    best = scores[langs[0]]
-    for lang in langs[1:]:
-        is_better = scores[lang] > best
-        pred = F.when(is_better, F.lit(lang)).otherwise(pred)
-        best = F.when(is_better, scores[lang]).otherwise(best)
+    for i, lang in enumerate(langs[1:], start=1):
+        earlier = [scores[m] for m in langs[:i]]
+        beat_all = (
+            scores[lang] > F.greatest(*earlier) if len(earlier) > 1 else scores[lang] > earlier[0]
+        )
+        pred = F.when(beat_all, F.lit(lang)).otherwise(pred)
     return pred
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
+) -> DataFrame:
+    """Language-ID over a DataFrame, staged for one-pass evaluation:
+    project tokens once -> project the 5 marker-hit counts -> argmax over
+    plain column refs. Shuffle-free scan; each stage's outputs are computed
+    exactly once per row (the naive nested-CASE form re-tokenizes per
+    comparison, ~L^2 splits per row)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    staged = df.withColumn("__toks", toks)
+    def _hits(marks: tuple[str, ...]):
+        return lambda t: t.isin(*marks)
+
+    score_cols = {
+        lang: F.size(F.filter(F.col("__toks"), _hits(marks))).cast("long")
+        for lang, marks in LANG_MARKERS.items()
+    }
+    staged = staged.withColumns({f"__s_{lang}": c for lang, c in score_cols.items()})
+    pred = _argmax_lang({lang: F.col(f"__s_{lang}") for lang in LANG_MARKERS})
+    return staged.withColumn(out_col, pred).drop(
+        "__toks", *[f"__s_{lang}" for lang in LANG_MARKERS]
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -121,8 +121,9 @@ def q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over word 3-shingles): the shuffle
-    carries 8 longs per doc regardless of document length."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3, distinct=False)
+    carries 8 longs per doc regardless of document length; the md5 base
+    hash is a scan-stage projection, the aggregate only XOR-mins longs."""
+    sh = dedup.shingle_hashes(_t(spark, sf_dir, "documents"), n=3)
     return dedup.minhash_signatures(sh, num_hashes=8)
 
 
@@ -134,7 +135,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands x 2 rows): near-dup candidates via bucket
     self-join — the scale path that avoids the quadratic all-pairs scan."""
-    sh = dedup.word_shingles(_t(spark, sf_dir, "documents"), n=3, distinct=False)
+    sh = dedup.shingle_hashes(_t(spark, sf_dir, "documents"), n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=8)
     return dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
 
@@ -163,13 +164,20 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
-    exact Jaccard verify at 0.5 — the canonical training-data dedup DAG."""
+    exact Jaccard verify at 0.5 — the canonical training-data dedup DAG.
+
+    Scale shape: every branch (signatures, set sizes, intersection sides)
+    consumes ONE repartition(doc_id) exchange of the hashed shingles, so
+    Spark's ReusedExchange computes the tokenize+explode+md5 subtree exactly
+    once; HashPartitioning(doc_id) satisfies the doc-level groupBys and the
+    (doc_id, sh) distinct with no further shuffle. The exchange moves 16-byte
+    rows (~10% of the text it replaces) — far cheaper than re-scanning the
+    corpus per branch at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(
-        dedup.word_shingles(docs, n=3, distinct=False), num_hashes=8
-    )
+    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id")
+    sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    shingle_sets = dedup.word_shingles(docs, n=3, distinct=True)
+    shingle_sets = hashed.distinct()
     return dedup.jaccard_pairs(pairs, shingle_sets).where(F.col("jaccard") >= 0.5)
 
 
@@ -261,11 +269,9 @@ FROM scored
 @register("lang_id_heuristic", _LANG_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID via stopword-marker argmax (fixed lexicographic
-    tie-break)."""
+    tie-break); staged projections tokenize once per row."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", text.predict_language(F.col("text")).alias("pred_lang")
-    )
+    return text.language_id(docs).select("doc_id", "lang", "pred_lang")
 
 
 _NORMALIZED = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
