@@ -152,14 +152,23 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band_id", "b.band_hash")
-    # Pairs are generated *within* each bucket (groupBy + in-array
-    # combinations) rather than via a self-join: the signature subtree is
-    # computed exactly once, and only colliding docs ever meet. Bucket
-    # sizes are naturally small; a pathological hot bucket (e.g. empty-text
-    # signature) is the same quadratic blowup a self-join would have — cap
-    # upstream by filtering degenerate documents if needed.
+    return bucket_pairs(banded, ["band_id", "band_hash"], id_col)
+
+
+def bucket_pairs(
+    banded: DataFrame, bucket_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs co-occurring in any bucket.
+
+    Pairs are generated *within* each bucket (groupBy + in-array
+    combinations) rather than via a self-join: the upstream subtree is
+    computed exactly once, and only colliding docs ever meet. Bucket
+    sizes are naturally small; a pathological hot bucket (e.g. empty-text
+    signature) is the same quadratic blowup a self-join would have — cap
+    upstream by filtering degenerate documents if needed.
+    """
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -237,3 +246,70 @@ def simhash(
     for b in range(bits):
         sim = sim + F.when(F.col(f"v_{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
     return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_band_pairs(
+    sim: DataFrame,
+    bits: int = 16,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature, bucket-join, verify
+    Hamming distance.
+
+    Pigeonhole guarantees recall: two signatures within ``max_hamming``
+    (< num_bands) bits must agree exactly on at least one band, so the
+    band-bucket join finds every qualifying pair without an all-pairs
+    scan. The signature rides along through the bucket groupBy, so the
+    verify (one bit_count(xor) per candidate) needs NO join back against
+    the corpus — the signature subtree is computed exactly once and
+    nothing corpus-sized is broadcast. At 100 TB you would widen to
+    64-bit signatures with 8-bit bands; the plan shape is unchanged.
+    """
+    band_bits = bits // num_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.shiftright(F.col("simhash"), k * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for k in range(num_bands)
+        ]
+    )
+    banded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
+    ).select(id_col, "simhash", "b.band_id", "b.val")
+    buckets = (
+        banded.groupBy("band_id", "val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("items")
+        )
+        .where(F.size("items") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(
+                    x.getField("id").alias("doc_a"),
+                    y.getField("id").alias("doc_b"),
+                    x.getField("simhash")
+                    .bitwiseXOR(y.getField("simhash"))
+                    .alias("x"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.bit_count(F.col("p.x")).cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -121,3 +121,58 @@ def bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "candidate_id", "bucket", "cosine", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs (a < b) with verification.
+
+    Dedup shape of the ANN scale path: sign-bucket the corpus, generate
+    pairs only *within* buckets (no all-pairs scan), then verify
+    cosine >= threshold exactly. Single-table LSH — recall is limited to
+    pairs agreeing on the leading sign pattern; at 100 TB you add more
+    band tables (as in MinHash-LSH) to raise recall, same plan shape.
+    """
+    from mdio_python_spark.operators.dedup import bucket_pairs
+
+    keyed = vectors.select(
+        F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+    )
+    pairs = (
+        bucket_pairs(keyed.withColumnRenamed(id_col, "doc_id"), ["bucket"])
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
+    )
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"))
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_drops(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy dedup decision from near-dup pairs: drop every vector that
+    has a near-dup with a smaller id; report the smallest such keeper."""
+    pairs = embedding_near_dup_pairs(vectors, threshold, bits, id_col, vec_col)
+    return pairs.groupBy(F.col("vec_b").alias("drop_id")).agg(
+        F.min("vec_a").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_near_dups"),
+    )

@@ -181,28 +181,62 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(pairs, shingle_sets).where(F.col("jaccard") >= 0.5)
 
 
-@register(
-    "simhash_16",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
-    ),
-    hashed AS (SELECT doc_id, {sql_hash64("token")} AS h FROM tok),
-    votes AS (
-      SELECT doc_id,
-             {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}" for b in range(16))}
-      FROM hashed GROUP BY doc_id
-    )
+def _simhash_cte(bits: int) -> str:
+    return f"""
+  tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+  ),
+  hashed AS (SELECT doc_id, {sql_hash64("token")} AS h FROM tok),
+  votes AS (
     SELECT doc_id,
-           CAST({" + ".join(f"CASE WHEN v_{b} >= 0 THEN {2**b} ELSE 0 END" for b in range(16))}
+           {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}" for b in range(bits))}
+    FROM hashed GROUP BY doc_id
+  ),
+  sim AS (
+    SELECT doc_id,
+           CAST({" + ".join(f"CASE WHEN v_{b} >= 0 THEN {2**b} ELSE 0 END" for b in range(bits))}
                 AS BIGINT) AS simhash
     FROM votes
-    """,
-)
+  )
+"""
+
+
+@register("simhash_16", f"WITH {_simhash_cte(16)} SELECT doc_id, simhash FROM sim")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (16-bit) over the token multiset: per-bit votes in one
     groupBy."""
     return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "simhash_hamming_pairs",
+    f"""
+    WITH {_simhash_cte(32)},
+    bands AS (
+      SELECT doc_id, band_id, (simhash >> (8 * band_id)) & 255 AS val
+      FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.val = r.val AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sim sa ON sa.doc_id = doc_a
+    JOIN sim sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 8-bit bands bucket the 32-bit signature
+    (pigeonhole: hamming<=3 over 4 bands forces an exact band match, so
+    the bucket join loses no qualifying pair), then one bit_count(xor)
+    verify per candidate. 8-bit bands keep bucket occupancy ~corpus/256
+    per band — band entropy, not corpus size, bounds the candidate count."""
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+    return dedup.simhash_band_pairs(sim, bits=32, num_bands=4, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -335,13 +369,17 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-_BUCKET_SQL = (
-    "CAST("
-    + " + ".join(
-        f"CASE WHEN {{v}}[{i + 1}] > 0 THEN {2**i} ELSE 0 END" for i in range(6)
+def _bucket_sql_bits(bits: int) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN {{v}}[{i + 1}] > 0 THEN {2**i} ELSE 0 END" for i in range(bits)
+        )
+        + " AS BIGINT)"
     )
-    + " AS BIGINT)"
-)
+
+
+_BUCKET_SQL = _bucket_sql_bits(6)
 
 _BUCKETED_ORACLE = f"""
 WITH q AS (
@@ -406,3 +444,66 @@ def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("long").alias("n_bytes"),
         F.sha2(payload, 256).alias("payload_sha256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus accounting & embedding dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_count_by_lang",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST(len({_TOKS}) AS BIGINT)) AS total_tokens,
+           SUM(CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT))
+             AS total_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language — the budget query every
+    training-data pipeline runs first. Map-side combinable: the shuffle
+    carries one partial row per (partition, lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(t)).alias("total_tokens"),
+        F.sum(text.bpe_ish_token_count(t)).alias("total_bpe_tokens"),
+    )
+
+
+_NEAR_DUP_PAIRS_CTE = f"""
+  v AS (
+    SELECT vec_id, embedding, {_bucket_sql_bits(8).format(v="embedding")} AS bucket
+    FROM embeddings
+  ),
+  near_dup_pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DOT.format(a="a.embedding", b="b.embedding")}
+             / (sqrt({_DOT.format(a="a.embedding", b="a.embedding")})
+                * sqrt({_DOT.format(a="b.embedding", b="b.embedding")})) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  )
+"""
+
+
+@register(
+    "embedding_near_dup_drops",
+    f"""
+    WITH {_NEAR_DUP_PAIRS_CTE}
+    SELECT vec_b AS drop_id, MIN(vec_a) AS keep_id, COUNT(*) AS n_near_dups
+    FROM near_dup_pairs WHERE cosine >= 0.3
+    GROUP BY vec_b
+    """,
+)
+def q_embedding_near_dup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: sign-bucket LSH candidates (pairs
+    meet only within a bucket — no all-pairs scan; 8 bits keeps occupancy
+    ~corpus/256), exact cosine verify at 0.3, then the greedy keep-min-id
+    drop decision."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_drops(emb, threshold=0.3, bits=8)

@@ -580,3 +580,60 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 6).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join & analytic lag (Spark-free surface the reference lacks; §2.4/§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no orders. The customer side streams; the
+    orders keys build the hash side — with AQE this plans as a broadcast
+    anti join when the distinct key set is small."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customer_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    QUALIFY gap_days IS NOT NULL
+    """,
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days between consecutive orders per customer —
+    one shuffle on the partition key, total order via the orderkey
+    tie-break. Gap emitted as INT days (no raw timestamps in output)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(d, F.lag(d).over(w)).cast("int").alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
