@@ -637,3 +637,59 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap_days").isNotNull())
     )
+
+
+@register(
+    "events_sessions",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, value, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, value, sec,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", 6)} AS total_value,
+           MAX(sec) - MIN(sec) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (batch twin of streaming.events.sessionized): 30-min
+    inactivity gap splits sessions. lag + running-sum over one
+    (user_id)-partitioned window — a single shuffle on the session key;
+    gap logic on integer epoch seconds so both engines agree exactly."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("total_value"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    )
