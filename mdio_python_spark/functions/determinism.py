@@ -58,12 +58,17 @@ def dmean(col: Column | str, scale: int = 4) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    # decimal -> VARCHAR -> DOUBLE: DuckDB's direct decimal->double cast
+    # double-rounds (int128 -> double, then /10^scale), which can land one
+    # ULP off Spark's correctly-rounded BigDecimal.doubleValue(). The
+    # string path is correctly rounded in both engines.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_dsum_sq(expr: str, scale: int = 4) -> str:
     # DECIMAL(19,s) operands: DuckDB sizes a product as p1+p2 digits, and
     # 19+19=38 forces the hugeint-backed path (18+18=36 still multiplies in
-    # int64 and overflows). The extra digit changes no values.
+    # int64 and overflows). The extra digit changes no values. VARCHAR hop:
+    # see sql_dsum.
     d = f"CAST(CAST({expr} AS DECIMAL(18,{scale})) AS DECIMAL(19,{scale}))"
-    return f"CAST(SUM(CAST({d} * {d} AS DECIMAL(38,8))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST({d} * {d} AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"

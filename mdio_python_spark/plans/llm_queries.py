@@ -507,3 +507,47 @@ def q_embedding_near_dup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop decision."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_drops(emb, threshold=0.3, bits=8)
+
+
+_EST = " + ".join(
+    f"CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END" for k in range(8)
+)
+
+
+@register(
+    "minhash_jaccard_estimate",
+    f"""
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}
+    SELECT p.doc_a, p.doc_b,
+           CAST(({_EST}) AS DOUBLE) / 8.0 AS est_jaccard
+    FROM candidate_pairs p
+    JOIN signatures sa ON sa.doc_id = p.doc_a
+    JOIN signatures sb ON sb.doc_id = p.doc_b
+    """,
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-side Jaccard estimate: fraction of agreeing minhashes per LSH
+    candidate pair — the cheap filter real pipelines apply before (or
+    instead of) the exact shingle-set verify. Signature table is 8 longs
+    per doc, so the joins move sketches, never text."""
+    sh = dedup.shingle_hashes(_t(spark, sf_dir, "documents"), n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8).repartition("doc_id")
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(8)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{k}").alias(f"b_{k}") for k in range(8)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), 1).otherwise(0) for k in range(8)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+        )
+    )

@@ -693,3 +693,60 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", 6).alias("total_value"),
         (F.max("sec") - F.min("sec")).alias("duration_s"),
     )
+
+
+@register(
+    "strided_slice_stats",
+    f"""
+    WITH s AS (
+      SELECT COUNT(l_extendedprice) AS count,
+             CAST(MIN(l_extendedprice) AS DOUBLE) AS min,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS max,
+             {sql_dsum("l_extendedprice")} AS sum,
+             {sql_dsum_sq("l_extendedprice")} AS sum_squares
+      FROM lineitem WHERE l_orderkey % 75 = 0 AND l_extendedprice <> 0
+    )
+    SELECT count, min, max, sum, sum_squares,
+           sum / CAST(count AS DOUBLE) AS mean,
+           sqrt((sum_squares - (sum * sum) / CAST(count AS DOUBLE))
+                / (CAST(count AS DOUBLE) - 1.0)) AS std
+    FROM s
+    """,
+)
+def q_strided_slice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's interactive query pattern (SURVEY §3.2,
+    ``test_segy_roundtrip_teapot.py:264-283``: strided slice -> mean/std):
+    a modulus predicate plus one agg — the stride prunes at the scan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 75 == 0)
+    return stats.summary_statistics(li, "l_extendedprice", nonzero_only=True)
+
+
+@register(
+    "revenue_rollup",
+    f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice")} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.5: absent from the reference, free in
+    Spark): hierarchy totals in one pass — the Expand operator multiplies
+    rows by grouping-set count before the single shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
