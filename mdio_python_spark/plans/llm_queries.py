@@ -551,3 +551,51 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / F.lit(8.0)).alias("est_jaccard"),
         )
     )
+
+
+_BIGRAMS_CTE = f"""
+  bigrams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len({_TOKS}) >= 2
+                  THEN list_transform(
+                         generate_series(1, len({_TOKS}) - 1),
+                         i -> array_to_string(list_slice({_TOKS}, i, i + 1), ' '))
+                  ELSE [] END) AS bigram
+    FROM documents
+  )
+"""
+
+
+@register(
+    "top_bigrams",
+    f"""
+    WITH {_BIGRAMS_CTE},
+    counted AS (
+      SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, n, n_docs FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rk FROM counted
+    ) WHERE rk <= 20
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: bigram occurrence + document frequency, top 20.
+    Map-side combinable count; the final top-k is a single-partition sort of
+    the (tiny) aggregated table, not of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    bi = dedup.word_shingles(docs, n=2, distinct=False).withColumnRenamed(
+        "shingle", "bigram"
+    )
+    counted = bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("bigram", "n", "n_docs")
+    )
