@@ -75,18 +75,31 @@ def main(argv: list[str] | None = None) -> int:
         n = store_to_segy(spark, args.store, args.segy)
         print(f"exported {n} traces -> {args.segy}")
     elif args.cmd == "copy":
-        # K5 dataset copy (``src/mdio/commands/copy.py:49-80``)
+        # K5 dataset copy (``src/mdio/commands/copy.py:49-80``). The copy
+        # must preserve the store contract: chunk-partitioned traces layout
+        # (partition pruning on the copy) and any materialized access views
+        # the manifest advertises.
         import shutil
 
         from mdio_python_spark.sources.store import open_store
 
         st = open_store(spark, args.src)
-        st.traces.write.mode("overwrite").option("compression", "zstd").parquet(
-            f"{args.dest}/traces"
-        )
+        chunk_cols = [c for c in st.chunk_cols if c in st.traces.columns]
+        writer = (
+            st.traces.repartition(*chunk_cols) if chunk_cols else st.traces
+        ).write.mode("overwrite").option("compression", "zstd")
+        if chunk_cols:
+            writer = writer.partitionBy(*chunk_cols)
+        writer.parquet(f"{args.dest}/traces")
         for d in st.dims:
             st.dims[d].coalesce(1).write.mode("overwrite").parquet(
                 f"{args.dest}/dims/{d}"
+            )
+        with open(f"{args.src}/manifest.json") as f:
+            manifest = json.load(f)
+        for view in manifest.get("accessViews", {}):
+            shutil.copytree(
+                f"{args.src}/{view}", f"{args.dest}/{view}", dirs_exist_ok=True
             )
         shutil.copyfile(f"{args.src}/manifest.json", f"{args.dest}/manifest.json")
         print(f"copied {args.src} -> {args.dest}")

@@ -28,6 +28,11 @@ def quantize_samples(df: DataFrame, tolerance: float) -> DataFrame:
     ``2 * tolerance`` (max abs error <= tolerance). Parquet+zstd then
     compresses the repeated grid values far better — same
     tolerance-for-ratio trade the reference's ZFP mode offers."""
+    if not tolerance > 0:
+        raise ValueError(
+            f"tolerance must be > 0, got {tolerance} (zero std / zero "
+            "quality would quantize every sample to NaN)"
+        )
     step = 2.0 * tolerance
     quantized = F.transform(
         F.col("samples"),
@@ -50,10 +55,20 @@ def build_access_view(
     out = os.path.join(store.path, f"fast_{dim}")
     df = store.traces
     if lossy_quality is not None:
-        std = store.dataset.variable(
-            store.dataset.attributes.get("defaultVariableName", "amplitude")
-        ).stats.std
-        df = quantize_samples(df, tolerance=lossy_quality * std)
+        name = store.dataset.attributes.get("defaultVariableName")
+        var = (
+            store.dataset.variable(name)
+            if name
+            else next(
+                (v for v in store.dataset.variables if v.stats is not None), None
+            )
+        )
+        if var is None or var.stats is None:
+            raise ValueError(
+                "lossy access view needs a variable with summary stats "
+                "(tolerance = quality * std); none found in the manifest"
+            )
+        df = quantize_samples(df, tolerance=lossy_quality * var.stats.std)
     (
         df.repartitionByRange(num_partitions, dim)
         .sortWithinPartitions(dim)

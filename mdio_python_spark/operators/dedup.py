@@ -115,13 +115,17 @@ def minhash_signatures(
     fast path: the md5 is a materialized projection, the aggregate only
     XORs longs) or raw ``shingle`` strings.
     """
-    if "sh" in shingles.columns:
-        base_df, base = shingles, F.col("sh")
-    else:
+    # Prefer the explicit string column when both exist: a stray unrelated
+    # 'sh' column must not silently change the hash source.
+    if "shingle" in shingles.columns:
         base_df = shingles.select(
             F.col(id_col), hash64(F.col("shingle")).alias("sh")
         )
-        base = F.col("sh")
+    elif "sh" in shingles.columns:
+        base_df = shingles
+    else:
+        raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
+    base = F.col("sh")
     aggs = [
         F.min(base.bitwiseXOR(F.lit(mix_constant(k)))).alias(f"mh_{k}")
         for k in range(num_hashes)
@@ -199,7 +203,10 @@ def jaccard_pairs(
     hash key (:func:`shingle_hashes`) over raw strings so the join shuffle
     moves longs.
     """
-    key = "sh" if "sh" in shingles.columns else "shingle"
+    # same preference rule as minhash_signatures: explicit strings win
+    key = "shingle" if "shingle" in shingles.columns else "sh"
+    if key not in shingles.columns:
+        raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.withColumnRenamed(id_col, "doc_a")
     b = shingles.withColumnRenamed(id_col, "doc_b")
@@ -267,6 +274,14 @@ def simhash_band_pairs(
     nothing corpus-sized is broadcast. At 100 TB you would widen to
     64-bit signatures with 8-bit bands; the plan shape is unchanged.
     """
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= num_bands={num_bands}: the "
+            "pigeonhole guarantee needs max_hamming < num_bands (a pair "
+            "could differ in one bit per band and match no bucket)"
+        )
+    if bits % num_bands:
+        raise ValueError(f"bits={bits} must divide evenly into {num_bands} bands")
     band_bits = bits // num_bands
     mask = (1 << band_bits) - 1
     bands = F.array(

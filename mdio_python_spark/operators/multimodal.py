@@ -39,9 +39,10 @@ def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.
     """
     if not FAKE_DECODE:
         raise NotImplementedError("image codecs not available in this container")
-    buf = np.frombuffer(payload, dtype=np.uint8)
     n = width * height * channels
-    reps = -(-n // max(len(buf), 1))
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    # empty/null payloads decode to a black image instead of failing the job
+    reps = -(-n // len(buf))
     return np.tile(buf, reps)[:n].reshape(height, width, channels)
 
 
@@ -49,7 +50,7 @@ def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
     """STUB audio decode (real: soundfile/ffmpeg). Fake: int8 view as PCM."""
     if not FAKE_DECODE:
         raise NotImplementedError("audio codecs not available in this container")
-    return np.frombuffer(payload, dtype=np.int8).astype(np.float32) / 128.0
+    return np.frombuffer(payload or b"", dtype=np.int8).astype(np.float32) / 128.0
 
 
 def attach_payload(
@@ -165,10 +166,12 @@ def sample_frames(
             out = []
             for _, row in pdf.iterrows():
                 m = row["meta"]
+                # decode once per row, not per kept frame — with a real
+                # ffmpeg kernel the decode dominates
+                img = _decode_image(
+                    row["payload"], m["width"], m["height"], m["channels"]
+                )
                 for fi in range(0, int(m["n_frames"]), every_nth):
-                    img = _decode_image(
-                        row["payload"], m["width"], m["height"], m["channels"]
-                    )
                     out.append(
                         {
                             id_col: row[id_col],

@@ -213,6 +213,7 @@ def segy_to_store(
         attributes={
             "spatialDims": spatial,
             "verticalDim": schema.dimensions[-1].name,
+            "defaultVariableName": schema.default_variable_name,
             "textHeader": info.text_header,
             "binaryHeader": info.binary_header,
             "sampleIntervalUs": info.sample_interval,

@@ -136,7 +136,11 @@ def read_traces(
                     }
                     cols.update(codec.decode_trace_headers(headers, fields, spec))
                     if include_raw_header:
-                        cols["raw_header"] = list(headers.tobytes()[i * 240 : (i + 1) * 240] for i in range(n))
+                        hdr_bytes = headers.tobytes()
+                        hb = codec.TRACE_HEADER_BYTES
+                        cols["raw_header"] = [
+                            hdr_bytes[i * hb : (i + 1) * hb] for i in range(n)
+                        ]
                     if include_samples:
                         samples = codec.decode_samples(
                             raw[:, codec.TRACE_HEADER_BYTES :].reshape(n, -1),

@@ -153,9 +153,10 @@ class SegyReader(DataSourceReader):
             names.append(fname)
         if opts["raw_header"]:
             hdr_bytes = headers.tobytes()
+            hb = codec.TRACE_HEADER_BYTES
             arrays.append(
                 pa.array(
-                    [hdr_bytes[i * 240 : (i + 1) * 240] for i in range(n)],
+                    [hdr_bytes[i * hb : (i + 1) * hb] for i in range(n)],
                     type=pa.binary(),
                 )
             )

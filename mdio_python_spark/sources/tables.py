@@ -30,21 +30,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """TIMESTAMP(NANOS) workaround, shared by the batch and streaming event
+    readers: with ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives
+    as int64 nanos; rebuild a microsecond TimestampType with integer
+    division (a double round-trip would lose precision at ~1.7e18 ns).
+    DuckDB truncates ns->us the same way, so oracles match. No-op when the
+    column is already a timestamp."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(col) == "bigint":
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); Spark 4 rejects it unless
-        # read as raw int64. Normalize to a microsecond TimestampType with
-        # integer division (a double round-trip would lose precision at
-        # ~1.7e18 ns). DuckDB truncates ns->us the same way, so oracles match.
+        # read as raw int64.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        from pyspark.sql import functions as F
-
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return normalize_nanos_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

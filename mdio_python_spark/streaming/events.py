@@ -42,7 +42,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         watch_dir = tempfile.mkdtemp(prefix="events-stream-")
         os.symlink(src, os.path.join(watch_dir, "events.parquet"))
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(watch_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from mdio_python_spark.sources.tables import normalize_nanos_ts
+
+    return normalize_nanos_ts(raw)
 
 
 def windowed_counts(

@@ -72,3 +72,19 @@ def test_audio_features(payloads):
     row = feats.where("doc_id = 0").collect()[0]
     assert row["n_samples"] > 0
     assert 0.0 <= row["rms"] <= 1.0
+
+
+def test_empty_and_null_payloads_do_not_crash(spark):
+    """Regression: empty text -> empty payload, null text -> null payload;
+    decode must yield a black image / empty PCM, not fail the job."""
+    from mdio_python_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "data")], "doc_id long, text string"
+    )
+    media = multimodal.attach_payload(df, "text", width=4, height=4, channels=3)
+    feats = {r.doc_id: r for r in multimodal.image_features(media).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert feats[1].mean_r == 0.0 and feats[2].mean_r == 0.0
+    audio = {r.doc_id: r for r in multimodal.audio_features(media).collect()}
+    assert audio[1].n_samples == 0 and audio[2].n_samples == 0
