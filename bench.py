@@ -32,6 +32,8 @@ def main() -> None:
     # expression tree (md5/conv/regexp/window codegen dominates cold runs).
     warm_dir = "/root/testdata/sf0.001"
     for name, spec in sorted(registry().items()):
+        if not spec.bench:
+            continue
         try:
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -39,6 +41,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(registry().items()):
+        if not spec.bench:
+            continue
         df = spec.fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

@@ -23,14 +23,19 @@ class QuerySpec:
     name: str
     fn: QueryFn
     oracle: str | None  # None => driver runs rows-only check
+    bench: bool = True  # False => fixed-cost smoke (e.g. pipeline roundtrip
+    # on synthesized input) whose runtime is independent of sf — declared
+    # for correctness but excluded from the sf-scaling bench metric
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None, bench: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = QuerySpec(name, fn, oracle)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, bench)
         return fn
 
     return deco
@@ -53,4 +58,8 @@ def oracle_sql() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     """Import every query module exactly once (registration side effect)."""
-    from mdio_python_spark.plans import llm_queries, queries  # noqa: F401
+    from mdio_python_spark.plans import (  # noqa: F401
+        llm_queries,
+        queries,
+        seismic_queries,
+    )

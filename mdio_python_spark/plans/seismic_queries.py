@@ -1,0 +1,103 @@
+"""Oracle-less declared queries for the non-SQL-expressible surfaces:
+the SEG-Y ingest/export roundtrip and Structured Streaming. The driver
+records a weaker rows-only check for these (no DuckDB oracle can run a
+binary-format pipeline or a stream); the full value assertions live in
+``tests/test_segy_roundtrip.py`` and ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mdio_python_spark.plans.registry import register
+
+
+def _synthetic_cube(spark: SparkSession, n_il: int, n_xl: int, ns: int) -> DataFrame:
+    """Deterministic little poststack cube as a trace DataFrame — pure
+    column arithmetic, no RNG, so every driver run writes identical bytes."""
+    base = spark.range(n_il * n_xl).select(
+        (F.col("id") / n_xl + 1).cast("long").alias("inline"),
+        (F.col("id") % n_xl + 1).cast("long").alias("crossline"),
+    )
+    k = F.sequence(F.lit(0), F.lit(ns - 1))
+    samples = F.transform(
+        k,
+        lambda i: (
+            F.sin(F.col("inline") * 0.7 + F.col("crossline") * 0.3 + i * 0.11)
+        ).cast("float"),
+    )
+    return base.withColumns(
+        {
+            "cdp_x": (F.lit(700000) + F.col("inline") * 100 + F.col("crossline") * 3),
+            "cdp_y": (F.lit(900000) + F.col("crossline") * 100 - F.col("inline") * 2),
+            "samples": samples,
+        }
+    )
+
+
+@register("seismic_ingest_roundtrip", None, bench=False)
+def q_seismic_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship seismic pipeline end-to-end in one declared query:
+    write a deterministic SEG-Y (K3/K4) -> ingest to the chunked store
+    (S1/S2/S3, J1, A1/A2, K2) -> reopen (S4) -> return dims + nonzero
+    stats as one row. ``sf_dir`` is unused: the cube is synthesized so the
+    check is scale-independent and byte-deterministic."""
+    from mdio_python_spark.operators.stats import summary_statistics
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+    from mdio_python_spark.sources import segy
+    from mdio_python_spark.sources.store import open_store
+
+    n_il, n_xl, ns = 6, 5, 16
+    tmp = tempfile.mkdtemp(prefix="seismic-rt-")
+    segy_path = os.path.join(tmp, "cube.segy")
+    store_path = os.path.join(tmp, "store")
+
+    traces = _synthetic_cube(spark, n_il, n_xl, ns)
+    spec = segy.SegyWriteSpec(
+        samples_per_trace=ns, sample_interval=2000, data_format=5
+    )
+    segy.write_segy(
+        traces,
+        segy_path,
+        order_by=["inline", "crossline"],
+        write_spec=spec,
+        header_fields=["inline", "crossline", "cdp_x", "cdp_y"],
+    )
+
+    segy_to_store(
+        spark, segy_path, store_path, default_registry().get("PostStack3DTime")
+    )
+    st = open_store(spark, store_path)
+    flat = st.traces.select(F.explode("samples").alias("amplitude"))
+    stats = summary_statistics(flat, "amplitude", nonzero_only=True)
+    dims = {d.name: d.size for d in st.dataset.dimensions}
+    return stats.select(
+        F.lit(dims.get("inline", -1)).alias("n_inline"),
+        F.lit(dims.get("crossline", -1)).alias("n_crossline"),
+        F.col("count"),
+        F.col("mean"),
+        F.col("std"),
+    )
+
+
+@register("streaming_events_hourly", None, bench=False)
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface as a declared query: file-source stream
+    over the events table -> watermark -> tumbling hourly window -> memory
+    sink, driven to completion (bounded input). Same aggregation as the
+    batch ``events_hourly`` query — one logical plan, two execution modes."""
+    from mdio_python_spark.streaming import events as ev
+
+    stream = ev.stream_events(spark, sf_dir)
+    agg = ev.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    out = ev.run_to_memory(agg, "streaming_events_hourly_q")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+    )
