@@ -73,3 +73,28 @@ def test_cli_info_and_export(small_store, tmp_path):
     assert info["dimensions"] == {"inline": 10, "crossline": 6, "time": 20}
     assert "amplitude" in info["variables"]
     assert info["stats"]["count"] > 0
+
+
+def test_cli_copy_preserves_layout_and_views(small_store, spark, tmp_path):
+    """Regression: copy must keep the chunk-partitioned traces layout and
+    ship any materialized access views the manifest advertises."""
+    store_path, _ = small_store
+    st = open_store(spark, store_path)
+    ap.build_access_view(st, "inline", num_partitions=2)
+    dest = str(tmp_path / "copy")
+    out = subprocess.run(
+        [sys.executable, "-m", "mdio_python_spark", "copy", store_path, dest],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    copied = open_store(spark, dest)
+    assert copied.traces.count() == st.traces.count()
+    # chunk partition layout preserved (hive-style partition dirs)
+    chunk_col = copied.chunk_cols[0]
+    subdirs = [d for d in os.listdir(os.path.join(dest, "traces")) if "=" in d]
+    assert any(d.startswith(f"{chunk_col}=") for d in subdirs)
+    # access view directory shipped and readable
+    view = ap.open_access_view(spark, copied, "inline")
+    assert view.count() == st.traces.count()
