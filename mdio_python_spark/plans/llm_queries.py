@@ -528,28 +528,76 @@ _EST = " + ".join(
 def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-side Jaccard estimate: fraction of agreeing minhashes per LSH
     candidate pair — the cheap filter real pipelines apply before (or
-    instead of) the exact shingle-set verify. Signature table is 8 longs
-    per doc, so the joins move sketches, never text."""
+    instead of) the exact shingle-set verify. The signature rides along
+    through the band buckets (as in simhash_band_pairs), so the estimate
+    needs no join back against the signature table and the shingle
+    subtree is computed exactly once."""
     sh = dedup.shingle_hashes(_t(spark, sf_dir, "documents"), n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8).repartition("doc_id")
-    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{k}").alias(f"a_{k}") for k in range(8)]
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    mh = [F.col(f"mh_{k}") for k in range(8)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                hash64(
+                    F.concat_ws(
+                        "_", mh[2 * b].cast("string"), mh[2 * b + 1].cast("string")
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(4)
+        ]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{k}").alias(f"b_{k}") for k in range(8)]
+    banded = sig.select(
+        F.col("doc_id"),
+        F.struct(*[c.alias(f"mh_{k}") for k, c in enumerate(mh)]).alias("s"),
+        F.explode(bands).alias("b"),
+    ).select("doc_id", "s", "b.band_id", "b.band_hash")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id").alias("id"), F.col("s")))
+            ).alias("items")
+        )
+        .where(F.size("items") >= 2)
     )
-    agree = sum(
-        F.when(F.col(f"a_{k}") == F.col(f"b_{k}"), 1).otherwise(0) for k in range(8)
+
+    def _agree(x, y):
+        matches = [
+            F.when(
+                x.getField("s").getField(f"mh_{k}")
+                == y.getField("s").getField(f"mh_{k}"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for k in range(8)
+        ]
+        total = matches[0]
+        for m in matches[1:]:
+            total = total + m
+        return total
+
+    combos = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(
+                    x.getField("id").alias("doc_a"),
+                    y.getField("id").alias("doc_b"),
+                    _agree(x, y).alias("n_agree"),
+                ),
+            ),
+        )
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        buckets.select(F.explode(combos).alias("p"))
         .select(
-            "doc_a",
-            "doc_b",
-            (agree.cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            "p.doc_a",
+            "p.doc_b",
+            (F.col("p.n_agree").cast("double") / F.lit(8.0)).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
