@@ -141,3 +141,19 @@ def test_empty_selection_raises(ingested, spark):
     empty = st.dims["inline"].where("inline > 1000").select("inline")
     with pytest.raises(EmptySelectionError):
         store_to_segy(spark, store_path, "/tmp/should-not-exist.sgy", selection_mask=empty)
+
+
+def test_ibm32_byte_identical_roundtrip(spark, tmp_path):
+    """IBM32 (data_format=1) SEG-Y survives ingest -> export byte-for-byte
+    (reference: ``test_segy_ibm32_header_roundtrip.py``): decode promotes
+    IBM32 to float, export re-encodes, and the normalized words produced by
+    an independent scalar encoder must reproduce exactly."""
+    path = str(tmp_path / "ibm.sgy")
+    make_poststack_3d(path, n_inline=5, n_crossline=4, n_samples=12, data_format=1)
+    store_path = str(tmp_path / "store")
+    segy_to_store(spark, path, store_path, default_registry().get("PostStack3DTime"))
+    out = str(tmp_path / "export.sgy")
+    n = store_to_segy(spark, store_path, out)
+    assert n == 20
+    assert os.path.getsize(out) == os.path.getsize(path)
+    assert filecmp.cmp(path, out, shallow=False)
