@@ -456,9 +456,9 @@ def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CAST(len({_TOKS}) AS BIGINT)) AS total_tokens,
-           SUM(CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT))
-             AS total_bpe_tokens
+           CAST(SUM(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                         AS BIGINT)) AS BIGINT) AS total_bpe_tokens
     FROM documents
     GROUP BY lang
     """,

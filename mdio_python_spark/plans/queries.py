@@ -644,7 +644,7 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e AS (
       SELECT user_id, event_id, value,
-             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             epoch_ns(ts) // 1000000000 AS sec
       FROM events
     ),
     flagged AS (
@@ -655,8 +655,9 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, event_id, value, sec,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

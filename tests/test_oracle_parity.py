@@ -27,8 +27,12 @@ def _values_equal(a, b) -> bool:
         return (a is None or (isinstance(a, float) and math.isnan(a))) and (
             b is None or (isinstance(b, float) and math.isnan(b))
         )
-    if isinstance(a, float) or isinstance(b, float):
-        return float(a) == float(b) or (math.isnan(float(a)) and math.isnan(float(b)))
+    # Int-vs-float is a REAL mismatch for the driver's value hash (DuckDB
+    # HUGEINT arrives as float64 while Spark yields int64) — never coerce.
+    if isinstance(a, float) != isinstance(b, float):
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
 
@@ -51,6 +55,13 @@ def test_query_matches_oracle(name, spark, duck):
     )
 
     s, o = _canon(sdf), _canon(odf)
+    for col in s.columns:
+        sk, ok = s[col].dtype.kind, o[col].dtype.kind
+        # Integer-kind vs float-kind mismatches hash-fail in the driver.
+        assert not ({sk, ok} & {"f"} and {sk, ok} & {"i", "u"}), (
+            f"{name}.{col}: dtype kind {sk} vs oracle {ok} "
+            "(int/float mismatch would hash-fail in the driver)"
+        )
     for col in s.columns:
         sv, ov = list(s[col]), list(o[col])
         bad = [
