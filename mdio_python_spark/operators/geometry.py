@@ -28,12 +28,62 @@ def channel_ranges(
 def detect_channel_geometry(ranges: list[tuple]) -> str:
     """Driver-side overlap test on the A3 result: overlapping per-cable
     channel ranges => geometry A (restarts per cable); disjoint increasing
-    ranges => geometry B (sequential across cables)."""
+    ranges => geometry B (sequential across cables).
+
+    Overlap is *strict* (``min2 < max1 and max2 > min1``,
+    ``header_analysis.py:125``): touching ranges (1-20, 20-40) are NOT
+    overlap, so they classify B — matching the reference exactly. With
+    spans sorted by min, checking adjacent pairs is equivalent to the
+    reference's all-pairs scan.
+    """
     spans = sorted((r["chan_min"], r["chan_max"]) for r in ranges)
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
-        if lo <= hi:
+        if lo < hi:
             return "A"
     return "B"
+
+
+def gun_geometry_analysis(
+    df: DataFrame,
+    line_col: str = "shot_line",
+    gun_col: str = "gun",
+    shot_col: str = "shot_point",
+) -> DataFrame:
+    """A4 with per-line gun counts (``header_analysis.py:142-191``): for
+    each (line, gun), distinct shots vs distinct ``floor(shot/num_guns)``
+    where ``num_guns`` is the number of distinct guns *in that line* —
+    the exact quantity the reference's ``analyze_lines_for_guns`` loops
+    over. Two aggs: a tiny per-line gun count broadcast back into one
+    (line, gun) agg; no window, map-side combinable.
+    """
+    line_guns = df.groupBy(line_col).agg(
+        F.count_distinct(gun_col).alias("num_guns")
+    )
+    joined = df.join(F.broadcast(line_guns), line_col)
+    return (
+        joined.groupBy(line_col, gun_col, "num_guns")
+        .agg(
+            F.count_distinct(shot_col).alias("n_shots"),
+            F.count_distinct(
+                F.floor(F.col(shot_col) / F.col("num_guns"))
+            ).alias("n_mod_shots"),
+        )
+        .orderBy(line_col, gun_col)
+    )
+
+
+def detect_gun_geometry(rows: list[tuple]) -> tuple[str, int]:
+    """Driver-side rule on the ``gun_geometry_analysis`` result
+    (``header_analysis.py:180-189``): if any (line, gun) loses distinct
+    shots under ``floor(shot/num_guns)`` the shots are already dense per
+    gun => Type A (pass through); otherwise shots are interleaved across
+    guns => Type B (floor-wrap). Returns ``(geom_type, max_num_guns)``
+    where ``max_num_guns`` is the max per-line gun count — the divisor the
+    reference's Type-B transform uses (``index_strategies.py:273-291``).
+    """
+    max_guns = max((r["num_guns"] for r in rows), default=1)
+    geom = "A" if any(r["n_mod_shots"] != r["n_shots"] for r in rows) else "B"
+    return geom, max_guns
 
 
 def gun_analysis(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mdio_python_spark.functions.scalars import apply_coordinate_scalar
-from mdio_python_spark.operators import grid, index_transforms, stats
+from mdio_python_spark.operators import geometry, grid, index_transforms, stats
 from mdio_python_spark.schemas.dataset import (
     Coordinate,
     Dataset,
@@ -59,18 +59,48 @@ def _apply_strategies(
     template: AbstractDatasetTemplate,
 ) -> DataFrame:
     """W1-W7 composition per the override flags
-    (``index_strategies.py:371-459``)."""
+    (``index_strategies.py:371-459``), gated on geometry auto-detection.
+
+    The A3/A4 detectors run as tiny aggregations over the header scan and
+    the classification decision happens driver-side on the agg result —
+    the Spark analog of the reference's driver-side
+    ``analyze_streamer_headers`` / ``analyze_lines_for_guns`` numpy passes
+    (``header_analysis.py:82-191``):
+
+    * ChannelWrapping (``index_strategies.py:218-233``): Type A
+      (overlapping per-cable channel ranges, i.e. numbering restarts per
+      cable) passes through; only Type B (sequential across cables)
+      rebases to 1..N per cable.
+    * ShotWrapping (``index_strategies.py:267-299``): Type B (shots
+      interleaved across guns) floor-wraps with the *detected* max
+      per-line gun count; Type A passes through for ``auto_shot_wrap``
+      (streamer) and emits the dense per-line searchsorted index for
+      ``calculate_shot_index`` (OBN ``always_calculate=True``).
+    """
     out = headers
     if overrides.auto_channel_wrap:
-        out = index_transforms.wrap_channels(out, "cable", "channel")
-    if overrides.auto_shot_wrap:
-        out = index_transforms.shot_index_floor(
-            out, ["shot_line", "gun"], "shot_point", num_guns=2
-        )
-    elif overrides.calculate_shot_index:
-        out = index_transforms.shot_index_dense(
-            out, ["shot_line", "gun"], "shot_point"
-        )
+        ranges = geometry.channel_ranges(out, "cable", "channel").collect()
+        if geometry.detect_channel_geometry(ranges) == "B":
+            out = index_transforms.wrap_channels(out, "cable", "channel")
+    if overrides.auto_shot_wrap or overrides.calculate_shot_index:
+        analysis = geometry.gun_geometry_analysis(
+            out, "shot_line", "gun", "shot_point"
+        ).collect()
+        geom, num_guns = geometry.detect_gun_geometry(analysis)
+        if geom == "B":
+            # ref subtracts the per-LINE min (not per line+gun):
+            # index_strategies.py:287-291
+            out = index_transforms.shot_index_floor(
+                out, ["shot_line"], "shot_point", num_guns=num_guns
+            )
+        elif overrides.calculate_shot_index:
+            # Type A + always_calculate: searchsorted over per-line unique
+            # shots (index_strategies.py:292-297)
+            out = index_transforms.shot_index_dense(
+                out, ["shot_line"], "shot_point"
+            )
+        # else: Type A streamer — per-gun shot points already dense;
+        # pass through (index_strategies.py:279-280)
     if "component" in [d.name for d in schema.dimensions]:
         out = index_transforms.synthesize_component(out)
     spatial = [d for d in schema.spatial_dims if d != "trace"]

@@ -223,6 +223,35 @@ def q_gun_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "geometry_line_gun_analysis",
+    """
+    WITH lg AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_linestatus) AS num_guns
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, l.l_linestatus, lg.num_guns,
+           COUNT(DISTINCT l.l_orderkey) AS n_shots,
+           COUNT(DISTINCT CAST(FLOOR(l.l_orderkey / lg.num_guns) AS BIGINT))
+             AS n_mod_shots
+    FROM lineitem l JOIN lg ON l.l_returnflag = lg.l_returnflag
+    GROUP BY l.l_returnflag, l.l_linestatus, lg.num_guns
+    ORDER BY l.l_returnflag, l.l_linestatus
+    """,
+)
+def q_line_gun_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 with per-line gun counts (``header_analysis.py:142-191``) — the
+    exact aggregate driving the ingest pipeline's Type-A/B AutoShotWrap
+    decision: num_guns derived per line (returnflag as line, linestatus as
+    gun), broadcast back into the per-(line, gun) distinct-shot agg."""
+    return geometry.gun_geometry_analysis(
+        _t(spark, sf_dir, "lineitem"),
+        line_col="l_returnflag",
+        gun_col="l_linestatus",
+        shot_col="l_orderkey",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A6/A7 — grid QC
 # ---------------------------------------------------------------------------
