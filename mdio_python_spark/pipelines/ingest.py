@@ -1,11 +1,25 @@
 """SEG-Y -> store ingestion: the flagship pipeline (SURVEY §3.1,
 ``src/mdio/ingestion/segy/pipeline.py:117-195``), re-expressed as two Spark
-jobs mirroring the reference's two passes:
+passes mirroring the reference's two passes:
 
-1. header pass — cheap scan of dims/coords; index strategies (W1-W7);
-   dim tables; grid QC (A6/A7)
-2. trace pass — full read joined to the per-trace assignment, repartitioned
-   by chunk key, written to the store; statsV1 via one df.agg (A1)
+1. header pass — ONE cached pruned scan of dims/coords; geometry detection
+   (A3/A4) + index strategies (W1-W7) as broadcast-pure transforms; dim
+   tables collected to tiny driver-side literals; grid QC (A6/A7)
+2. trace pass — full read with the SAME dim fields decoded in the scan,
+   strategies re-applied per-row from the broadcast plan, cell indices via
+   broadcast joins against the literal dim tables, ONE exchange (the
+   chunk-key repartition any chunked write needs), statsV1 accumulated via
+   ``observe()`` during the write action — zero extra payload passes.
+
+Scale design vs round 1: the old pass 2 joined the full sample payload to
+the header-pass assignment on ``src_trace_idx`` — an equal-cardinality
+sort-merge join that shuffled 100 TB of samples once, then again on the
+chunk keys. Every strategy is now replayed per-row from tiny collected
+aggregates (per-cable channel minima, per-line floor minima, per-line
+dense shot maps), so the payload never shuffles except for the final
+chunk-key exchange. Only the ``has_duplicates``/``non_binned`` ordinal
+genuinely needs a window over the payload (row_number per dim tuple in
+file order) and costs a second exchange in that mode only.
 
 Driver stages (validate / file info / unit resolution / schema resolution)
 stay plain Python, exactly like the reference's analyzer stages.
@@ -13,9 +27,13 @@ stay plain Python, exactly like the reference's analyzer stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import base64
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mdio_python_spark.functions.determinism import dsum
 from mdio_python_spark.functions.scalars import apply_coordinate_scalar
 from mdio_python_spark.operators import geometry, grid, index_transforms, stats
 from mdio_python_spark.schemas.dataset import (
@@ -52,67 +70,150 @@ SPARSITY_WARN = 2.0
 SPARSITY_ERROR = 10.0
 
 
+@dataclass
+class _StrategyPlan:
+    """Driver-side record of every geometry decision + the tiny literal
+    aux tables needed to replay the strategies per-row on any scan.
+
+    Built once from the header pass; applied identically to the header
+    DataFrame (for QC/dim tables) and the trace DataFrame (for cell
+    assignment), so the two passes can never drift. All aux tables are
+    literal in-memory DataFrames (collected agg results), so joining
+    against them is a true broadcast with no re-scan of the source.
+    """
+
+    cable_min: DataFrame | None = None  # (cable, chan_min) — Type-B wrap
+    shot_mode: str | None = None  # "floor" (Type B) | "dense" (Type A calc)
+    num_guns: int = 1
+    line_floor_min: DataFrame | None = None  # (shot_line, floor_min)
+    shot_dense: DataFrame | None = None  # (shot_line, shot_point, shot_index)
+    synthesize_component: bool = False
+    dup_mode: str | None = None  # "duplicates" | "non_binned"
+    dup_dims: list[str] = field(default_factory=list)
+
+
+def _literal(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a tiny DataFrame and rebuild it as an in-memory literal with
+    the same schema — later joins against it never re-trigger the source
+    scan, and broadcasting it ships the collected rows, nothing more."""
+    return spark.createDataFrame(df.collect(), schema=df.schema)
+
+
+def _build_strategy_plan(
+    spark: SparkSession,
+    headers: DataFrame,
+    schema: ResolvedSchema,
+    overrides: GridOverrides,
+) -> _StrategyPlan:
+    """Geometry detection (A3/A4) + aux-table collection
+    (``index_strategies.py:205-299`` via ``header_analysis.py:82-191``).
+
+    Detection aggregates run on the (cached) header scan; the driver-side
+    classification picks which strategies actually fire:
+
+    * ChannelWrapping: Type A (overlapping per-cable ranges) passes
+      through; Type B collects per-cable channel minima for the rebase.
+    * ShotWrapping: Type B (interleaved guns) floor-wraps with the
+      detected per-line max gun count and the per-line floor minimum;
+      Type A emits the dense per-line searchsorted map only for
+      ``calculate_shot_index`` (``always_calculate`` analog).
+    """
+    plan = _StrategyPlan()
+    if overrides.auto_channel_wrap:
+        ranges = geometry.channel_ranges(headers, "cable", "channel").collect()
+        if geometry.detect_channel_geometry(ranges) == "B":
+            plan.cable_min = spark.createDataFrame(
+                [(int(r["cable"]), int(r["chan_min"])) for r in ranges],
+                "cable long, chan_min long",
+            )
+    if overrides.auto_shot_wrap or overrides.calculate_shot_index:
+        analysis = geometry.gun_geometry_analysis(
+            headers, "shot_line", "gun", "shot_point"
+        ).collect()
+        geom, num_guns = geometry.detect_gun_geometry(analysis)
+        if geom == "B":
+            plan.shot_mode, plan.num_guns = "floor", num_guns
+            # ref subtracts the per-LINE min (index_strategies.py:287-291)
+            plan.line_floor_min = _literal(
+                spark,
+                headers.groupBy("shot_line").agg(
+                    F.min(
+                        F.floor(F.col("shot_point") / F.lit(num_guns))
+                    ).alias("floor_min")
+                ),
+            )
+        elif overrides.calculate_shot_index:
+            # Type A + always_calculate: searchsorted over per-line unique
+            # shots (index_strategies.py:292-297) — as a tiny mapping table
+            plan.shot_mode = "dense"
+            pairs = headers.select("shot_line", "shot_point").distinct()
+            w = Window.partitionBy("shot_line").orderBy("shot_point")
+            plan.shot_dense = _literal(
+                spark,
+                pairs.withColumn(
+                    "shot_index", (F.dense_rank().over(w) - F.lit(1)).cast("long")
+                ),
+            )
+        # else: Type A streamer — per-gun shots already dense; pass through
+        # (index_strategies.py:279-280)
+    if "component" in [d.name for d in schema.dimensions]:
+        plan.synthesize_component = True
+    spatial = [d for d in schema.spatial_dims if d != "trace"]
+    if overrides.has_duplicates:
+        plan.dup_mode, plan.dup_dims = "duplicates", spatial
+    elif overrides.non_binned:
+        plan.dup_mode, plan.dup_dims = "non_binned", spatial
+    return plan
+
+
+def _apply_plan(df: DataFrame, plan: _StrategyPlan) -> DataFrame:
+    """Replay the strategy plan on any scan of the same file — per-row pure
+    except the duplicate/non-binned ordinal, which is a genuine window
+    (row_number per dim tuple in file order) and the one case that costs
+    the applying pass an exchange."""
+    out = df
+    if plan.cable_min is not None:
+        out = out.join(F.broadcast(plan.cable_min), "cable")
+        out = out.withColumn(
+            "channel", F.col("channel") - F.col("chan_min") + F.lit(1)
+        ).drop("chan_min")
+    if plan.shot_mode == "floor":
+        out = out.join(F.broadcast(plan.line_floor_min), "shot_line")
+        out = out.withColumn(
+            "shot_index",
+            (
+                F.floor(F.col("shot_point") / F.lit(plan.num_guns))
+                - F.col("floor_min")
+            ).cast("long"),
+        ).drop("floor_min")
+    elif plan.shot_mode == "dense":
+        out = out.join(F.broadcast(plan.shot_dense), ["shot_line", "shot_point"])
+    if plan.synthesize_component:
+        out = index_transforms.synthesize_component(out)
+    if plan.dup_mode == "duplicates":
+        out = index_transforms.duplicate_ordinal(
+            out, dim_cols=plan.dup_dims, order_cols=["src_trace_idx"], out_col="trace"
+        )
+    elif plan.dup_mode == "non_binned":
+        out = index_transforms.nonbinned_collapse(
+            out, kept_dims=plan.dup_dims, order_cols=["src_trace_idx"], out_col="trace"
+        )
+    return out
+
+
 def _apply_strategies(
     headers: DataFrame,
     schema: ResolvedSchema,
     overrides: GridOverrides,
     template: AbstractDatasetTemplate,
 ) -> DataFrame:
-    """W1-W7 composition per the override flags
-    (``index_strategies.py:371-459``), gated on geometry auto-detection.
-
-    The A3/A4 detectors run as tiny aggregations over the header scan and
-    the classification decision happens driver-side on the agg result —
-    the Spark analog of the reference's driver-side
-    ``analyze_streamer_headers`` / ``analyze_lines_for_guns`` numpy passes
-    (``header_analysis.py:82-191``):
-
-    * ChannelWrapping (``index_strategies.py:218-233``): Type A
-      (overlapping per-cable channel ranges, i.e. numbering restarts per
-      cable) passes through; only Type B (sequential across cables)
-      rebases to 1..N per cable.
-    * ShotWrapping (``index_strategies.py:267-299``): Type B (shots
-      interleaved across guns) floor-wraps with the *detected* max
-      per-line gun count; Type A passes through for ``auto_shot_wrap``
-      (streamer) and emits the dense per-line searchsorted index for
-      ``calculate_shot_index`` (OBN ``always_calculate=True``).
-    """
-    out = headers
-    if overrides.auto_channel_wrap:
-        ranges = geometry.channel_ranges(out, "cable", "channel").collect()
-        if geometry.detect_channel_geometry(ranges) == "B":
-            out = index_transforms.wrap_channels(out, "cable", "channel")
-    if overrides.auto_shot_wrap or overrides.calculate_shot_index:
-        analysis = geometry.gun_geometry_analysis(
-            out, "shot_line", "gun", "shot_point"
-        ).collect()
-        geom, num_guns = geometry.detect_gun_geometry(analysis)
-        if geom == "B":
-            # ref subtracts the per-LINE min (not per line+gun):
-            # index_strategies.py:287-291
-            out = index_transforms.shot_index_floor(
-                out, ["shot_line"], "shot_point", num_guns=num_guns
-            )
-        elif overrides.calculate_shot_index:
-            # Type A + always_calculate: searchsorted over per-line unique
-            # shots (index_strategies.py:292-297)
-            out = index_transforms.shot_index_dense(
-                out, ["shot_line"], "shot_point"
-            )
-        # else: Type A streamer — per-gun shot points already dense;
-        # pass through (index_strategies.py:279-280)
-    if "component" in [d.name for d in schema.dimensions]:
-        out = index_transforms.synthesize_component(out)
-    spatial = [d for d in schema.spatial_dims if d != "trace"]
-    if overrides.has_duplicates:
-        out = index_transforms.duplicate_ordinal(
-            out, dim_cols=spatial, order_cols=["src_trace_idx"], out_col="trace"
-        )
-    elif overrides.non_binned:
-        out = index_transforms.nonbinned_collapse(
-            out, kept_dims=spatial, order_cols=["src_trace_idx"], out_col="trace"
-        )
-    return out
+    """W1-W7 composition per the override flags, gated on geometry
+    auto-detection (``index_strategies.py:371-459``) — build + apply in one
+    step, for callers that only have the header table."""
+    plan = _build_strategy_plan(
+        headers.sparkSession, headers, schema, overrides
+    )
+    return _apply_plan(headers, plan)
 
 
 def segy_to_store(
@@ -147,66 +248,96 @@ def segy_to_store(
     scaled_coords = [f for f in fields if f in COORD_SCALAR_FIELDS]
     if scaled_coords and "coordinate_scalar" not in fields:
         fields = [*fields, "coordinate_scalar"]
-    headers = segy.read_traces(
-        spark,
-        info,
-        fields=fields,
-        include_samples=False,
-        block_size=block_size,
-        spec=header_spec,
-    )
-    # F1: coordinate scalar (negative => divide) on physical coords
-    for c in scaled_coords:
-        headers = headers.withColumn(
-            c, apply_coordinate_scalar(F.col(c), F.col("coordinate_scalar"))
+
+    def scan(include_samples: bool) -> DataFrame:
+        df = segy.read_traces(
+            spark,
+            info,
+            fields=fields,
+            include_samples=include_samples,
+            include_raw_header=include_samples,
+            include_sample_stats=include_samples,
+            block_size=block_size,
+            spec=header_spec,
         )
-    headers = _apply_strategies(headers, schema, overrides, template)
-    spatial = schema.spatial_dims
+        # F1: coordinate scalar (negative => divide) on physical coords
+        for c in scaled_coords:
+            df = df.withColumn(
+                c, apply_coordinate_scalar(F.col(c), F.col("coordinate_scalar"))
+            )
+        return df
 
-    # grid QC (A6/A7) on the transformed headers
-    qc = stats.grid_sparsity(headers, spatial).collect()[0]
-    if qc["sparsity_ratio"] > SPARSITY_ERROR:
-        raise GridTraceSparsityError(
-            f"grid cells {qc['grid_cells']} vs traces {qc['num_traces']}"
-        )
-    dupes = grid.duplicate_cells(headers, spatial).limit(1).collect()
-    if dupes:
-        raise GridTraceCountError(f"duplicate dim tuple: {dupes[0].asDict()}")
+    # SEG-Y interleaves headers with samples, so every header-pass job is a
+    # full-file read — cache the decoded header table once (~2% of payload)
+    # and run detection/QC/dim jobs against the cache.
+    headers_raw = scan(include_samples=False).persist()
+    try:
+        plan = _build_strategy_plan(spark, headers_raw, schema, overrides)
+        headers = _apply_plan(headers_raw, plan)
+        spatial = schema.spatial_dims
 
-    # J1: per-trace cell assignment via broadcast dim tables
-    assigned = grid.assign_cells(headers, spatial)
-    dim_tables = {d: grid.dim_values(headers, d) for d in spatial}
+        # grid QC (A6/A7) on the transformed headers
+        qc = stats.grid_sparsity(headers, spatial).collect()[0]
+        if qc["sparsity_ratio"] > SPARSITY_ERROR:
+            raise GridTraceSparsityError(
+                f"grid cells {qc['grid_cells']} vs traces {qc['num_traces']}"
+            )
+        dupes = grid.duplicate_cells(headers, spatial).limit(1).collect()
+        if dupes:
+            raise GridTraceCountError(f"duplicate dim tuple: {dupes[0].asDict()}")
 
-    # pass 2: full trace read joined to the assignment
-    traces = segy.read_traces(
-        spark,
-        info,
-        fields=[],
-        include_samples=True,
-        include_raw_header=True,
-        block_size=block_size,
-        spec=header_spec,
+        # A2: dim tables, collected once to tiny literals — pass 2 joins
+        # broadcast against these, and the store write re-uses them.
+        dim_tables = {
+            d: _literal(spark, grid.dim_values(headers, d)) for d in spatial
+        }
+        dim_sizes = {d: dim_tables[d].count() for d in spatial}
+        header_cols = headers.columns
+    finally:
+        headers_raw.unpersist()
+
+    # pass 2: full trace read with the same dim fields decoded in the scan;
+    # strategies replayed per-row; J1 cell assignment via broadcast joins
+    # against the literal dim tables — no src_trace_idx join, no payload
+    # shuffle before the single chunk-key exchange in the write.
+    full = _apply_plan(scan(include_samples=True), plan)
+    for d in spatial:
+        full = full.join(F.broadcast(dim_tables[d]), on=d, how="inner")
+
+    # statsV1 (A1): nonzero-masked sample statistics folded into the write
+    # action via observe() over the scan's per-trace partials — the Spark
+    # analog of the reference accumulating stats in its trace workers
+    # (``segy/_workers.py:179-194``). scale=7: seismic amplitudes are O(1),
+    # so 1e-7 quantization keeps exact-decimal determinism while matching
+    # float64 stats to ~1e-8.
+    obs = Observation("ingest_stats")
+    full = full.observe(
+        obs,
+        F.sum("n_nz").alias("count"),
+        F.min("s_min").alias("min"),
+        F.max("s_max").alias("max"),
+        dsum("s_sum", 7).alias("sum"),
+        dsum("s_ssq", 7).alias("sum_squares"),
     )
-    full = traces.join(assigned, on="src_trace_idx", how="inner")
+    full = full.drop("n_nz", "s_sum", "s_ssq", "s_min", "s_max")
 
-    # statsV1 (A1): nonzero-masked sample statistics, one agg.
-    # scale=7: seismic amplitudes are O(1), so 1e-7 quantization keeps the
-    # exact-decimal determinism while matching float64 stats to ~1e-8.
-    srow = stats.samples_statistics(full, "samples", scale=7).collect()[0]
-    summary = SummaryStatistics(
-        count=srow["count"],
-        sum=srow["sum"],
-        sum_squares=srow["sum_squares"],
-        min=srow["min"],
-        max=srow["max"],
-    )
-
-    # dataset document
-    dim_sizes = {d: dim_tables[d].count() for d in spatial}
     chunks = {
         d.name: d.chunk for d in schema.dimensions if d.spatial or d.name == "trace"
     }
     chunks = {d: chunks[d] for d in spatial}
+    store.write_data(full, dim_tables, store_path, chunks)
+
+    srow = obs.get
+    count = srow["count"] or 0
+    summary = SummaryStatistics(
+        count=count,
+        sum=srow["sum"] or 0.0,
+        sum_squares=srow["sum_squares"] or 0.0,
+        min=srow["min"] if count else 0.0,
+        max=srow["max"] if count else 0.0,
+    )
+
+    # dataset document
     dataset = Dataset(
         name=template.name,
         dimensions=[NamedDimension(name=d, size=dim_sizes[d]) for d in spatial]
@@ -223,7 +354,7 @@ def segy_to_store(
                 unit=UnitInfo(unit=spatial_unit),
             )
             for c in schema.coordinates
-            if c.name in headers.columns
+            if c.name in header_cols
         ],
         variables=[
             Variable(
@@ -246,12 +377,20 @@ def segy_to_store(
             "defaultVariableName": schema.default_variable_name,
             "textHeader": info.text_header,
             "binaryHeader": info.binary_header,
+            # F7: verbatim file headers, base64 like the reference
+            # (``ingestion/segy/file_headers.py:45-53``) — export writes
+            # these as-is so unmodeled bytes survive roundtrip
+            "rawTextHeader": base64.b64encode(info.raw_text_header).decode(
+                "ascii"
+            ),
+            "rawBinaryHeader": base64.b64encode(info.raw_binary_header).decode(
+                "ascii"
+            ),
             "sampleIntervalUs": info.sample_interval,
             "dataFormat": info.data_format,
             "gridOverrides": overrides.model_dump(mode="json"),
             "sourcePath": segy_path,
         },
     )
-
-    store.write_store(full, dim_tables, dataset, store_path, chunks)
+    store.write_manifest(dataset, store_path, chunks)
     return dataset

@@ -45,6 +45,11 @@ class SegyFileInfo:
     text_header: str
     binary_header: dict[str, int]
     sample_bytes: int = 4
+    # verbatim file-header bytes (F7, ``ingestion/segy/file_headers.py:45-53``):
+    # the decoded dict/str views above model only the named fields; real
+    # files carry content in unmodeled positions that must survive roundtrip
+    raw_text_header: bytes = b""
+    raw_binary_header: bytes = b""
 
     @property
     def trace_bytes(self) -> int:
@@ -82,6 +87,8 @@ def segy_file_info(path: str, text_encoding: str = "cp037") -> SegyFileInfo:
         text_header=codec.decode_text_header(text_raw, text_encoding),
         binary_header=bin_hdr,
         sample_bytes=sample_bytes,
+        raw_text_header=text_raw,
+        raw_binary_header=bin_raw,
     )
 
 
@@ -91,6 +98,7 @@ def read_traces(
     fields: list[str],
     include_samples: bool = True,
     include_raw_header: bool = False,
+    include_sample_stats: bool = False,
     block_size: int = 10_000,
     spec: dict[str, tuple[int, str]] | None = None,
 ) -> DataFrame:
@@ -100,6 +108,15 @@ def read_traces(
     ``ingestion/segy/reader.py:48-57``). Output schema:
     ``src_trace_idx long, <field> long ..., [raw_header binary,]
     [samples array<float>]``.
+
+    ``include_sample_stats`` appends per-trace nonzero-sample partials
+    (``n_nz, s_sum, s_ssq, s_min, s_max``) computed vectorized in numpy at
+    decode time — the statsV1 accumulation the reference folds into its
+    trace workers (``segy/_workers.py:179-194``). Downstream an
+    ``observe()`` over these five longs/doubles yields the dataset summary
+    during the write action with zero extra payload passes. Traces with no
+    nonzero samples carry ±inf sentinels in ``s_min``/``s_max`` (Spark
+    min/max would otherwise be poisoned by NaN ordering).
     """
     path = info.path
     trace_bytes = info.trace_bytes
@@ -116,6 +133,10 @@ def read_traces(
         parts.append("raw_header binary")
     if include_samples:
         parts.append("samples array<float>")
+    if include_sample_stats:
+        parts.append(
+            "n_nz long, s_sum double, s_ssq double, s_min double, s_max double"
+        )
     schema = ", ".join(parts)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,6 +168,15 @@ def read_traces(
                             data_format,
                         ).reshape(n, ns)
                         cols["samples"] = list(samples)
+                        if include_sample_stats:
+                            s = samples.astype(np.float64)
+                            nz = s != 0.0
+                            masked = np.where(nz, s, 0.0)
+                            cols["n_nz"] = nz.sum(axis=1).astype(np.int64)
+                            cols["s_sum"] = masked.sum(axis=1)
+                            cols["s_ssq"] = (masked * masked).sum(axis=1)
+                            cols["s_min"] = np.where(nz, s, np.inf).min(axis=1)
+                            cols["s_max"] = np.where(nz, s, -np.inf).max(axis=1)
                     yield pd.DataFrame(cols)
 
     blocks = spark.range(n_blocks).repartition(min(n_blocks, 256))
@@ -165,6 +195,10 @@ class SegyWriteSpec:
     revision_major: int = 1
     revision_minor: int = 0
     extra_binary_fields: dict[str, int] = field(default_factory=dict)
+    # verbatim 3200/400-byte headers: written as-is when present (F7);
+    # re-encoding from the modeled fields is the fallback only
+    raw_text_header: bytes | None = None
+    raw_binary_header: bytes | None = None
 
     def binary_header(self) -> dict[str, int]:
         out = {
@@ -258,8 +292,18 @@ def write_segy(
 
     # skeleton + in-order concat (driver)
     with open(out_path, "wb") as out:
-        out.write(codec.encode_text_header(write_spec.text_header, text_encoding))
-        out.write(codec.encode_binary_header(write_spec.binary_header()))
+        if write_spec.raw_text_header is not None:
+            assert len(write_spec.raw_text_header) == codec.TEXT_HEADER_BYTES
+            out.write(write_spec.raw_text_header)
+        else:
+            out.write(
+                codec.encode_text_header(write_spec.text_header, text_encoding)
+            )
+        if write_spec.raw_binary_header is not None:
+            assert len(write_spec.raw_binary_header) == codec.BINARY_HEADER_BYTES
+            out.write(write_spec.raw_binary_header)
+        else:
+            out.write(codec.encode_binary_header(write_spec.binary_header()))
         for name in sorted(os.listdir(tmp_dir)):
             with open(os.path.join(tmp_dir, name), "rb") as part:
                 shutil.copyfileobj(part, out, length=64 << 20)

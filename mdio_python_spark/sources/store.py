@@ -45,10 +45,9 @@ class OpenedStore:
         return [f"{d}_chunk" for d in self.spatial_dims]
 
 
-def write_store(
+def write_data(
     traces: DataFrame,
     dim_tables: dict[str, DataFrame],
-    dataset: Dataset,
     path: str,
     chunks: dict[str, int],
     codec: str = "zstd",
@@ -73,6 +72,12 @@ def write_store(
         table.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "dims", dim)
         )
+
+
+def write_manifest(dataset: Dataset, path: str, chunks: dict[str, int]) -> None:
+    """Manifest leg — split out so callers that learn statistics *during*
+    the data write (``observe()``, see pipelines.ingest) can patch the
+    dataset document before it lands."""
     manifest = {
         "dataset": dataset.model_dump(mode="json"),
         "chunks": chunks,
@@ -80,6 +85,19 @@ def write_store(
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2, default=str)
+
+
+def write_store(
+    traces: DataFrame,
+    dim_tables: dict[str, DataFrame],
+    dataset: Dataset,
+    path: str,
+    chunks: dict[str, int],
+    codec: str = "zstd",
+) -> None:
+    """K1/K2: data + manifest in one call (the simple-caller API)."""
+    write_data(traces, dim_tables, path, chunks, codec)
+    write_manifest(dataset, path, chunks)
 
 
 def open_store(spark: SparkSession, path: str) -> OpenedStore:
