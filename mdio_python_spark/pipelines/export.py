@@ -9,6 +9,8 @@ chunk-key predicates Catalyst derives from dim filters.
 
 from __future__ import annotations
 
+import base64
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +46,11 @@ def store_to_segy(
         raise EmptySelectionError("no live traces selected for export")
 
     attrs = st.dataset.attributes
+    # F7: verbatim file headers when the store has them (base64 attrs,
+    # mirroring ``ingestion/segy/file_headers.py:45-53``); re-encode from
+    # the modeled fields only as a fallback for stores without raw bytes
+    raw_text = attrs.get("rawTextHeader")
+    raw_binary = attrs.get("rawBinaryHeader")
     write_spec = segy.SegyWriteSpec(
         samples_per_trace=next(
             d.size for d in st.dataset.dimensions if d.name == attrs["verticalDim"]
@@ -54,6 +61,8 @@ def store_to_segy(
             "measurement_system", 1
         ),
         text_header=attrs.get("textHeader", ""),
+        raw_text_header=base64.b64decode(raw_text) if raw_text else None,
+        raw_binary_header=base64.b64decode(raw_binary) if raw_binary else None,
     )
 
     cols = [*dims, "samples"]

@@ -97,13 +97,23 @@ def write_segy_file(
     data_format: int = 5,
     measurement: int = 1,
     text: str = "TEST SEG-Y",
+    file_header_extras: dict[int, bytes] | None = None,
 ) -> None:
+    """``file_header_extras`` plants verbatim bytes at 0-based offsets
+    within the 3600-byte file header (text 0-3199, binary 3200-3599) —
+    content in positions the engine does NOT model, for raw-fidelity
+    roundtrip tests."""
     n, ns = samples.shape
     assert len(headers) == n
     card = text.ljust(80)[:80] + " " * 80 * 39
+    file_header = bytearray(
+        card.encode("cp037")
+        + _pack_binary_header(sample_interval, ns, data_format, measurement)
+    )
+    for off, blob in (file_header_extras or {}).items():
+        file_header[off : off + len(blob)] = blob
     with open(path, "wb") as f:
-        f.write(card.encode("cp037"))
-        f.write(_pack_binary_header(sample_interval, ns, data_format, measurement))
+        f.write(bytes(file_header))
         enc = _encode_ibm if data_format == 1 else _encode_ieee
         for i in range(n):
             hdr = dict(headers[i])

@@ -143,6 +143,52 @@ def test_empty_selection_raises(ingested, spark):
         store_to_segy(spark, store_path, "/tmp/should-not-exist.sgy", selection_mask=empty)
 
 
+def test_raw_file_header_fidelity(spark, tmp_path):
+    """Unmodeled file-header bytes survive ingest -> export verbatim (F7,
+    reference ``ingestion/segy/file_headers.py:45-53`` +
+    ``test_segy_roundtrip_teapot.py:139-148``): non-printable EBCDIC in the
+    text header, and nonzero bytes in binary-header positions the engine
+    does not model. The round-1 pipeline re-encoded both from decoded
+    views, silently zeroing everything unmodeled."""
+    import numpy as np
+
+    from tests.segy_factory import write_segy_file
+
+    extras = {
+        # text header: non-printable EBCDIC content at card row 13
+        1000: bytes(range(1, 32)),
+        # binary header unmodeled positions: reel constants area + tail
+        3200 + 60: b"\xde\xad\xbe\xef",
+        3200 + 398: b"\x7f\x01",
+        # modeled-but-unpropagated fields: job id / line number
+        3200 + 0: (42).to_bytes(4, "big"),
+        3200 + 4: (7).to_bytes(4, "big"),
+    }
+    headers = [
+        {"inline": il, "crossline": xl}
+        for il in range(1, 5)
+        for xl in range(1, 4)
+    ]
+    rng = np.random.default_rng(23)
+    samples = rng.standard_normal((len(headers), 10)).astype(np.float32)
+    path = str(tmp_path / "raw.sgy")
+    write_segy_file(path, headers, samples, file_header_extras=extras)
+
+    store_path = str(tmp_path / "store")
+    template = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": []}
+    )
+    segy_to_store(spark, path, store_path, template)
+    out = str(tmp_path / "export.sgy")
+    store_to_segy(spark, store_path, out)
+    assert filecmp.cmp(path, out, shallow=False)
+    # explicit: the planted bytes specifically are present
+    with open(out, "rb") as f:
+        exported = f.read(3600)
+    for off, blob in extras.items():
+        assert exported[off : off + len(blob)] == blob
+
+
 def test_ibm32_byte_identical_roundtrip(spark, tmp_path):
     """IBM32 (data_format=1) SEG-Y survives ingest -> export byte-for-byte
     (reference: ``test_segy_ibm32_header_roundtrip.py``): decode promotes
