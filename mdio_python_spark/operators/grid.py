@@ -104,15 +104,59 @@ def bounding_box(df: DataFrame, dims: Sequence[str]) -> DataFrame:
     return df.agg(*aggs)
 
 
-def ordered_export(df: DataFrame, dims: Sequence[str]) -> DataFrame:
+def ordered_export(
+    df: DataFrame, dims: Sequence[str], num_partitions: int | None = None
+) -> DataFrame:
     """K3 — the flatten leg: global trace order by dims
     (``segy/blocked_io.py:214-302`` merge tree).
 
-    ``row_number`` over the dim order gives each trace its global export
-    ordinal. At scale the physical plan is ``repartitionByRange(dims) +
-    sortWithinPartitions`` — Spark's range partitioner replaces the
-    reference's hand-built hierarchical merge tree. (The window form here is
-    the *logical* statement; the SEG-Y writer uses repartitionByRange.)
+    Scale-safe global ordinal: range-partition on the dims (partition i
+    holds keys < partition i+1 — Spark's range partitioner replaces the
+    reference's hand-built hierarchical merge tree), read off each row's
+    (partition, local ordinal) from ``monotonically_increasing_id`` (upper
+    bits = partition id, lower 33 = in-partition row number — zero extra
+    work after the sort), then add broadcast cumulative partition offsets.
+    The round-1 form was ``row_number() OVER (ORDER BY dims)`` — a
+    single-partition global window that serializes the corpus through one
+    task at scale.
+
+    The offsets table is one row per range partition, so its cumulative
+    window is over ≤ num_partitions rows. The single corpus exchange (the
+    range shuffle) is shared by the counts branch and the output branch
+    via exchange reuse.
     """
-    w = Window.orderBy(*dims)
-    return df.withColumn("export_ordinal", F.row_number().over(w).cast("long"))
+    # no explicit partition count unless asked: REPARTITION_BY_NUM pins the
+    # stage shape and (measured) costs ~3x wall vs letting AQE size it
+    parted = (
+        df.repartitionByRange(num_partitions, *dims)
+        if num_partitions
+        else df.repartitionByRange(*dims)
+    ).sortWithinPartitions(*dims)
+
+    mid = F.monotonically_increasing_id()
+    local = parted.select(
+        "*",
+        F.shiftright(mid, 33).cast("int").alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("_local"),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over the tiny per-partition count table (≤ n
+    # rows). `_pid % 1` is constant 0 but non-foldable, so the single
+    # deliberate partition survives optimization without the global-window
+    # WindowExec warning.
+    w = (
+        Window.partitionBy(F.col("_pid") % F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    )
+    return (
+        local.join(offsets, "_pid")
+        .withColumn(
+            "export_ordinal",
+            (F.col("_offset") + F.col("_local") + F.lit(1)).cast("long"),
+        )
+        .drop("_pid", "_local", "_offset")
+    )
