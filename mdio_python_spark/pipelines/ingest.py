@@ -44,6 +44,7 @@ from mdio_python_spark.schemas.dataset import (
     UnitInfo,
     Variable,
 )
+from mdio_python_spark.schemas import chunking
 from mdio_python_spark.schemas.dtypes import ScalarType
 from mdio_python_spark.schemas.overrides import GridOverrides
 from mdio_python_spark.schemas.resolver import ResolvedSchema, SchemaResolver
@@ -321,10 +322,18 @@ def segy_to_store(
     )
     full = full.drop("n_nz", "s_sum", "s_ssq", "s_min", "s_max")
 
-    chunks = {
+    # C2: constrained auto-chunking — template chunks clamped to the byte
+    # budget and the partition-count guard (``core/utils_write.py:16-44``,
+    # applied ``dataset_factory.py:191-200``); the resolved shape is what
+    # the manifest records
+    template_chunks = {
         d.name: d.chunk for d in schema.dimensions if d.spatial or d.name == "trace"
     }
-    chunks = {d: chunks[d] for d in spatial}
+    chunks = chunking.ingest_chunks(
+        dim_sizes,
+        {d: template_chunks[d] for d in spatial},
+        info.samples_per_trace,
+    )
     store.write_data(full, dim_tables, store_path, chunks)
 
     srow = obs.get
