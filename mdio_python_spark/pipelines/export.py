@@ -51,6 +51,7 @@ def store_to_segy(
     # the modeled fields only as a fallback for stores without raw bytes
     raw_text = attrs.get("rawTextHeader")
     raw_binary = attrs.get("rawBinaryHeader")
+    raw_ext = attrs.get("rawExtendedHeaders")
     write_spec = segy.SegyWriteSpec(
         samples_per_trace=next(
             d.size for d in st.dataset.dimensions if d.name == attrs["verticalDim"]
@@ -63,6 +64,7 @@ def store_to_segy(
         text_header=attrs.get("textHeader", ""),
         raw_text_header=base64.b64decode(raw_text) if raw_text else None,
         raw_binary_header=base64.b64decode(raw_binary) if raw_binary else None,
+        raw_extended_headers=base64.b64decode(raw_ext) if raw_ext else None,
     )
 
     cols = [*dims, "samples"]

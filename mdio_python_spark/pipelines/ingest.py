@@ -395,6 +395,10 @@ def segy_to_store(
             "rawBinaryHeader": base64.b64encode(info.raw_binary_header).decode(
                 "ascii"
             ),
+            "rawExtendedHeaders": base64.b64encode(
+                info.raw_extended_headers
+            ).decode("ascii"),
+            "extendedHeaders": info.extended_headers,
             "sampleIntervalUs": info.sample_interval,
             "dataFormat": info.data_format,
             "gridOverrides": overrides.model_dump(mode="json"),

@@ -50,10 +50,19 @@ class SegyFileInfo:
     # files carry content in unmodeled positions that must survive roundtrip
     raw_text_header: bytes = b""
     raw_binary_header: bytes = b""
+    # rev1 extended textual headers (binary-header count at byte 304):
+    # 3200-byte blocks between the binary header and the first trace
+    extended_headers: int = 0
+    raw_extended_headers: bytes = b""
 
     @property
     def trace_bytes(self) -> int:
         return codec.TRACE_HEADER_BYTES + self.samples_per_trace * self.sample_bytes
+
+    @property
+    def data_offset(self) -> int:
+        """Byte offset of the first trace: 3600 + extended text headers."""
+        return codec.FILE_HEADER_BYTES + self.extended_headers * codec.TEXT_HEADER_BYTES
 
     def sample_labels_us(self) -> np.ndarray:
         """Sample labels in microvalue units; /1000 normalization (F2)
@@ -62,17 +71,34 @@ class SegyFileInfo:
 
 
 def segy_file_info(path: str, text_encoding: str = "cp037") -> SegyFileInfo:
-    """Driver-side one-shot scan of text header, binary header, trace count."""
+    """Driver-side one-shot scan of text header, binary header, extended
+    text headers, trace count (rev-compat handling:
+    ``src/mdio/segy/compat.py``)."""
     file_size = os.path.getsize(path)
     with open(path, "rb") as f:
         text_raw = f.read(codec.TEXT_HEADER_BYTES)
         bin_raw = f.read(codec.BINARY_HEADER_BYTES)
-    bin_hdr = codec.decode_binary_header(bin_raw)
+        bin_hdr = codec.decode_binary_header(bin_raw)
+        n_ext = bin_hdr["extended_headers"]
+        if n_ext < 0:
+            # -1 means "variable number, terminated by a marker record"
+            # (rev1 §3.3) — unsupported: reject explicitly instead of
+            # misparsing every trace
+            raise ValueError(
+                f"{path}: variable extended text header count "
+                f"({n_ext}) is unsupported"
+            )
+        ext_raw = f.read(n_ext * codec.TEXT_HEADER_BYTES)
+    if len(ext_raw) != n_ext * codec.TEXT_HEADER_BYTES:
+        raise ValueError(
+            f"{path}: binary header declares {n_ext} extended text headers "
+            "but the file is too short"
+        )
     data_format = bin_hdr["data_format"] or codec.FORMAT_IEEE32
     sample_bytes = codec.SAMPLE_BYTES[data_format]
     ns = bin_hdr["samples_per_trace"]
     trace_bytes = codec.TRACE_HEADER_BYTES + ns * sample_bytes
-    payload = file_size - codec.FILE_HEADER_BYTES
+    payload = file_size - codec.FILE_HEADER_BYTES - len(ext_raw)
     if payload % trace_bytes:
         raise ValueError(
             f"{path}: trailing {payload % trace_bytes} bytes — not a whole trace"
@@ -89,6 +115,8 @@ def segy_file_info(path: str, text_encoding: str = "cp037") -> SegyFileInfo:
         sample_bytes=sample_bytes,
         raw_text_header=text_raw,
         raw_binary_header=bin_raw,
+        extended_headers=n_ext,
+        raw_extended_headers=ext_raw,
     )
 
 
@@ -120,6 +148,7 @@ def read_traces(
     """
     path = info.path
     trace_bytes = info.trace_bytes
+    data_offset = info.data_offset
     ns = info.samples_per_trace
     data_format = info.data_format
     n_blocks = max(1, math.ceil(info.num_traces / block_size))
@@ -147,7 +176,7 @@ def read_traces(
                     n = min(block_size, num_traces - start)
                     if n <= 0:
                         continue
-                    f.seek(codec.FILE_HEADER_BYTES + start * trace_bytes)
+                    f.seek(data_offset + start * trace_bytes)
                     raw = np.frombuffer(
                         f.read(n * trace_bytes), dtype=np.uint8
                     ).reshape(n, trace_bytes)
@@ -199,6 +228,7 @@ class SegyWriteSpec:
     # re-encoding from the modeled fields is the fallback only
     raw_text_header: bytes | None = None
     raw_binary_header: bytes | None = None
+    raw_extended_headers: bytes | None = None
 
     def binary_header(self) -> dict[str, int]:
         out = {
@@ -304,6 +334,9 @@ def write_segy(
             out.write(write_spec.raw_binary_header)
         else:
             out.write(codec.encode_binary_header(write_spec.binary_header()))
+        if write_spec.raw_extended_headers:
+            assert len(write_spec.raw_extended_headers) % codec.TEXT_HEADER_BYTES == 0
+            out.write(write_spec.raw_extended_headers)
         for name in sorted(os.listdir(tmp_dir)):
             with open(os.path.join(tmp_dir, name), "rb") as part:
                 shutil.copyfileobj(part, out, length=64 << 20)

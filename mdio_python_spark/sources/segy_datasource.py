@@ -125,6 +125,7 @@ class SegyReader(DataSourceReader):
         self.trace_bytes = info.trace_bytes
         self.samples_per_trace = info.samples_per_trace
         self.data_format = info.data_format
+        self.data_offset = info.data_offset
 
     def partitions(self) -> list[InputPartition]:
         n_blocks = max(1, math.ceil(self.num_traces / self.opts["block_size"]))
@@ -140,7 +141,7 @@ class SegyReader(DataSourceReader):
         if n <= 0:
             return
         with open(opts["path"], "rb") as f:
-            f.seek(codec.FILE_HEADER_BYTES + start * self.trace_bytes)
+            f.seek(self.data_offset + start * self.trace_bytes)
             raw = np.frombuffer(
                 f.read(n * self.trace_bytes), dtype=np.uint8
             ).reshape(n, self.trace_bytes)

@@ -98,11 +98,14 @@ def write_segy_file(
     measurement: int = 1,
     text: str = "TEST SEG-Y",
     file_header_extras: dict[int, bytes] | None = None,
+    extended_texts: list[bytes] | None = None,
 ) -> None:
     """``file_header_extras`` plants verbatim bytes at 0-based offsets
     within the 3600-byte file header (text 0-3199, binary 3200-3599) —
     content in positions the engine does NOT model, for raw-fidelity
-    roundtrip tests."""
+    roundtrip tests. ``extended_texts`` appends rev1 extended textual
+    header blocks (each padded/truncated to 3200 bytes) and sets the
+    count at binary-header byte 304."""
     n, ns = samples.shape
     assert len(headers) == n
     card = text.ljust(80)[:80] + " " * 80 * 39
@@ -110,10 +113,15 @@ def write_segy_file(
         card.encode("cp037")
         + _pack_binary_header(sample_interval, ns, data_format, measurement)
     )
+    ext_blocks = [b[:TEXT_BYTES].ljust(TEXT_BYTES, b"\x40") for b in extended_texts or []]
+    if ext_blocks:
+        struct.pack_into(">h", file_header, 3200 + 304, len(ext_blocks))
     for off, blob in (file_header_extras or {}).items():
         file_header[off : off + len(blob)] = blob
     with open(path, "wb") as f:
         f.write(bytes(file_header))
+        for blob in ext_blocks:
+            f.write(blob)
         enc = _encode_ibm if data_format == 1 else _encode_ieee
         for i in range(n):
             hdr = dict(headers[i])

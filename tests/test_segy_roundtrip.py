@@ -189,6 +189,66 @@ def test_raw_file_header_fidelity(spark, tmp_path):
         assert exported[off : off + len(blob)] == blob
 
 
+def test_extended_headers_roundtrip(spark, tmp_path):
+    """A rev2-style file with extended textual headers parses correctly
+    (trace seeks account for the extra 3200-byte blocks) and exports
+    byte-identically (round 1 failed the whole-trace divisibility check
+    with a misleading 'trailing bytes' error,
+    ``sources/segy.py`` data-offset fix per ADVICE)."""
+    import numpy as np
+
+    from tests.segy_factory import write_segy_file
+    from mdio_python_spark.sources.segy import segy_file_info
+
+    headers = [
+        {"inline": il, "crossline": xl}
+        for il in range(1, 5)
+        for xl in range(1, 4)
+    ]
+    rng = np.random.default_rng(29)
+    samples = rng.standard_normal((len(headers), 10)).astype(np.float32)
+    path = str(tmp_path / "ext.sgy")
+    write_segy_file(
+        path,
+        headers,
+        samples,
+        extended_texts=[b"EXTENDED HEADER ONE", b"\x01\x02 second block \xff"],
+    )
+
+    info = segy_file_info(path)
+    assert info.extended_headers == 2
+    assert info.num_traces == len(headers)
+    assert len(info.raw_extended_headers) == 2 * 3200
+
+    store_path = str(tmp_path / "store")
+    template = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": []}
+    )
+    segy_to_store(spark, path, store_path, template)
+    out = str(tmp_path / "export.sgy")
+    store_to_segy(spark, store_path, out)
+    assert filecmp.cmp(path, out, shallow=False)
+
+
+def test_variable_extended_headers_rejected(tmp_path):
+    """extended_headers = -1 (variable count) is rejected explicitly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tests.segy_factory import write_segy_file
+    from mdio_python_spark.sources.segy import segy_file_info
+
+    path = str(tmp_path / "varext.sgy")
+    write_segy_file(
+        path,
+        [{"inline": 1, "crossline": 1}],
+        np.zeros((1, 4), dtype=np.float32),
+        file_header_extras={3200 + 304: (-1).to_bytes(2, "big", signed=True)},
+    )
+    with _pytest.raises(ValueError, match="variable extended text header"):
+        segy_file_info(path)
+
+
 def test_ibm32_byte_identical_roundtrip(spark, tmp_path):
     """IBM32 (data_format=1) SEG-Y survives ingest -> export byte-for-byte
     (reference: ``test_segy_ibm32_header_roundtrip.py``): decode promotes
