@@ -4,13 +4,15 @@ typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 Beyond-reference surface (BASELINE.json north star). The *decode* kernels
 are STUBS — image/audio libraries are not in this container — but every
 Spark-facing piece is real and tested: schemas, batch iteration, partition
-behavior, UDF signatures. Swap ``_decode_*`` for PIL/ffmpeg kernels and the
-plumbing is production-shaped.
+behavior, UDF signatures, and the feature math, which is **batch
+vectorized**: each Arrow batch is grouped by media geometry, decoded into
+one stacked ndarray, and reduced with whole-batch numpy ops. The only
+per-row work is buffer construction from the variable-length payloads —
+exactly the boundary a real codec (PIL/ffmpeg) also imposes.
 
 Scale notes: payload processing is a shuffle-free scan; Arrow moves each
-batch to Python once; per-batch numpy work amortizes interpreter overhead.
-Decoded features are small fixed-width vectors, so the expensive bytes
-never shuffle.
+batch to Python once; decoded features are small fixed-width vectors, so
+the expensive bytes never shuffle.
 """
 
 from __future__ import annotations
@@ -31,19 +33,35 @@ MEDIA_META_SCHEMA = (
 FAKE_DECODE = True  # container has no codec libs; deterministic fake kernel
 
 
-def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """STUB image decode. Real implementation: PIL.Image.open(BytesIO(...)).
+def _fill_pixels(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic fake pixel source: payload bytes tiled to n values.
+    Empty/null payloads decode to a black image instead of failing the
+    job."""
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    reps = -(-n // len(buf))
+    return np.tile(buf, reps)[:n]
 
-    The deterministic fake derives pixels from the payload bytes so tests
-    can assert exact values end-to-end.
+
+def _decode_image_batch(
+    payloads: Iterator[bytes], width: int, height: int, channels: int
+) -> np.ndarray:
+    """STUB batched image decode -> (k, height, width, channels) uint8.
+
+    Real implementation: ``PIL.Image.open(BytesIO(p))`` per payload —
+    per-payload decode is intrinsic (variable-length compressed inputs),
+    but everything downstream operates on the stacked array.
     """
     if not FAKE_DECODE:
         raise NotImplementedError("image codecs not available in this container")
     n = width * height * channels
-    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-    # empty/null payloads decode to a black image instead of failing the job
-    reps = -(-n // len(buf))
-    return np.tile(buf, reps)[:n].reshape(height, width, channels)
+    return np.stack([_fill_pixels(p, n) for p in payloads]).reshape(
+        -1, height, width, channels
+    )
+
+
+def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Single-payload stub decode (test/reference kernel)."""
+    return _decode_image_batch([payload], width, height, channels)[0]
 
 
 def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
@@ -79,11 +97,22 @@ def attach_payload(
     )
 
 
+def _geometry_groups(pdf: pd.DataFrame):
+    """Group a batch by media geometry so each group decodes into ONE
+    stacked ndarray. Typically a batch is one geometry -> one group."""
+    metas = pd.DataFrame(list(pdf["meta"]), index=pdf.index)
+    for (w, h, c), idx in metas.groupby(
+        ["width", "height", "channels"], sort=False
+    ).groups.items():
+        yield int(w), int(h), int(c), idx
+
+
 def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode -> per-channel mean/std feature extraction.
 
-    mapInPandas: each Arrow batch decoded with the (stub) kernel; output is
-    a fixed-width feature row per image — the bytes never leave the task.
+    mapInPandas: each Arrow batch is grouped by geometry, decoded into one
+    (k, h, w, c) array, and reduced with whole-batch ``mean(axis=(1, 2))``
+    / ``std(axis=(1, 2, 3))`` — no per-row Python math.
     """
     schema = (
         f"{id_col} long, n_pixels long, mean_r double, mean_g double, "
@@ -92,23 +121,31 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
-                img = _decode_image(
-                    row["payload"], m["width"], m["height"], m["channels"]
-                ).astype(np.float64)
-                rows.append(
-                    {
-                        id_col: row[id_col],
-                        "n_pixels": img.shape[0] * img.shape[1],
-                        "mean_r": float(img[:, :, 0].mean()),
-                        "mean_g": float(img[:, :, 1].mean()),
-                        "mean_b": float(img[:, :, 2].mean()),
-                        "std_all": float(img.std()),
-                    }
+            chunks = []
+            for w, h, c, idx in _geometry_groups(pdf):
+                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c).astype(
+                    np.float64
                 )
-            yield pd.DataFrame(rows)
+                means = imgs.mean(axis=(1, 2))  # (k, channels)
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf.loc[idx, id_col].to_numpy(),
+                            "n_pixels": np.full(len(idx), w * h, dtype=np.int64),
+                            "mean_r": means[:, 0],
+                            "mean_g": means[:, 1],
+                            "mean_b": means[:, 2],
+                            "std_all": imgs.std(axis=(1, 2, 3)),
+                        },
+                        index=idx,
+                    )
+                )
+            cols = [id_col, "n_pixels", "mean_r", "mean_g", "mean_b", "std_all"]
+            yield (
+                pd.concat(chunks).sort_index()
+                if chunks
+                else pd.DataFrame(columns=cols)
+            )
 
     return df.select(id_col, "payload", "meta").mapInPandas(extract, schema=schema)
 
@@ -118,37 +155,45 @@ def resize_images(
 ) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-emit payload + updated meta.
 
-    Nearest-neighbor on index grids is pure numpy (no codec needed), so the
-    resize math is REAL even though decode is stubbed.
+    The gather ``imgs[:, ys][:, :, xs]`` resizes the whole stacked batch
+    in one vectorized step (real math, stub decode).
     """
     schema = f"{id_col} long, payload binary, meta struct<{MEDIA_META_SCHEMA}>"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
-                img = _decode_image(
-                    row["payload"], m["width"], m["height"], m["channels"]
-                )
-                ys = (np.arange(out_height) * m["height"] // out_height).astype(int)
-                xs = (np.arange(out_width) * m["width"] // out_width).astype(int)
-                resized = img[np.ix_(ys, xs)]
-                out.append(
+            chunks = []
+            for w, h, c, idx in _geometry_groups(pdf):
+                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c)
+                ys = (np.arange(out_height) * h // out_height).astype(int)
+                xs = (np.arange(out_width) * w // out_width).astype(int)
+                resized = imgs[:, ys][:, :, xs]  # (k, out_h, out_w, c)
+                metas = [
                     {
-                        id_col: row[id_col],
-                        "payload": resized.tobytes(),
-                        "meta": {
-                            "media_type": m["media_type"],
-                            "width": out_width,
-                            "height": out_height,
-                            "channels": m["channels"],
-                            "sample_rate": m["sample_rate"],
-                            "n_frames": m["n_frames"],
-                        },
+                        "media_type": m["media_type"],
+                        "width": out_width,
+                        "height": out_height,
+                        "channels": m["channels"],
+                        "sample_rate": m["sample_rate"],
+                        "n_frames": m["n_frames"],
                     }
+                    for m in pdf.loc[idx, "meta"]
+                ]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf.loc[idx, id_col].to_numpy(),
+                            "payload": [r.tobytes() for r in resized],
+                            "meta": metas,
+                        },
+                        index=idx,
+                    )
                 )
-            yield pd.DataFrame(out)
+            yield (
+                pd.concat(chunks).sort_index()
+                if chunks
+                else pd.DataFrame(columns=[id_col, "payload", "meta"])
+            )
 
     return df.select(id_col, "payload", "meta").mapInPandas(resize, schema=schema)
 
@@ -157,50 +202,81 @@ def sample_frames(
     df: DataFrame, every_nth: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """Video frame sampling: one output row per kept frame (explode-shaped
-    mapInPandas). Frame decode is the stub kernel; the row-explosion,
-    frame indexing and batch shapes are the real pipeline."""
+    mapInPandas). Decode once per video (batched); the frame fan-out is a
+    vectorized repeat over precomputed per-row frame counts."""
     schema = f"{id_col} long, frame_idx int, payload binary"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
-                # decode once per row, not per kept frame — with a real
-                # ffmpeg kernel the decode dominates
-                img = _decode_image(
-                    row["payload"], m["width"], m["height"], m["channels"]
+            chunks = []
+            for w, h, c, idx in _geometry_groups(pdf):
+                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c)
+                n_frames = np.array(
+                    [int(m["n_frames"]) for m in pdf.loc[idx, "meta"]]
                 )
-                for fi in range(0, int(m["n_frames"]), every_nth):
-                    out.append(
-                        {
-                            id_col: row[id_col],
-                            "frame_idx": fi,
-                            "payload": img.tobytes(),
-                        }
+                counts = -(-n_frames // every_nth)  # ceil division
+                ids = np.repeat(pdf.loc[idx, id_col].to_numpy(), counts)
+                frame_idx = (
+                    np.concatenate(
+                        [np.arange(k) * every_nth for k in counts]
+                    ).astype(np.int32)
+                    if counts.sum()
+                    else np.array([], dtype=np.int32)
+                )
+                payloads: list[bytes] = []
+                for img, k in zip(imgs, counts):
+                    payloads.extend([img.tobytes()] * int(k))
+                chunks.append(
+                    pd.DataFrame(
+                        {id_col: ids, "frame_idx": frame_idx, "payload": payloads}
                     )
-            yield pd.DataFrame(out)
+                )
+            yield (
+                pd.concat(chunks, ignore_index=True)
+                if chunks
+                else pd.DataFrame(columns=[id_col, "frame_idx", "payload"])
+            )
 
     return df.select(id_col, "payload", "meta").mapInPandas(sample, schema=schema)
 
 
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Audio decode -> RMS/zero-crossing features (stub decode, real math)."""
+    """Audio decode -> RMS/zero-crossing features, fully vectorized over
+    the batch: all payloads concatenate into one PCM buffer and per-row
+    reductions run as ``np.add.reduceat`` over segment boundaries."""
     schema = f"{id_col} long, n_samples long, rms double, zero_crossings long"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                pcm = _decode_audio(row["payload"], row["meta"]["sample_rate"])
-                rows.append(
-                    {
-                        id_col: row[id_col],
-                        "n_samples": len(pcm),
-                        "rms": float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0,
-                        "zero_crossings": int((np.diff(np.sign(pcm)) != 0).sum()),
-                    }
+            payloads = [p or b"" for p in pdf["payload"]]
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
+            pcm = (
+                np.frombuffer(b"".join(payloads), dtype=np.int8).astype(
+                    np.float64
                 )
-            yield pd.DataFrame(rows)
+                / 128.0
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            nz = lens > 0
+            rms = np.zeros(len(pdf))
+            zc = np.zeros(len(pdf), dtype=np.int64)
+            if nz.any() and len(pcm):
+                sumsq = np.add.reduceat(pcm * pcm, starts[nz])
+                rms[nz] = np.sqrt(sumsq / lens[nz])
+                # crossing at i means sign(pcm[i]) != sign(pcm[i-1]);
+                # zero out segment starts so crossings never span rows
+                cross = np.zeros(len(pcm), dtype=np.int64)
+                sign = np.sign(pcm)
+                cross[1:] = sign[1:] != sign[:-1]
+                cross[starts[nz]] = 0
+                zc[nz] = np.add.reduceat(cross, starts[nz])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_samples": lens,
+                    "rms": rms,
+                    "zero_crossings": zc,
+                }
+            )
 
     return df.select(id_col, "payload", "meta").mapInPandas(extract, schema=schema)

@@ -85,6 +85,22 @@ def q_seismic_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_image_features", None, bench=False)
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal surface as a declared query (rows-only: the decode
+    kernel is a documented deterministic STUB, ``multimodal.FAKE_DECODE``
+    — no SQL oracle is possible for binary decode). Attaches an
+    image-typed payload to the documents table and runs the
+    batch-vectorized mapInPandas feature extractor; real plumbing, fake
+    pixels."""
+    from mdio_python_spark.operators import multimodal as mm
+    from mdio_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_payload(docs, "text", width=16, height=16, channels=3)
+    return mm.image_features(media)
+
+
 @register("streaming_events_hourly", None, bench=False)
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface as a declared query: file-source stream
