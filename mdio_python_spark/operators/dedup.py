@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from mdio_python_spark.functions.scalars import hash64
 from mdio_python_spark.operators.text import tokens
 
+# Hot-bucket guard (see bucket_pairs): bounds any bucket's pair fan-out at
+# cap^2/2 regardless of degenerate keys (empty docs, constant fields).
+DEFAULT_MAX_BUCKET_SIZE = 1024
+
 
 def exact_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -138,9 +142,11 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Band the signature and self-join on (band, band_hash): docs agreeing
-    on ALL rows of any band become candidate pairs (a < b)."""
+    on ALL rows of any band become candidate pairs (a < b). Hot-bucket
+    guard per :func:`bucket_pairs` (``None`` disables)."""
     bands = []
     for band in range(num_hashes // rows_per_band):
         cols = [
@@ -156,24 +162,57 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("b")
     ).select(id_col, "b.band_id", "b.band_hash")
-    return bucket_pairs(banded, ["band_id", "band_hash"], id_col)
+    return bucket_pairs(
+        banded, ["band_id", "band_hash"], id_col, max_bucket_size=max_bucket_size
+    )
+
+
+def bucket_stats(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """QC companion to :func:`bucket_pairs`: one row of bucket-population
+    stats — total buckets, the largest bucket, and how many exceed the cap
+    (i.e. will be truncated). Run it when a corpus is suspected of
+    degenerate keys (empty docs, constant fields)."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum((F.col("n") > max_bucket_size).cast("long")).alias(
+            "n_capped_buckets"
+        ),
+    )
 
 
 def bucket_pairs(
-    banded: DataFrame, bucket_cols: list[str], id_col: str = "doc_id"
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs co-occurring in any bucket.
 
     Pairs are generated *within* each bucket (groupBy + in-array
     combinations) rather than via a self-join: the upstream subtree is
-    computed exactly once, and only colliding docs ever meet. Bucket
-    sizes are naturally small; a pathological hot bucket (e.g. empty-text
-    signature) is the same quadratic blowup a self-join would have — cap
-    upstream by filtering degenerate documents if needed.
+    computed exactly once, and only colliding docs ever meet.
+
+    Hot-bucket guard: a degenerate bucket (empty-doc signature, constant
+    field) is quadratic — 1M co-bucketed docs would emit 5e11 pairs and
+    hang the stage. Buckets larger than ``max_bucket_size`` contribute
+    only their first ``max_bucket_size`` members (deterministic: ids are
+    sorted), bounding any bucket at cap²/2 pairs. Members of such a
+    bucket are near-identical by construction, so exact dedup upstream is
+    the right fix — use :func:`bucket_stats` to see how many buckets were
+    capped. ``None`` disables the guard.
     """
+    ids = F.sort_array(F.collect_list(F.col(id_col)))
+    if max_bucket_size is not None:
+        ids = F.slice(ids, 1, max_bucket_size)
     buckets = (
         banded.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .agg(ids.alias("ids"))
         .where(F.size("ids") >= 2)
     )
     combos = F.flatten(

@@ -83,3 +83,63 @@ def test_embedding_near_dup_drops_greedy_keep_min(spark):
     assert drops[20][0] == 10
     assert drops[30][0] == 10
     assert drops[30][1] == 2  # (10,30) and (20,30)
+
+
+def test_hot_bucket_guard_caps_pair_fanout(spark):
+    """1k identical docs land in one LSH bucket per band; with a cap of 64
+    the stage completes emitting C(64,2) pairs instead of C(1000,2)
+    (~500k), and bucket_stats reports the capped buckets."""
+    import time
+
+    from mdio_python_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "the exact same document text repeated") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_hashes(docs, n=3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8)
+
+    t0 = time.time()
+    pairs = dedup.lsh_candidate_pairs(sigs, max_bucket_size=64)
+    n = pairs.count()
+    elapsed = time.time() - t0
+    assert n == 64 * 63 // 2  # all 4 bands collapse to the same capped set
+    assert elapsed < 60
+
+    # deterministic truncation: the kept members are the smallest ids
+    ids = {r.doc_a for r in pairs.collect()} | {r.doc_b for r in pairs.collect()}
+    assert ids == set(range(64))
+
+    # QC surface: every band's bucket exceeded the cap
+    banded_stats = dedup.bucket_stats(
+        sigs.selectExpr("doc_id", "stack(1, mh_0) as (mh)").selectExpr(
+            "doc_id", "mh as band_hash", "0 as band_id"
+        ),
+        ["band_id", "band_hash"],
+        max_bucket_size=64,
+    ).collect()[0]
+    assert banded_stats["n_buckets"] == 1
+    assert banded_stats["max_bucket_size"] == 1000
+    assert banded_stats["n_capped_buckets"] == 1
+
+
+def test_bucket_pairs_uncapped_matches_default_on_small_buckets(spark):
+    """The default cap never changes results when buckets are small."""
+    from mdio_python_spark.operators import dedup
+
+    banded = spark.createDataFrame(
+        [(i, 0, i % 7) for i in range(100)],
+        "doc_id long, band_id int, band_hash long",
+    )
+    capped = set(
+        (r.doc_a, r.doc_b)
+        for r in dedup.bucket_pairs(banded, ["band_id", "band_hash"]).collect()
+    )
+    uncapped = set(
+        (r.doc_a, r.doc_b)
+        for r in dedup.bucket_pairs(
+            banded, ["band_id", "band_hash"], max_bucket_size=None
+        ).collect()
+    )
+    assert capped == uncapped and len(capped) > 0
