@@ -71,45 +71,126 @@ class TemplateRegistry:
         return sorted(self._templates)
 
 
+def _xy(names: tuple[str, ...], dims: list[str]) -> list[CoordinateDecl]:
+    return [CoordinateDecl(name=n, dimensions=list(dims)) for n in names]
+
+
 def default_registry() -> TemplateRegistry:
+    """The reference's full default template zoo
+    (``builder/template_registry.py:120-157``), one entry per registered
+    name; dims/chunks mirror the reference templates
+    (``builder/templates/seismic_*.py``). Naming deviation: this engine
+    uses ``shot_line`` uniformly where the reference's streamer templates
+    say ``sail_line`` (the shot-wrapping line field is the same role,
+    ``index_strategies.py:253``). ``Cdp3DGathers`` is kept as a repo-local
+    alias of ``CdpOffsetGathers3DTime`` for round-1 compatibility."""
     reg = TemplateRegistry()
+
+    # --- post-stack (``seismic_2d_poststack.py``, ``seismic_3d_poststack.py``)
+    for domain in ("time", "depth"):
+        reg.register(
+            AbstractDatasetTemplate(
+                name=f"PostStack3D{domain.capitalize()}",
+                spatial_dims=["inline", "crossline"],
+                vertical_dim=domain,
+                coordinates=_std_coords(),
+                chunks=[128, 128, 128],
+            )
+        )
+        reg.register(
+            AbstractDatasetTemplate(
+                name=f"PostStack2D{domain.capitalize()}",
+                spatial_dims=["cdp"],
+                vertical_dim=domain,
+                coordinates=_xy(("cdp_x", "cdp_y"), ["cdp"]),
+                chunks=[1024, 1024],
+            )
+        )
+
+    # --- CDP/CMP gathers (``seismic_3d_cdp.py`` (8,8,32,512),
+    #     ``seismic_2d_cdp.py`` (16,64,1024); offset and angle domains)
+    for domain in ("time", "depth"):
+        for gather in ("offset", "angle"):
+            reg.register(
+                AbstractDatasetTemplate(
+                    name=f"Cdp{gather.capitalize()}Gathers3D{domain.capitalize()}",
+                    spatial_dims=["inline", "crossline", gather],
+                    vertical_dim=domain,
+                    coordinates=_std_coords(),
+                    chunks=[8, 8, 32, 512],
+                )
+            )
+            reg.register(
+                AbstractDatasetTemplate(
+                    name=f"Cdp{gather.capitalize()}Gathers2D{domain.capitalize()}",
+                    spatial_dims=["cdp", gather],
+                    vertical_dim=domain,
+                    coordinates=_xy(("cdp_x", "cdp_y"), ["cdp"]),
+                    chunks=[16, 64, 1024],
+                )
+            )
+
+    # --- COCA gathers (``seismic_3d_coca.py`` (8,8,32,1,1024))
+    for domain in ("time", "depth"):
+        reg.register(
+            AbstractDatasetTemplate(
+                name=f"CocaGathers3D{domain.capitalize()}",
+                spatial_dims=["inline", "crossline", "offset", "azimuth"],
+                vertical_dim=domain,
+                coordinates=_std_coords(),
+                chunks=[8, 8, 32, 1, 1024],
+            )
+        )
+
+    # --- offset tiles (``seismic_3d_offset_tiles.py`` (4,4,6,6,4096))
+    for domain in ("time", "depth"):
+        reg.register(
+            AbstractDatasetTemplate(
+                name=f"OffsetTiles3D{domain.capitalize()}",
+                spatial_dims=[
+                    "inline",
+                    "crossline",
+                    "inline_offset_tile",
+                    "crossline_offset_tile",
+                ],
+                vertical_dim=domain,
+                coordinates=_std_coords(),
+                chunks=[4, 4, 6, 6, 4096],
+            )
+        )
+
+    # --- receiver gathers, OBN/OBC/land fixed spread
+    #     (``seismic_3d_receiver_gathers.py`` (1,1,512,4096))
     reg.register(
         AbstractDatasetTemplate(
-            name="PostStack3DTime",
-            spatial_dims=["inline", "crossline"],
+            name="ReceiverGathers3D",
+            spatial_dims=["receiver", "shot_line", "shot_point"],
             vertical_dim="time",
-            coordinates=_std_coords(),
-            chunks=[128, 128, 128],
+            coordinates=_xy(
+                ("receiver_x", "receiver_y", "source_coord_x", "source_coord_y"),
+                ["receiver", "shot_line", "shot_point"],
+            ),
+            chunks=[1, 1, 512, 4096],
         )
     )
+
+    # --- streamer shot gathers (``seismic_2d_streamer_shot.py`` (16,32,2048),
+    #     ``seismic_3d_streamer_shot.py`` (8,1,128,2048))
     reg.register(
         AbstractDatasetTemplate(
-            name="PostStack3DDepth",
-            spatial_dims=["inline", "crossline"],
-            vertical_dim="depth",
-            coordinates=_std_coords(),
-            chunks=[128, 128, 128],
-        )
-    )
-    reg.register(
-        AbstractDatasetTemplate(
-            name="PostStack2DTime",
-            spatial_dims=["cdp"],
+            name="StreamerShotGathers2D",
+            spatial_dims=["shot_point", "channel"],
             vertical_dim="time",
-            coordinates=[
-                CoordinateDecl(name="cdp_x", dimensions=["cdp"]),
-                CoordinateDecl(name="cdp_y", dimensions=["cdp"]),
-            ],
-            chunks=[1024, 1024],
-        )
-    )
-    reg.register(
-        AbstractDatasetTemplate(
-            name="Cdp3DGathers",
-            spatial_dims=["inline", "crossline", "offset"],
-            vertical_dim="time",
-            coordinates=_std_coords(),
-            chunks=[8, 8, 32, 512],
+            coordinates=_xy(
+                (
+                    "source_coord_x",
+                    "source_coord_y",
+                    "group_coord_x",
+                    "group_coord_y",
+                ),
+                ["shot_point", "channel"],
+            ),
+            chunks=[16, 32, 2048],
         )
     )
     reg.register(
@@ -131,6 +212,41 @@ def default_registry() -> TemplateRegistry:
             chunks=[8, 1, 128, 2048],
         )
     )
+
+    # --- streamer field records, 6-D
+    #     (``seismic_3d_streamer_field.py`` (1,1,16,1,32,1024))
+    reg.register(
+        AbstractDatasetTemplate(
+            name="StreamerFieldRecords3D",
+            spatial_dims=["shot_line", "gun", "shot_index", "cable", "channel"],
+            vertical_dim="time",
+            coordinates=_xy(
+                (
+                    "source_coord_x",
+                    "source_coord_y",
+                    "group_coord_x",
+                    "group_coord_y",
+                ),
+                ["shot_line", "gun", "shot_index", "cable", "channel"],
+            )
+            + [
+                CoordinateDecl(
+                    name="shot_point",
+                    dimensions=["shot_line", "gun", "shot_index"],
+                    data_type=ScalarType.INT32,
+                ),
+                CoordinateDecl(
+                    name="field_record",
+                    dimensions=["shot_line", "gun", "shot_index"],
+                    data_type=ScalarType.INT32,
+                ),
+            ],
+            chunks=[1, 1, 16, 1, 32, 1024],
+            calculated_dims=["shot_index"],
+        )
+    )
+
+    # --- OBN receiver gathers (``seismic_3d_obn.py`` (1,1,1,1,512,4096))
     reg.register(
         AbstractDatasetTemplate(
             name="ObnReceiverGathers3D",
@@ -143,6 +259,44 @@ def default_registry() -> TemplateRegistry:
             ],
             chunks=[1, 1, 1, 1, 512, 4096],
             calculated_dims=["shot_index", "component"],
+        )
+    )
+
+    # --- land/OBC shot-receiver lines
+    #     (``seismic_3d_shot_receiver_line.py`` (1,32,1,32,2048))
+    reg.register(
+        AbstractDatasetTemplate(
+            name="ShotReceiverLineGathers3D",
+            spatial_dims=["shot_line", "shot_point", "receiver_line", "receiver"],
+            vertical_dim="time",
+            coordinates=_xy(
+                (
+                    "source_coord_x",
+                    "source_coord_y",
+                    "group_coord_x",
+                    "group_coord_y",
+                ),
+                ["shot_line", "shot_point", "receiver_line", "receiver"],
+            )
+            + [
+                CoordinateDecl(
+                    name="field_record",
+                    dimensions=["shot_line", "shot_point"],
+                    data_type=ScalarType.INT32,
+                )
+            ],
+            chunks=[1, 32, 1, 32, 2048],
+        )
+    )
+
+    # --- repo-local alias retained from round 1
+    reg.register(
+        AbstractDatasetTemplate(
+            name="Cdp3DGathers",
+            spatial_dims=["inline", "crossline", "offset"],
+            vertical_dim="time",
+            coordinates=_std_coords(),
+            chunks=[8, 8, 32, 512],
         )
     )
     return reg

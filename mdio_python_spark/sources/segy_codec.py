@@ -195,29 +195,99 @@ def encode_segy_revision(major: int, minor: int) -> int:
 # --- trace header spec ------------------------------------------------------
 
 # Default rev1 field layout: name -> (0-based offset in the 240-byte header,
-# big-endian numpy dtype). Users may supply custom specs (the reference's
-# SegySpec extension point, SURVEY §2.11).
+# big-endian numpy dtype). The full public SEG-Y rev1 named-field set (the
+# out-of-box surface the reference gets from the TGSAI/segy standard specs);
+# users may supply custom specs (SegySpec extension point, SURVEY §2.11).
 DEFAULT_TRACE_HEADER_SPEC: dict[str, tuple[int, str]] = {
     "trace_seq_line": (0, ">i4"),
+    "trace_seq_file": (4, ">i4"),
     "field_record": (8, ">i4"),
     "channel": (12, ">i4"),
     "energy_source_point": (16, ">i4"),
     "cdp": (20, ">i4"),
     "trace_in_ensemble": (24, ">i4"),
     "trace_id_code": (28, ">i2"),
+    "vertically_summed": (30, ">i2"),
+    "horizontally_stacked": (32, ">i2"),
+    "data_use": (34, ">i2"),
     "offset": (36, ">i4"),
+    "receiver_elevation": (40, ">i4"),
+    "source_surface_elevation": (44, ">i4"),
+    "source_depth": (48, ">i4"),
+    "receiver_datum_elevation": (52, ">i4"),
+    "source_datum_elevation": (56, ">i4"),
+    "source_water_depth": (60, ">i4"),
+    "receiver_water_depth": (64, ">i4"),
+    "elevation_scalar": (68, ">i2"),
     "coordinate_scalar": (70, ">i2"),
     "source_coord_x": (72, ">i4"),
     "source_coord_y": (76, ">i4"),
     "group_coord_x": (80, ">i4"),
     "group_coord_y": (84, ">i4"),
+    "coordinate_units": (88, ">i2"),
+    "weathering_velocity": (90, ">i2"),
+    "subweathering_velocity": (92, ">i2"),
+    "source_uphole_time": (94, ">i2"),
+    "group_uphole_time": (96, ">i2"),
+    "source_static_correction": (98, ">i2"),
+    "group_static_correction": (100, ">i2"),
+    "total_static_applied": (102, ">i2"),
+    "lag_time_a": (104, ">i2"),
+    "lag_time_b": (106, ">i2"),
+    "delay_recording_time": (108, ">i2"),
+    "mute_time_start": (110, ">i2"),
+    "mute_time_end": (112, ">i2"),
     "num_samples": (114, ">i2"),
     "sample_interval": (116, ">i2"),
+    "instrument_gain_type": (118, ">i2"),
+    "instrument_gain_const": (120, ">i2"),
+    "instrument_gain_initial": (122, ">i2"),
+    "correlated": (124, ">i2"),
+    "sweep_freq_start": (126, ">i2"),
+    "sweep_freq_end": (128, ">i2"),
+    "sweep_length": (130, ">i2"),
+    "sweep_type": (132, ">i2"),
+    "sweep_taper_start": (134, ">i2"),
+    "sweep_taper_end": (136, ">i2"),
+    "taper_type": (138, ">i2"),
+    "alias_filter_freq": (140, ">i2"),
+    "alias_filter_slope": (142, ">i2"),
+    "notch_filter_freq": (144, ">i2"),
+    "notch_filter_slope": (146, ">i2"),
+    "low_cut_freq": (148, ">i2"),
+    "high_cut_freq": (150, ">i2"),
+    "low_cut_slope": (152, ">i2"),
+    "high_cut_slope": (154, ">i2"),
+    "year": (156, ">i2"),
+    "day_of_year": (158, ">i2"),
+    "hour": (160, ">i2"),
+    "minute": (162, ">i2"),
+    "second": (164, ">i2"),
+    "time_basis_code": (166, ">i2"),
+    "trace_weighting_factor": (168, ">i2"),
+    "group_num_roll_switch": (170, ">i2"),
+    "group_num_first_trace": (172, ">i2"),
+    "group_num_last_trace": (174, ">i2"),
+    "gap_size": (176, ">i2"),
+    "overtravel": (178, ">i2"),
     "cdp_x": (180, ">i4"),
     "cdp_y": (184, ">i4"),
     "inline": (188, ">i4"),
     "crossline": (192, ">i4"),
     "shot_point": (196, ">i4"),
+    "shot_point_scalar": (200, ">i2"),
+    "trace_value_unit": (202, ">i2"),
+    "transduction_constant_mantissa": (204, ">i4"),
+    "transduction_constant_exponent": (208, ">i2"),
+    "transduction_units": (210, ">i2"),
+    "device_trace_id": (212, ">i2"),
+    "times_scalar": (214, ">i2"),
+    "source_type_orientation": (216, ">i2"),
+    "source_energy_direction_mantissa": (218, ">i4"),
+    "source_energy_direction_exponent": (222, ">i2"),
+    "source_measurement_mantissa": (224, ">i4"),
+    "source_measurement_exponent": (228, ">i2"),
+    "source_measurement_unit": (230, ">i2"),
 }
 
 
