@@ -76,5 +76,6 @@ def store_to_segy(
         order_by=dims,
         write_spec=write_spec,
         num_partitions=num_partitions,
+        n_rows=n,
     )
     return n

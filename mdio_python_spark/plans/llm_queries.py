@@ -418,6 +418,64 @@ def q_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _band_bucket_sql(band: int, bits: int) -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN {{v}}[{band * bits + i + 1}] > 0 THEN {2**i} ELSE 0 END"
+            for i in range(bits)
+        )
+        + " AS BIGINT)"
+    )
+
+
+def _multiband_cte(table_alias: str, id_alias: str, vec_alias: str, where: str) -> str:
+    selects = [
+        f"SELECT vec_id AS {id_alias}, embedding AS {vec_alias}, "
+        f"{bd} AS band_id, {_band_bucket_sql(bd, 6).format(v='embedding')} AS bucket "
+        f"FROM embeddings {where}"
+        for bd in range(4)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+_MULTIBAND_ORACLE = f"""
+WITH q AS ({_multiband_cte("q", "query_id", "q_vec", "WHERE vec_id < 50")}),
+c AS ({_multiband_cte("c", "candidate_id", "c_vec", "")}),
+matched AS (
+  SELECT query_id, candidate_id, band_id,
+         {_DOT.format(a="q_vec", b="c_vec")}
+           / (sqrt({_DOT.format(a="q_vec", b="q_vec")})
+              * sqrt({_DOT.format(a="c_vec", b="c_vec")})) AS cosine
+  FROM c JOIN q USING (band_id, bucket) WHERE query_id <> candidate_id
+),
+pairs AS (
+  SELECT query_id, candidate_id, MAX(cosine) AS cosine,
+         CAST(COUNT(DISTINCT band_id) AS BIGINT) AS n_bands
+  FROM matched GROUP BY query_id, candidate_id
+)
+SELECT query_id, candidate_id, cosine, n_bands, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, candidate_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= 3
+"""
+
+
+@register("embedding_multiband_ann", _MULTIBAND_ORACLE)
+def q_multiband_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band ANN — the recall fix over single-table sign-bucket LSH
+    (round-1 honest risk): a candidate is probed if it agrees with the
+    query in ANY of 4 disjoint 6-bit sign bands (OR-amplification,
+    MinHash-LSH banding applied to hyperplane LSH). n_bands reports match
+    confidence for free."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.multiband_topk(
+        emb.where(F.col("vec_id") < 50), emb, k=3, bits=6, bands=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns with typed metadata)
 # ---------------------------------------------------------------------------

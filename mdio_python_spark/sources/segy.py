@@ -253,9 +253,12 @@ def write_segy(
     header_fields: list[str] | None = None,
     spec: dict[str, tuple[int, str]] | None = None,
     num_partitions: int | None = None,
+    n_rows: int | None = None,
     text_encoding: str = "cp037",
 ) -> None:
-    """K3/K4 — ordered SEG-Y export.
+    """K3/K4 — ordered SEG-Y export. ``n_rows`` (when the caller already
+    knows the trace count — ingest does, export just counted) avoids the
+    extra full count job that sizing partitions otherwise needs.
 
     ``df`` columns: the ``order_by`` dims, either ``raw_header`` (binary,
     written verbatim — byte-identical roundtrip path) or the listed
@@ -278,7 +281,8 @@ def write_segy(
     if num_partitions is None:
         # ~300 MB processing chunks, matching the reference's export
         # rechunk target (``segy/utilities.py:146-198``, C3)
-        n_rows = df.count()
+        if n_rows is None:
+            n_rows = df.count()
         rows_per_part = max(1, (300 << 20) // (240 + ns * 4))
         num_partitions = max(1, math.ceil(n_rows / rows_per_part))
 
