@@ -56,14 +56,22 @@ def gun_geometry_analysis(
     over. Two aggs: a tiny per-line gun count broadcast back into one
     (line, gun) agg; no window, map-side combinable.
     """
-    line_guns = df.groupBy(line_col).agg(
-        F.count_distinct(gun_col).alias("num_guns")
+    # dedup to (line, gun, shot) triples FIRST: one map-side-combinable
+    # shuffle collapses the trace table (measured 3.0s -> dedup-first at
+    # sf0.1), and both the per-line gun count and the mod-shot analysis
+    # run over the collapsed triples instead of re-scanning the source
+    triples = df.select(line_col, gun_col, shot_col).distinct()
+    line_guns = (
+        triples.select(line_col, gun_col)
+        .distinct()
+        .groupBy(line_col)
+        .agg(F.count(F.lit(1)).alias("num_guns"))
     )
-    joined = df.join(F.broadcast(line_guns), line_col)
+    joined = triples.join(F.broadcast(line_guns), line_col)
     return (
         joined.groupBy(line_col, gun_col, "num_guns")
         .agg(
-            F.count_distinct(shot_col).alias("n_shots"),
+            F.count(F.lit(1)).alias("n_shots"),
             F.count_distinct(
                 F.floor(F.col(shot_col) / F.col("num_guns"))
             ).alias("n_mod_shots"),

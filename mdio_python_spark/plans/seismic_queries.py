@@ -85,6 +85,51 @@ def q_seismic_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("zarr_store_roundtrip", None, bench=False)
+def q_zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v2 interop surface (S4 for real MDIO-shaped containers):
+    synthesize a cube -> ingest to the engine store -> export to an
+    xarray-convention zarr group (pure-numpy v2 writer, zlib) -> reopen
+    through open_mdio (zarr branch) -> one summary row. Deterministic and
+    scale-independent like seismic_ingest_roundtrip."""
+    from mdio_python_spark.operators.stats import summary_statistics
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+    from mdio_python_spark.sources import segy
+    from mdio_python_spark.sources.store import open_mdio
+    from mdio_python_spark.sources.zarr_store import store_to_zarr
+
+    n_il, n_xl, ns = 6, 5, 16
+    tmp = tempfile.mkdtemp(prefix="zarr-rt-")
+    segy_path = os.path.join(tmp, "cube.segy")
+    store_path = os.path.join(tmp, "store")
+    zarr_path = os.path.join(tmp, "cube.zarr")
+
+    traces = _synthetic_cube(spark, n_il, n_xl, ns)
+    spec = segy.SegyWriteSpec(
+        samples_per_trace=ns, sample_interval=2000, data_format=5
+    )
+    segy.write_segy(
+        traces,
+        segy_path,
+        order_by=["inline", "crossline"],
+        write_spec=spec,
+        header_fields=["inline", "crossline", "cdp_x", "cdp_y"],
+    )
+    segy_to_store(
+        spark, segy_path, store_path, default_registry().get("PostStack3DTime")
+    )
+    n = store_to_zarr(spark, store_path, zarr_path)
+    flat = open_mdio(spark, zarr_path).select(F.explode("samples").alias("a"))
+    stats = summary_statistics(flat, "a", nonzero_only=True)
+    return stats.select(
+        F.lit(n).alias("n_traces"),
+        F.col("count"),
+        F.col("mean"),
+        F.col("std"),
+    )
+
+
 @register("multimodal_image_features", None, bench=False)
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface as a declared query (rows-only: the decode

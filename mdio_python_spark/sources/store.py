@@ -113,6 +113,22 @@ def open_store(spark: SparkSession, path: str) -> OpenedStore:
     return OpenedStore(traces=traces, dims=dims, dataset=dataset, path=path)
 
 
+def open_mdio(spark: SparkSession, path: str) -> DataFrame:
+    """``open_mdio`` analog accepting EITHER container format: this
+    engine's parquet store (manifest.json) or an MDIO-shaped zarr v2 cube
+    (``api/io.py:36-65``) — both yield the same long-format trace
+    DataFrame (dim values + indices + samples)."""
+    if os.path.exists(os.path.join(path, MANIFEST)):
+        return open_store(spark, path).traces
+    if os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(
+        os.path.join(path, ".zmetadata")
+    ):
+        from mdio_python_spark.sources.zarr_store import zarr_cube_to_df
+
+        return zarr_cube_to_df(spark, path)
+    raise ValueError(f"{path}: neither an engine store nor a zarr v2 group")
+
+
 def dense_slice(
     store: OpenedStore, spark: SparkSession, predicates: dict[str, tuple[int, int]]
 ) -> DataFrame:

@@ -1,0 +1,478 @@
+"""Pure-numpy Zarr v2 store interop (S4 for real ``.mdio`` data).
+
+The reference's container is an xarray-convention Zarr group
+(``api/io.py:36-65``: v2 + consolidated metadata; variables carry
+``_ARRAY_DIMENSIONS``). This module implements the *public zarr v2
+storage spec* directly — ``.zgroup``/``.zarray``/``.zattrs`` JSON
+metadata, C-order full-size chunk files named ``i.j.k`` (or ``i/j/k``
+with ``dimension_separator: "/"``), edge chunks padded to the full chunk
+shape — so an engine user can read existing MDIO/Zarr cubes and write
+cubes that zarr/xarray readers open, without zarr installed.
+
+Compressors: ``null`` and ``zlib`` (stdlib). Blosc/zstd-compressed
+stores (the reference's default codec) need the blosc codec, which is
+not in this container — such chunks are rejected with an explicit error
+naming the missing codec rather than misparsed.
+
+Scale shape: reading is one Spark task per *spatial chunk column* (all
+vertical chunks of one spatial chunk tuple), each task touching only its
+own chunk files — embarrassingly parallel, zero shuffle. Writing reuses
+the store's chunk-key partitioning: ``applyInPandas`` over chunk-key
+groups, one group = one set of chunk files, no extra exchange beyond the
+groupBy's (which matches the store's existing layout).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class UnsupportedCodecError(ValueError):
+    """Chunk compressor needs a codec not available here (e.g. blosc)."""
+
+
+# --- chunk codecs -----------------------------------------------------------
+
+
+def _decode_chunk(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.decompress(raw)
+    raise UnsupportedCodecError(
+        f"chunk compressor {cid!r} unsupported (container has no {cid} codec); "
+        "re-write the store with compressor null or zlib"
+    )
+
+
+def _encode_chunk(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return zlib.compress(raw, compressor.get("level", 1))
+    raise UnsupportedCodecError(f"cannot encode with compressor {cid!r}")
+
+
+# --- metadata ---------------------------------------------------------------
+
+
+@dataclass
+class ZarrArray:
+    """Driver-side view of one ``.zarray`` node."""
+
+    path: str  # filesystem dir holding the chunk files
+    name: str
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    dtype: np.dtype
+    compressor: dict | None
+    fill_value: object
+    order: str
+    dim_sep: str
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def dims(self) -> list[str]:
+        return list(self.attrs.get("_ARRAY_DIMENSIONS", []))
+
+    @property
+    def chunk_grid(self) -> tuple[int, ...]:
+        return tuple(
+            math.ceil(s / c) for s, c in zip(self.shape, self.chunks)
+        )
+
+    def chunk_file(self, idx: tuple[int, ...]) -> str:
+        return os.path.join(self.path, self.dim_sep.join(str(i) for i in idx))
+
+
+@dataclass
+class ZarrGroup:
+    path: str
+    attrs: dict
+    arrays: dict[str, ZarrArray]
+
+
+def _parse_fill(fill, dtype: np.dtype):
+    if fill is None:
+        return np.zeros((), dtype=dtype)[()]
+    if fill == "NaN":
+        return np.nan
+    return np.array(fill, dtype=dtype)[()]
+
+
+def _read_json(p: str) -> dict:
+    with open(p) as f:
+        return json.load(f)
+
+
+def open_group(path: str) -> ZarrGroup:
+    """Parse a zarr v2 group directory (consolidated ``.zmetadata`` when
+    present, else a directory walk)."""
+    meta_path = os.path.join(path, ".zmetadata")
+    entries: dict[str, dict] = {}
+    if os.path.exists(meta_path):
+        entries = _read_json(meta_path)["metadata"]
+    else:
+        for root, _dirs, files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            prefix = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+            for fn in files:
+                if fn in (".zgroup", ".zarray", ".zattrs"):
+                    entries[prefix + fn] = _read_json(os.path.join(root, fn))
+    group_attrs = entries.get(".zattrs", {})
+    arrays: dict[str, ZarrArray] = {}
+    for key, meta in entries.items():
+        if not key.endswith(".zarray"):
+            continue
+        name = key[: -len("/.zarray")]
+        if meta.get("zarr_format") != 2:
+            raise ValueError(f"{name}: only zarr v2 is supported")
+        if meta.get("order", "C") != "C":
+            raise ValueError(f"{name}: only C-order chunks supported")
+        if meta.get("filters"):
+            raise UnsupportedCodecError(f"{name}: filters unsupported")
+        dtype = (
+            np.dtype([tuple(fld) for fld in meta["dtype"]])
+            if isinstance(meta["dtype"], list)
+            else np.dtype(meta["dtype"])
+        )
+        arrays[name] = ZarrArray(
+            path=os.path.join(path, name.replace("/", os.sep)),
+            name=name,
+            shape=tuple(meta["shape"]),
+            chunks=tuple(meta["chunks"]),
+            dtype=dtype,
+            compressor=meta.get("compressor"),
+            fill_value=_parse_fill(meta.get("fill_value"), dtype),
+            order="C",
+            dim_sep=meta.get("dimension_separator", "."),
+            attrs=entries.get(f"{name}/.zattrs", {}),
+        )
+    return ZarrGroup(path=path, attrs=group_attrs, arrays=arrays)
+
+
+# --- region read (the core of any zarr reader) ------------------------------
+
+
+def read_region(arr: ZarrArray, region: tuple[slice, ...]) -> np.ndarray:
+    """Assemble an arbitrary rectangular region from chunk files.
+
+    Missing chunk files materialize as fill_value (zarr's sparse-write
+    semantics — exactly how dead cells appear in an MDIO cube).
+    """
+    region = tuple(
+        slice(*s.indices(dim)) for s, dim in zip(region, arr.shape)
+    )
+    out_shape = tuple(s.stop - s.start for s in region)
+    out = np.full(out_shape, arr.fill_value, dtype=arr.dtype)
+    lo = [s.start // c for s, c in zip(region, arr.chunks)]
+    hi = [(max(s.stop - 1, s.start)) // c for s, c in zip(region, arr.chunks)]
+    for flat in np.ndindex(*[h - l + 1 for l, h in zip(lo, hi)]):
+        cidx = tuple(l + f for l, f in zip(lo, flat))
+        cpath = arr.chunk_file(cidx)
+        c0 = [i * c for i, c in zip(cidx, arr.chunks)]
+        src, dst = [], []
+        for d in range(len(arr.shape)):
+            a = max(region[d].start, c0[d])
+            b = min(region[d].stop, c0[d] + arr.chunks[d])
+            src.append(slice(a - c0[d], b - c0[d]))
+            dst.append(slice(a - region[d].start, b - region[d].start))
+        if not os.path.exists(cpath):
+            continue  # already fill
+        with open(cpath, "rb") as f:
+            raw = _decode_chunk(f.read(), arr.compressor)
+        chunk = np.frombuffer(raw, dtype=arr.dtype).reshape(arr.chunks)
+        out[tuple(dst)] = chunk[tuple(src)]
+    return out
+
+
+def read_array(arr: ZarrArray) -> np.ndarray:
+    return read_region(arr, tuple(slice(0, s) for s in arr.shape))
+
+
+# --- write side -------------------------------------------------------------
+
+
+def _dtype_descr(dtype: np.dtype) -> str:
+    return dtype.str
+
+
+def write_array_meta(
+    root: str,
+    name: str,
+    shape: tuple[int, ...],
+    chunks: tuple[int, ...],
+    dtype: np.dtype,
+    dims: list[str],
+    compressor: dict | None,
+    fill_value=0,
+    extra_attrs: dict | None = None,
+) -> None:
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(shape),
+        "chunks": list(chunks),
+        "dtype": _dtype_descr(np.dtype(dtype)),
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": ".",
+    }
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    attrs = {"_ARRAY_DIMENSIONS": dims, **(extra_attrs or {})}
+    with open(os.path.join(d, ".zattrs"), "w") as f:
+        json.dump(attrs, f)
+
+
+def write_chunk(
+    root: str,
+    name: str,
+    chunk_idx: tuple[int, ...],
+    data: np.ndarray,
+    chunks: tuple[int, ...],
+    compressor: dict | None,
+    fill_value=0,
+) -> None:
+    """Write one chunk file; ``data`` may be an edge remainder — it is
+    padded to the full chunk shape per the v2 spec."""
+    if tuple(data.shape) != tuple(chunks):
+        full = np.full(chunks, fill_value, dtype=data.dtype)
+        full[tuple(slice(0, s) for s in data.shape)] = data
+        data = full
+    raw = _encode_chunk(np.ascontiguousarray(data).tobytes(), compressor)
+    path = os.path.join(root, name, ".".join(str(i) for i in chunk_idx))
+    with open(path, "wb") as f:
+        f.write(raw)
+
+
+def consolidate(root: str) -> None:
+    """Write ``.zmetadata`` (consolidated metadata) like the reference's
+    v2 writer (``segy/blocked_io.py:84-93``)."""
+    metadata: dict[str, dict] = {}
+    for r, _dirs, files in os.walk(root):
+        rel = os.path.relpath(r, root)
+        prefix = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+        for fn in files:
+            if fn in (".zgroup", ".zarray", ".zattrs"):
+                metadata[prefix + fn] = _read_json(os.path.join(r, fn))
+    with open(os.path.join(root, ".zmetadata"), "w") as f:
+        json.dump({"metadata": metadata, "zarr_consolidated_format": 1}, f)
+
+
+# --- Spark integration ------------------------------------------------------
+
+
+def zarr_cube_to_df(
+    spark: SparkSession,
+    path: str,
+    variable: str | None = None,
+    mask_var: str = "trace_mask",
+) -> DataFrame:
+    """Open an MDIO-shaped zarr cube as a long-format trace DataFrame:
+    one row per live trace with ``<dim>`` value, ``<dim>_idx``, and the
+    ``samples`` vector — the same surface ``open_store`` gives.
+
+    One Spark task per spatial chunk tuple; each task reads its own chunk
+    files (all vertical chunks of its column) — no shuffle.
+    """
+    group = open_group(path)
+    if variable is None:
+        variable = group.attrs.get("attributes", {}).get(
+            "defaultVariableName"
+        ) or max(
+            (a for a in group.arrays.values() if len(a.shape) > 1),
+            key=lambda a: math.prod(a.shape),
+        ).name
+    var = group.arrays[variable]
+    spatial = var.dims[:-1]
+    if not spatial:
+        raise ValueError(f"{variable}: expected >= 2 dims")
+    # small dimension coordinate arrays ship in the task closure
+    coords = {
+        d: read_array(group.arrays[d]) if d in group.arrays else None
+        for d in spatial
+    }
+    mask = group.arrays.get(mask_var)
+    spatial_grid = var.chunk_grid[:-1]
+    n_tasks = math.prod(spatial_grid)
+
+    schema = ", ".join(
+        [f"{d} long, {d}_idx long" for d in spatial] + ["samples array<float>"]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            for task_id in pdf["id"]:
+                cidx = np.unravel_index(int(task_id), spatial_grid)
+                lo = [i * c for i, c in zip(cidx, var.chunks[:-1])]
+                hi = [
+                    min(l + c, s)
+                    for l, c, s in zip(lo, var.chunks[:-1], var.shape[:-1])
+                ]
+                box = tuple(slice(l, h) for l, h in zip(lo, hi))
+                block = read_region(var, (*box, slice(0, var.shape[-1])))
+                nspatial = tuple(h - l for l, h in zip(lo, hi))
+                if mask is not None:
+                    live = read_region(mask, box).astype(bool)
+                else:
+                    live = ~np.all(block == var.fill_value, axis=-1)
+                idx = np.argwhere(live)
+                if idx.size == 0:
+                    continue
+                cols = {}
+                for d_i, d in enumerate(spatial):
+                    gidx = idx[:, d_i] + lo[d_i]
+                    cols[d] = (
+                        coords[d][gidx].astype(np.int64)
+                        if coords[d] is not None
+                        else gidx.astype(np.int64)
+                    )
+                    cols[f"{d}_idx"] = gidx.astype(np.int64)
+                flat = block.reshape(*nspatial, var.shape[-1])[live]
+                cols["samples"] = list(flat.astype(np.float32))
+                yield pd.DataFrame(cols)
+
+    blocks = spark.range(n_tasks).repartition(min(n_tasks, 256))
+    return blocks.mapInPandas(scan, schema=schema)
+
+
+def store_to_zarr(
+    spark: SparkSession,
+    store_path: str,
+    zarr_path: str,
+    compressor: dict | None = None,
+) -> int:
+    """Export the engine's parquet store to an xarray-convention zarr v2
+    group readable by zarr/xarray (and by :func:`zarr_cube_to_df`).
+
+    Chunk boundaries = the store's chunk keys, so the write is
+    ``applyInPandas`` over the store's existing partition layout — each
+    group materializes its dense block and writes its chunk files.
+    Returns the number of traces written.
+    """
+    from mdio_python_spark.sources.store import open_store
+
+    compressor = compressor or {"id": "zlib", "level": 1}
+    st = open_store(spark, store_path)
+    spatial = st.spatial_dims
+    attrs = st.dataset.attributes
+    vertical = attrs.get("verticalDim", "time")
+    var_name = attrs.get("defaultVariableName", "amplitude")
+    dim_sizes = {d.name: d.size for d in st.dataset.dimensions}
+    ns = dim_sizes[vertical]
+    chunks_cfg = {
+        **{d: 1 for d in spatial},
+        **json.load(open(os.path.join(store_path, "manifest.json")))["chunks"],
+    }
+    spatial_chunks = tuple(int(chunks_cfg[d]) for d in spatial)
+    shape = tuple(dim_sizes[d] for d in spatial)
+
+    os.makedirs(zarr_path, exist_ok=True)
+    with open(os.path.join(zarr_path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(os.path.join(zarr_path, ".zattrs"), "w") as f:
+        json.dump({"attributes": attrs}, f, default=str)
+
+    # dimension coordinates (tiny, driver-side)
+    dim_values: dict[str, np.ndarray] = {}
+    for d in spatial:
+        vals = (
+            st.dims[d]
+            .orderBy(f"{d}_idx")
+            .select(d)
+            .toPandas()[d]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        dim_values[d] = vals
+        write_array_meta(
+            zarr_path, d, (len(vals),), (len(vals),), np.dtype("<i8"), [d],
+            compressor,
+        )
+        write_chunk(
+            zarr_path, d, (0,), vals.astype("<i8"), (len(vals),), compressor
+        )
+    labels = (np.arange(ns) * attrs.get("sampleIntervalUs", 1000) // 1000).astype(
+        "<i8"
+    )
+    write_array_meta(
+        zarr_path, vertical, (ns,), (ns,), np.dtype("<i8"), [vertical],
+        compressor,
+    )
+    write_chunk(zarr_path, vertical, (0,), labels, (ns,), compressor)
+
+    write_array_meta(
+        zarr_path,
+        var_name,
+        (*shape, ns),
+        (*spatial_chunks, ns),
+        np.dtype("<f4"),
+        [*spatial, vertical],
+        compressor,
+        fill_value=0,
+    )
+    write_array_meta(
+        zarr_path,
+        "trace_mask",
+        shape,
+        spatial_chunks,
+        np.dtype("|b1"),
+        list(spatial),
+        compressor,
+        fill_value=False,
+    )
+
+    chunk_cols = [f"{d}_chunk" for d in spatial]
+    idx_cols = [f"{d}_idx" for d in spatial]
+    traces = st.traces.select(*chunk_cols, *idx_cols, "samples")
+    n_spatial = len(spatial)
+    var_chunks = (*spatial_chunks, ns)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cidx = tuple(int(pdf[c].iloc[0]) for c in chunk_cols)
+        lo = [i * c for i, c in zip(cidx, spatial_chunks)]
+        block_shape = tuple(
+            min(c, s - l) for c, s, l in zip(spatial_chunks, shape, lo)
+        )
+        block = np.zeros((*block_shape, ns), dtype=np.float32)
+        live = np.zeros(block_shape, dtype=bool)
+        local = tuple(
+            pdf[ic].to_numpy() - l for ic, l in zip(idx_cols, lo)
+        )
+        samples = np.stack(
+            [np.asarray(s, dtype=np.float32) for s in pdf["samples"]]
+        )
+        block[local] = samples
+        live[local] = True
+        write_chunk(
+            zarr_path, var_name, (*cidx, 0), block, var_chunks, compressor, 0
+        )
+        write_chunk(
+            zarr_path, "trace_mask", cidx, live, spatial_chunks, compressor,
+            False,
+        )
+        return pd.DataFrame({"n": [len(pdf)]})
+
+    counts = (
+        traces.groupBy(*chunk_cols)
+        .applyInPandas(write_group, schema="n long")
+        .agg(F.sum("n").alias("n"))
+        .collect()[0]["n"]
+    )
+    consolidate(zarr_path)
+    return int(counts or 0)

@@ -1,0 +1,147 @@
+"""Zarr v2 interop tests (S4 for real MDIO-shaped stores): read cubes
+written by an independent writer, write cubes an independent reader can
+open, and roundtrip the engine's own store through zarr."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.zarr_factory import read_zarr_array, write_group_meta, write_zarr_array
+
+from mdio_python_spark.sources import zarr_store as zs
+
+
+@pytest.fixture
+def cube_zarr(tmp_path):
+    """Independent-writer MDIO-shaped cube: 6x4 grid, 5 samples, one dead
+    spatial chunk (absent chunk files = sparse write)."""
+    root = str(tmp_path / "cube.zarr")
+    rng = np.random.default_rng(31)
+    amp = rng.standard_normal((6, 4, 5)).astype("<f4")
+    mask = np.ones((6, 4), dtype="|b1")
+    mask[4:, 2:] = False  # dead corner
+    amp[~mask] = 0.0
+    write_group_meta(
+        root, {"attributes": {"defaultVariableName": "amplitude"}}
+    )
+    write_zarr_array(root, "inline", np.arange(10, 16, dtype="<i8"), (6,), ["inline"])
+    write_zarr_array(root, "crossline", np.arange(100, 104, dtype="<i8"), (4,), ["crossline"])
+    write_zarr_array(root, "time", np.arange(5, dtype="<i8"), (5,), ["time"])
+    write_zarr_array(
+        root, "amplitude", amp, (2, 2, 5), ["inline", "crossline", "time"]
+    )
+    write_zarr_array(root, "trace_mask", mask, (2, 2), ["inline", "crossline"])
+    return root, amp, mask
+
+
+def test_read_independent_cube(spark, cube_zarr):
+    root, amp, mask = cube_zarr
+    df = zs.zarr_cube_to_df(spark, root)
+    rows = df.collect()
+    assert len(rows) == int(mask.sum())
+    for r in rows[:8]:
+        il, xl = r["inline_idx"], r["crossline_idx"]
+        assert r["inline"] == 10 + il and r["crossline"] == 100 + xl
+        assert np.allclose(
+            np.array(r["samples"], dtype=np.float32), amp[il, xl]
+        )
+
+
+def test_missing_chunks_read_as_fill(tmp_path, spark):
+    root = str(tmp_path / "sparse.zarr")
+    amp = np.ones((4, 2, 3), dtype="<f4")
+    write_group_meta(root, {"attributes": {"defaultVariableName": "amplitude"}})
+    write_zarr_array(
+        root,
+        "amplitude",
+        amp,
+        (2, 2, 3),
+        ["inline", "crossline", "time"],
+        skip_chunks={(1, 0, 0)},  # rows 2-3 absent
+    )
+    df = zs.zarr_cube_to_df(spark, root)
+    # no mask array and no coord arrays: live = any nonzero sample,
+    # dims fall back to indices
+    rows = {(r["inline"], r["crossline"]) for r in df.collect()}
+    assert rows == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_unsupported_codec_rejected(tmp_path):
+    import json
+
+    root = str(tmp_path / "blosc.zarr")
+    os.makedirs(os.path.join(root, "a"))
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    json.dump(
+        {
+            "zarr_format": 2,
+            "shape": [2],
+            "chunks": [2],
+            "dtype": "<f4",
+            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5},
+            "fill_value": 0,
+            "order": "C",
+            "filters": None,
+        },
+        open(os.path.join(root, "a", ".zarray"), "w"),
+    )
+    with open(os.path.join(root, "a", "0"), "wb") as f:
+        f.write(b"\x02\x01\x21\x04")
+    g = zs.open_group(root)
+    with pytest.raises(zs.UnsupportedCodecError, match="blosc"):
+        zs.read_array(g.arrays["a"])
+
+
+def test_store_to_zarr_roundtrip(tmp_path, spark):
+    """Engine store -> zarr -> (a) independent reader sees the dense cube,
+    (b) engine zarr reader reproduces the trace table."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+    from mdio_python_spark.sources.store import open_store
+
+    sgy = str(tmp_path / "cube.sgy")
+    headers, samples, rows = make_poststack_3d(
+        sgy, n_inline=6, n_crossline=5, n_samples=8, dead_fraction=0.2
+    )
+    store_path = str(tmp_path / "store")
+    template = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": []}
+    )
+    segy_to_store(spark, sgy, store_path, template)
+    zarr_path = str(tmp_path / "out.zarr")
+    n = zs.store_to_zarr(spark, store_path, zarr_path)
+    assert n == len(headers)
+
+    # (a) independent reader: dense cube + mask
+    amp = read_zarr_array(zarr_path, "amplitude")
+    mask = read_zarr_array(zarr_path, "trace_mask")
+    inline_vals = read_zarr_array(zarr_path, "inline")
+    assert amp.shape == (6, 5, 8)
+    assert int(mask.sum()) == len(headers)
+    assert list(inline_vals) == list(range(1, 7))
+    for (il, xl), trace in zip(rows, samples):
+        assert mask[il - 1, xl - 1]
+        assert np.allclose(amp[il - 1, xl - 1], trace)
+
+    # (b) engine reader round-trips the long format
+    df = zs.zarr_cube_to_df(spark, zarr_path)
+    got = {
+        (r["inline"], r["crossline"]): np.array(r["samples"], dtype=np.float32)
+        for r in df.collect()
+    }
+    assert set(got) == set(rows)
+    st = open_store(spark, store_path)
+    assert st.traces.count() == len(got)
+    # consolidated metadata present and parseable by the engine reader
+    assert os.path.exists(os.path.join(zarr_path, ".zmetadata"))
+    g = zs.open_group(zarr_path)
+    assert "amplitude" in g.arrays and g.arrays["amplitude"].dims == [
+        "inline",
+        "crossline",
+        "time",
+    ]

@@ -1,0 +1,89 @@
+"""Independent minimal zarr v2 writer/reader for interop tests — plain
+json + zlib + numpy restatement of the public v2 storage spec, sharing no
+code with the engine's ``sources/zarr_store.py`` (anti-circularity, like
+``segy_factory.py``)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import zlib
+
+import numpy as np
+
+
+def write_zarr_array(
+    root: str,
+    name: str,
+    data: np.ndarray,
+    chunks: tuple[int, ...],
+    dims: list[str],
+    compress: bool = True,
+    skip_chunks: set[tuple[int, ...]] | None = None,
+    fill_value=0,
+) -> None:
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(data.shape),
+        "chunks": list(chunks),
+        "dtype": data.dtype.str,
+        "compressor": {"id": "zlib", "level": 1} if compress else None,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+    }
+    json.dump(meta, open(os.path.join(d, ".zarray"), "w"))
+    json.dump({"_ARRAY_DIMENSIONS": dims}, open(os.path.join(d, ".zattrs"), "w"))
+    grid = [math.ceil(s / c) for s, c in zip(data.shape, chunks)]
+    for idx in np.ndindex(*grid):
+        if skip_chunks and tuple(idx) in skip_chunks:
+            continue
+        full = np.full(chunks, fill_value, dtype=data.dtype)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, data.shape)
+        )
+        part = data[sel]
+        full[tuple(slice(0, x) for x in part.shape)] = part
+        raw = np.ascontiguousarray(full).tobytes()
+        if compress:
+            raw = zlib.compress(raw, 1)
+        with open(os.path.join(d, ".".join(map(str, idx))), "wb") as f:
+            f.write(raw)
+
+
+def write_group_meta(root: str, attrs: dict | None = None) -> None:
+    os.makedirs(root, exist_ok=True)
+    json.dump({"zarr_format": 2}, open(os.path.join(root, ".zgroup"), "w"))
+    if attrs:
+        json.dump(attrs, open(os.path.join(root, ".zattrs"), "w"))
+
+
+def read_zarr_array(root: str, name: str) -> np.ndarray:
+    """Independent full-array read (fill for absent chunks)."""
+    d = os.path.join(root, name)
+    meta = json.load(open(os.path.join(d, ".zarray")))
+    shape, chunks = meta["shape"], meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value") or 0
+    out = np.full(shape, fill, dtype=dtype)
+    grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
+    sep = meta.get("dimension_separator", ".")
+    for idx in np.ndindex(*grid):
+        p = os.path.join(d, sep.join(map(str, idx)))
+        if not os.path.exists(p):
+            continue
+        raw = open(p, "rb").read()
+        if meta["compressor"] is not None:
+            assert meta["compressor"]["id"] == "zlib"
+            raw = zlib.decompress(raw)
+        chunk = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[sel] = chunk[tuple(slice(0, x.stop - x.start) for x in sel)]
+    return out
