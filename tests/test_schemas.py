@@ -97,3 +97,25 @@ def test_dataset_document_validation():
     # manifest round-trip
     doc = ds.model_dump(mode="json")
     assert Dataset.model_validate(doc) == ds
+
+
+def test_unit_models_mirror_reference_surface():
+    """Unit enums/models (``builder/schemas/v1/units.py:14-105``): same
+    quantities and members, reference-shaped JSON, exact conversions."""
+    from mdio_python_spark.schemas import units as U
+
+    assert [u.value for u in U.LengthUnit] == [
+        "mm", "cm", "m", "km", "in", "ft", "yd", "mi"]
+    assert len(U.TimeUnit) == 7 and len(U.VoltageUnit) == 3
+    assert U.LengthUnitModel(length="ft").model_dump() == {
+        "length": U.LengthUnit.FOOT
+    }
+    assert U.LengthUnitModel(length="ft").model_dump_json() == '{"length":"ft"}'
+    import pytest as _pytest
+
+    assert U.convert(1.0, U.LengthUnit.FOOT, U.LengthUnit.METER) == 0.3048
+    assert U.convert(1.0, U.TimeUnit.MILLISECOND, U.TimeUnit.MICROSECOND) == _pytest.approx(1000.0)
+    with _pytest.raises(ValueError):
+        U.convert(1.0, U.LengthUnit.METER, U.TimeUnit.SECOND)
+    assert U.measurement_system_unit(2) == U.LengthUnit.FOOT
+    assert U.measurement_system_unit(1) == U.LengthUnit.METER
