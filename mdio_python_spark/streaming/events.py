@@ -83,11 +83,65 @@ def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for semantics the built-in windowed aggregates can't
+    express (arbitrary per-key state machines). Here: per-user running
+    event count / total / max / last-seen second, emitted on every
+    update. State is one tiny tuple per user, so the state store is
+    bounded by |users| regardless of stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, "
+        "max_value double, last_sec long"
+    )
+    state_schema = "n long, total double, mx double, last long"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx, last = (
+            state.get if state.exists else (0, 0.0, float("-inf"), 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+            last = max(last, int(pdf["sec"].max()))
+        state.update((n, total, mx, last))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "total_value": total,
+                    "max_value": mx,
+                    "last_sec": last,
+                }
+            ]
+        )
+
+    prepared = events.select(
+        "user_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a bounded file stream to completion into an in-memory table
     (test/smoke harness; production sinks are kafka/delta/foreachBatch)."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

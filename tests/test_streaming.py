@@ -39,3 +39,44 @@ def test_sessionization(spark):
     # total events conserved
     batch_n = load_table(spark, SF, "events").count()
     assert int(got["n_events"].sum()) == batch_n
+
+
+def test_user_running_stats_stateful(spark):
+    """applyInPandasWithState custom stateful operator: after draining the
+    bounded stream, the latest per-user state row equals the batch
+    aggregate over the same data."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.sources.tables import load_table
+    from mdio_python_spark.streaming import events as ev
+
+    stream = ev.stream_events(spark, SF)
+    out = ev.run_to_memory(
+        ev.user_running_stats(stream), "user_running_stats_t", "update"
+    )
+    # update mode may emit multiple rows per user across batches; the
+    # final state per user is the row with the max n_events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "n_events", "total_value", "max_value")
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    b = {r["user_id"]: r for r in batch.collect()}
+    assert set(f) == set(b)
+    for uid in b:
+        assert f[uid]["n_events"] == b[uid]["n_events"]
+        assert abs(f[uid]["total_value"] - b[uid]["total_value"]) < 1e-6
+        assert f[uid]["max_value"] == b[uid]["max_value"]
