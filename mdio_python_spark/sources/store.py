@@ -35,6 +35,7 @@ class OpenedStore:
     dims: dict[str, DataFrame]
     dataset: Dataset
     path: str
+    chunks: dict[str, int]
 
     @property
     def spatial_dims(self) -> list[str]:
@@ -110,7 +111,51 @@ def open_store(spark: SparkSession, path: str) -> OpenedStore:
         d: spark.read.parquet(os.path.join(path, "dims", d))
         for d in os.listdir(os.path.join(path, "dims"))
     }
-    return OpenedStore(traces=traces, dims=dims, dataset=dataset, path=path)
+    return OpenedStore(
+        traces=traces,
+        dims=dims,
+        dataset=dataset,
+        path=path,
+        chunks={k: int(v) for k, v in manifest.get("chunks", {}).items()},
+    )
+
+
+def slice_traces(
+    store: OpenedStore, predicates: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Dim-value range selection WITH chunk-partition pruning — the Zarr
+    chunk-aligned-read analog (``api/io.py`` slicing semantics).
+
+    A plain ``WHERE dim BETWEEN lo AND hi`` cannot prune the store's
+    ``<dim>_chunk=`` partition directories (Catalyst can't know chunk ids
+    are a function of dim values), so every chunk's footers would be
+    opened at 100 TB. Here the value range is translated driver-side to
+    an index range via the tiny sorted dim table, the index range to a
+    chunk range, and BOTH predicates are applied — the scan's
+    ``PartitionFilters`` then skip whole chunk directories (asserted by
+    ``tests/test_store_pruning.py``). An empty value range short-circuits
+    to an empty frame with the same schema.
+    """
+    sel = store.traces
+    for dim, (lo, hi) in predicates.items():
+        chunk = store.chunks.get(dim, 1)
+        bounds = (
+            store.dims[dim]
+            .where(F.col(dim).between(lo, hi))
+            .agg(
+                F.min(f"{dim}_idx").alias("lo"), F.max(f"{dim}_idx").alias("hi")
+            )
+            .collect()[0]
+        )
+        if bounds["lo"] is None:
+            return store.traces.where(F.lit(False))
+        sel = sel.where(
+            F.col(dim).between(lo, hi)
+            & F.col(f"{dim}_chunk").between(
+                bounds["lo"] // chunk, bounds["hi"] // chunk
+            )
+        )
+    return sel
 
 
 def open_mdio(spark: SparkSession, path: str) -> DataFrame:
@@ -135,13 +180,12 @@ def dense_slice(
     """Dense-on-read rectangle (SURVEY §7 hard part 2): null-complete the
     sparse rows against the dim-table cross product within the requested
     bounding box. Only materializes the requested rectangle."""
-    sel = store.traces
+    if not predicates:
+        raise ValueError("at least one dim predicate required")
+    sel = slice_traces(store, predicates)  # chunk-partition-pruned scan
     box = None
     for dim, (lo, hi) in predicates.items():
-        sel = sel.where(F.col(dim).between(lo, hi))
         d = store.dims[dim].where(F.col(dim).between(lo, hi))
         box = d if box is None else box.crossJoin(d)
-    if box is None:
-        raise ValueError("at least one dim predicate required")
     join_dims = list(predicates)
     return box.join(sel, on=join_dims, how="left")
