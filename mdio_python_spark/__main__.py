@@ -35,6 +35,18 @@ def main(argv: list[str] | None = None) -> int:
     p_cp.add_argument("src")
     p_cp.add_argument("dest")
 
+    p_zex = sub.add_parser(
+        "export-zarr", help="store -> xarray-convention zarr v2 group"
+    )
+    p_zex.add_argument("store")
+    p_zex.add_argument("zarr")
+
+    p_zim = sub.add_parser(
+        "import-zarr", help="MDIO-shaped zarr v2 cube -> store-format trace parquet"
+    )
+    p_zim.add_argument("zarr")
+    p_zim.add_argument("out_parquet")
+
     args = p.parse_args(argv)
 
     if args.cmd == "info":
@@ -74,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
 
         n = store_to_segy(spark, args.store, args.segy)
         print(f"exported {n} traces -> {args.segy}")
+    elif args.cmd == "export-zarr":
+        from mdio_python_spark.sources.zarr_store import store_to_zarr
+
+        n = store_to_zarr(spark, args.store, args.zarr)
+        print(f"exported {n} traces -> {args.zarr}")
+    elif args.cmd == "import-zarr":
+        from mdio_python_spark.sources.zarr_store import zarr_cube_to_df
+
+        df = zarr_cube_to_df(spark, args.zarr)
+        df.write.mode("overwrite").parquet(args.out_parquet)
+        print(f"imported {args.zarr} -> {args.out_parquet}")
     elif args.cmd == "copy":
         # K5 dataset copy (``src/mdio/commands/copy.py:49-80``). The copy
         # must preserve the store contract: chunk-partitioned traces layout

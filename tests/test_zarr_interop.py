@@ -145,3 +145,22 @@ def test_store_to_zarr_roundtrip(tmp_path, spark):
         "crossline",
         "time",
     ]
+
+
+def test_cli_zarr_roundtrip(tmp_path, spark):
+    """CLI surface: import -> export-zarr -> import-zarr parquet."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.__main__ import main
+
+    sgy = str(tmp_path / "c.sgy")
+    make_poststack_3d(sgy, n_inline=4, n_crossline=3, n_samples=6)
+    store = str(tmp_path / "store")
+    zarr_path = str(tmp_path / "z.zarr")
+    out_pq = str(tmp_path / "traces.parquet")
+    assert main(["import", sgy, store]) == 0
+    assert main(["export-zarr", store, zarr_path]) == 0
+    assert main(["import-zarr", zarr_path, out_pq]) == 0
+    df = spark.read.parquet(out_pq)
+    assert df.count() == 12
+    assert {"inline", "crossline", "samples"} <= set(df.columns)
