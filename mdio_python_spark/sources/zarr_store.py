@@ -436,10 +436,28 @@ def store_to_zarr(
         compressor,
         fill_value=False,
     )
+    # physical coordinates (cdp_x etc.) as dim-shaped float64 arrays —
+    # what a real MDIO consumer expects beside the amplitude cube
+    coord_names = [
+        c.name
+        for c in st.dataset.coordinates
+        if c.name in st.traces.columns and c.name not in spatial
+    ]
+    for cname in coord_names:
+        write_array_meta(
+            zarr_path,
+            cname,
+            shape,
+            spatial_chunks,
+            np.dtype("<f8"),
+            list(spatial),
+            compressor,
+            fill_value=0,
+        )
 
     chunk_cols = [f"{d}_chunk" for d in spatial]
     idx_cols = [f"{d}_idx" for d in spatial]
-    traces = st.traces.select(*chunk_cols, *idx_cols, "samples")
+    traces = st.traces.select(*chunk_cols, *idx_cols, *coord_names, "samples")
     n_spatial = len(spatial)
     var_chunks = (*spatial_chunks, ns)
 
@@ -466,6 +484,12 @@ def store_to_zarr(
             zarr_path, "trace_mask", cidx, live, spatial_chunks, compressor,
             False,
         )
+        for cname in coord_names:
+            cblock = np.zeros(block_shape, dtype=np.float64)
+            cblock[local] = pdf[cname].to_numpy(dtype=np.float64)
+            write_chunk(
+                zarr_path, cname, cidx, cblock, spatial_chunks, compressor, 0
+            )
         return pd.DataFrame({"n": [len(pdf)]})
 
     counts = (

@@ -164,3 +164,30 @@ def test_cli_zarr_roundtrip(tmp_path, spark):
     df = spark.read.parquet(out_pq)
     assert df.count() == 12
     assert {"inline", "crossline", "samples"} <= set(df.columns)
+
+
+def test_store_to_zarr_writes_coordinates(tmp_path, spark):
+    """Physical coordinate columns (cdp_x/cdp_y) come through as
+    dim-shaped float64 arrays, independently readable."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+
+    sgy = str(tmp_path / "c.sgy")
+    headers, samples, rows = make_poststack_3d(
+        sgy, n_inline=4, n_crossline=3, n_samples=6
+    )
+    store = str(tmp_path / "store")
+    segy_to_store(
+        spark, sgy, store, default_registry().get("PostStack3DTime")
+    )
+    zarr_path = str(tmp_path / "z.zarr")
+    zs.store_to_zarr(spark, store, zarr_path)
+    cdp_x = read_zarr_array(zarr_path, "cdp_x")
+    assert cdp_x.shape == (4, 3)
+    # factory: cdp_x = 700000 + il*100 + xl*3, scalar -100 => /100
+    for il, xl in rows:
+        assert cdp_x[il - 1, xl - 1] == pytest.approx(
+            (700000 + il * 100 + xl * 3) / 100.0
+        )
