@@ -196,6 +196,128 @@ def multiband_topk(
     )
 
 
+def _lfold_norm(values) -> float:
+    """Left-fold L2 norm matching the oracle's ``list_reduce`` fold order
+    bit-for-bit (pairwise/numpy summation would differ in the last ulp)."""
+    import math
+
+    acc = 0.0
+    for x in values:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _lit_vec(values) -> Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into ``n_centroids`` Voronoi
+    cells, probe the ``nprobe`` nearest cells per query, exact-rank inside.
+
+    The classic inverted-file index (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011 — the IVF part, without PQ
+    compression), data-dependent where the sign-bucket/multiband variants
+    are data-oblivious. Centroids here are the deterministic id-prefix of
+    the corpus (oracle-expressible stand-in for a sampled k-means — at
+    real scale you'd fit centroids on a driver-side sample and broadcast
+    them; the plan shape is identical).
+
+    Scale design: the centroid set is tiny by construction, so cell
+    assignment is a **pure projection** — centroid vectors are baked in as
+    literals, the argmax runs per-row via ``array_max`` over a
+    ``(cosine, -cid)`` struct array, and the corpus is never shuffled or
+    joined for assignment. Probes explode query-side only (tiny,
+    broadcast). The single shuffle in the whole plan is the final
+    per-query top-k window. At 100 TB the cell id doubles as the storage
+    partition key, so a probe touches ``nprobe/n_centroids`` of the data.
+    """
+    cents = sorted(
+        (int(r[0]), list(r[1]))
+        for r in candidates.where(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cnorms = {cid: _lfold_norm(vec) for cid, vec in cents}
+
+    def cell_structs(vnorm: Column) -> Column:
+        # cosine vs each centroid: dot / (vec_norm * centroid_norm), the
+        # centroid norm folded to a Python double at plan-build time.
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col(vec_col), _lit_vec(cvec))
+                        / (vnorm * F.lit(cnorms[cid]))
+                    ).alias("cos"),
+                    F.lit(-cid).cast("long").alias("ncid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+
+    c = (
+        candidates.select(
+            F.col(id_col).alias("candidate_id"),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("c_norm"),
+        )
+        .withColumn("_cells", cell_structs(F.col("c_norm")))
+        .select(
+            "candidate_id",
+            F.col(vec_col).alias("c_vec"),
+            "c_norm",
+            (-F.array_max("_cells")["ncid"]).alias("cell"),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("q_norm"),
+        )
+        .withColumn("_cells", cell_structs(F.col("q_norm")))
+        .select(
+            F.col("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "q_norm",
+            F.explode(
+                F.slice(F.sort_array("_cells", asc=False), 1, nprobe)
+            ).alias("_p"),
+        )
+        .select("query_id", "q_vec", "q_norm", (-F.col("_p")["ncid"]).alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            "cell",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cell", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.35,

@@ -462,6 +462,60 @@ SELECT query_id, candidate_id, cosine, n_bands, rank FROM (
 """
 
 
+_IVF_COS = (
+    "{_d} / (sqrt({_aa}) * sqrt({_bb}))".format(
+        _d=_DOT.format(a="{a}", b="{b}"),
+        _aa=_DOT.format(a="{a}", b="{a}"),
+        _bb=_DOT.format(a="{b}", b="{b}"),
+    )
+)
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+  FROM embeddings, cent
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_vec, CAST(cid AS BIGINT) AS cell
+  FROM embeddings q, cent
+  WHERE q.vec_id < 50
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY {_IVF_COS.format(a="q.embedding", b="cent_vec")} DESC, cid) <= 4
+),
+scored AS (
+  SELECT query_id, a.vec_id AS candidate_id, a.cell,
+         {_IVF_COS.format(a="q_vec", b="a.embedding")} AS cosine
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  WHERE query_id <> a.vec_id
+)
+SELECT query_id, candidate_id, cell, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, candidate_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("embedding_ivf_ann", _IVF_ORACLE)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — data-dependent Voronoi cells (vs the data-oblivious
+    sign-bucket/multiband LSH variants): 16 centroid cells, 4-probe, exact
+    re-rank inside probed cells. Cell assignment is a shuffle-free
+    projection (centroid literals + array_max argmax); the cell id is the
+    storage partition key at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 50), emb, k=3, n_centroids=16, nprobe=4
+    )
+
+
 @register("embedding_multiband_ann", _MULTIBAND_ORACLE)
 def q_multiband_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-band ANN — the recall fix over single-table sign-bucket LSH
