@@ -25,12 +25,14 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     """File-source stream over the events table.
 
     Spark's file stream source watches a *directory*; the driver testdata is
     a single parquet file, so we stage a watch directory with a symlink —
     exactly the "drop files in, they get processed" deployment shape.
+    ``copies > 1`` stages the file multiple times to simulate an
+    at-least-once source redelivering every event (for dedup tests).
     """
     import os
     import tempfile
@@ -40,7 +42,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     watch_dir = src
     if os.path.isfile(src):
         watch_dir = tempfile.mkdtemp(prefix="events-stream-")
-        os.symlink(src, os.path.join(watch_dir, "events.parquet"))
+        for i in range(copies):
+            os.symlink(src, os.path.join(watch_dir, f"events_{i}.parquet"))
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(watch_dir)
     from mdio_python_spark.sources.tables import normalize_nanos_ts
 
@@ -133,6 +136,34 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def deduped(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop replayed events by ``event_id`` within
+    the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming twin of the batch exact-dedup operator: at-least-once
+    sources (kafka, file redelivery) re-emit rows; the state store keeps
+    one key per event inside the watermark window and ages it out after,
+    so state is bounded by (event rate x horizon), not stream length —
+    the property that makes this safe on an unbounded 100 TB/day feed.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enriched(events: DataFrame, users: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach a static dimension (user
+    attributes) to the event stream.
+
+    Stream-static equi-joins need no watermark and no stream-side state —
+    Spark broadcasts the static side into every micro-batch, so this is
+    the same broadcast-hash-join shape the batch engine uses for dim
+    joins. The static side is re-read per batch, so slowly-changing dims
+    pick up updates between batches for free.
+    """
+    return events.join(F.broadcast(users), "user_id", "left")
 
 
 def run_to_memory(

@@ -41,6 +41,39 @@ def test_sessionization(spark):
     assert int(got["n_events"].sum()) == batch_n
 
 
+def test_streaming_dedup_drops_redelivered_events(spark):
+    """An at-least-once source delivering every event twice (two staged
+    copies of the file) collapses back to the exact batch cardinality
+    through dropDuplicatesWithinWatermark."""
+    stream = se.stream_events(spark, SF, copies=2)
+    got = se.run_to_memory(se.deduped(stream), "dedup_events", "append")
+    batch_n = load_table(spark, SF, "events").count()
+    assert got.count() == batch_n
+    assert got.select("event_id").distinct().count() == batch_n
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static broadcast join: every event row survives (left join)
+    and matched rows carry the dimension attribute."""
+    stream = se.stream_events(spark, SF)
+    users = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = se.run_to_memory(
+        se.enriched(stream, users).select("event_id", "user_id", "segment"),
+        "enriched_events",
+        "append",
+    )
+    batch = load_table(spark, SF, "events")
+    assert out.count() == batch.count()
+    n_matched = out.where(F.col("segment").isNotNull()).count()
+    expect_matched = (
+        batch.join(users, "user_id", "inner").count()
+    )
+    assert n_matched == expect_matched
+
+
 def test_user_running_stats_stateful(spark):
     """applyInPandasWithState custom stateful operator: after draining the
     bounded stream, the latest per-user state row equals the batch
