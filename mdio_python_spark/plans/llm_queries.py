@@ -462,6 +462,115 @@ SELECT query_id, candidate_id, cosine, n_bands, rank FROM (
 """
 
 
+_CURATION_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, text, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+quality AS (SELECT * FROM feats WHERE n_tokens >= 24),
+exact_keep AS (
+  SELECT * FROM quality
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY md5(text))
+),
+shingled AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len({_TOKS}) >= 3
+                THEN list_transform(
+                       generate_series(1, len({_TOKS}) - 2),
+                       i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))
+                ELSE [] END) AS shingle
+  FROM exact_keep
+),
+{_SIGNATURES_CTE},
+{_BANDS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM candidate_pairs p
+  JOIN shingled a ON a.doc_id = p.doc_a
+  JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+drops AS (
+  SELECT DISTINCT i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE)
+          / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+),
+kept AS (
+  SELECT * FROM exact_keep WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+),
+f AS (SELECT lang, COUNT(*) AS n_docs FROM feats GROUP BY lang),
+qx AS (SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang),
+e AS (SELECT lang, COUNT(*) AS n_exact FROM exact_keep GROUP BY lang),
+k AS (SELECT lang, COUNT(*) AS n_kept,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+      FROM kept GROUP BY lang)
+SELECT f.lang, f.n_docs,
+       CAST(COALESCE(qx.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM f
+LEFT JOIN qx USING (lang)
+LEFT JOIN e USING (lang)
+LEFT JOIN k USING (lang)
+"""
+
+
+@register("corpus_curation_funnel", _CURATION_ORACLE)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition every training-data
+    pipeline actually runs, as ONE declared DAG: quality filter (token
+    floor) -> exact dedup (min-id per md5) -> MinHash-LSH near-dedup
+    (verified Jaccard >= 0.5, greedy drop-larger-id) -> per-language
+    funnel counts + kept-token budget.
+
+    Scale shape: each stage consumes the previous stage's (smaller)
+    output; the near-dup stage reuses the one repartition(doc_id)
+    exchange across signature/size/intersection branches exactly as
+    ``near_dup_jaccard``; the funnel aggregates are per-lang partials
+    joined on a handful of rows (broadcast). Nothing corpus-sized is
+    collected or broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "lang", "text", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    quality = feats.where(F.col("n_tokens") >= 24)
+    exact_keep = dedup.exact_dedup(quality)
+
+    hashed = dedup.shingle_hashes(exact_keep, n=3).repartition("doc_id")
+    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
+        F.col("jaccard") >= 0.5
+    )
+    drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = exact_keep.join(drops, "doc_id", "left_anti")
+
+    f = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    qx = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    e = exact_keep.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    k = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    out = (
+        f.join(qx, "lang", "left").join(e, "lang", "left").join(k, "lang", "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_quality", zero).alias("n_quality"),
+        F.coalesce("n_exact", zero).alias("n_exact"),
+        F.coalesce("n_kept", zero).alias("n_kept"),
+        F.coalesce("tokens_kept", zero).alias("tokens_kept"),
+    )
+
+
 _IVF_COS = (
     "{_d} / (sqrt({_aa}) * sqrt({_bb}))".format(
         _d=_DOT.format(a="{a}", b="{b}"),
