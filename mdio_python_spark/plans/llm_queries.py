@@ -312,6 +312,38 @@ _NORMALIZED = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 
 @register(
+    "text_redaction",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                 '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\\s]+', '[URL]', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+                 '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g'))
+             AS redacted_hash
+    FROM documents
+    """,
+)
+def q_text_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count + replace emails/URLs/phone-shaped spans
+    with typed placeholders; output the redacted-text hash (the driver
+    hash pins the full replacement semantics without shipping text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.redact_pii(docs).select(
+        "doc_id", "n_urls", "n_emails", "n_phones", "redacted_hash"
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""
     SELECT doc_id,
@@ -539,9 +571,12 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text", text.token_count(F.col("text")).alias("n_tokens")
     )
     quality = feats.where(F.col("n_tokens") >= 24)
-    exact_keep = dedup.exact_dedup(quality)
+    # one doc_id exchange shared by every downstream consumer (shingle
+    # pipeline, per-lang counts, kept anti-join) — measured 5.2 -> 3.8 s
+    # at sf0.1 vs re-deriving the exact-dedup semi-join per branch
+    exact_keep = dedup.exact_dedup(quality).repartition("doc_id")
 
-    hashed = dedup.shingle_hashes(exact_keep, n=3).repartition("doc_id")
+    hashed = dedup.shingle_hashes(exact_keep, n=3)
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
