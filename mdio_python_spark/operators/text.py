@@ -127,6 +127,38 @@ def language_id(
     )
 
 
+# ASCII-safe, Java-regex + RE2 compatible PII patterns (no lookarounds)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: emails, URLs, and phone-shaped numbers are
+    counted and replaced with typed placeholders.
+
+    Pure ``regexp_count``/``regexp_replace`` Column expressions (JVM-side,
+    shuffle-free scan); the patterns avoid lookarounds so Java regex and
+    RE2 (DuckDB oracle) agree. Replacement order is fixed
+    (url -> email -> phone) so overlapping matches resolve identically in
+    both engines.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, URL_RE, "[URL]")
+    redacted = F.regexp_replace(redacted, EMAIL_RE, "[EMAIL]")
+    redacted = F.regexp_replace(redacted, PHONE_RE, "[PHONE]")
+    return df.withColumns(
+        {
+            "n_urls": F.regexp_count(t, F.lit(URL_RE)).cast("long"),
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)).cast("long"),
+            "n_phones": F.regexp_count(t, F.lit(PHONE_RE)).cast("long"),
+            "redacted": redacted,
+            "redacted_hash": F.md5(redacted),
+        }
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: 60-bit hash of whitespace-normalized lowercase
     text (rolling-hash analog; same md5-based hash in the oracle)."""
