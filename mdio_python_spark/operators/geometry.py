@@ -61,8 +61,13 @@ def gun_geometry_analysis(
     # sf0.1), and both the per-line gun count and the mod-shot analysis
     # run over the collapsed triples instead of re-scanning the source
     triples = df.select(line_col, gun_col, shot_col).distinct()
+    # derive the tiny per-line gun count straight from the source with a
+    # 2-col distinct (partial agg collapses it to ~|line x gun| rows per
+    # task) rather than from `triples` — AQE does not reuse the triples
+    # exchange across branches, so deriving from it re-runs the 3-col
+    # distinct (measured 1.87 -> 1.63 s at sf0.1)
     line_guns = (
-        triples.select(line_col, gun_col)
+        df.select(line_col, gun_col)
         .distinct()
         .groupBy(line_col)
         .agg(F.count(F.lit(1)).alias("num_guns"))
