@@ -367,3 +367,99 @@ def simhash_band_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node links its strictly-larger neighbors to
+    the minimum of its neighborhood (incl. itself)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node links its smaller-or-equal neighbors
+    (and itself) to the minimum of that set."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    spokes = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    centers = mins.select("u", F.col("m").alias("v"))
+    return spokes.union(centers).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components via
+    alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Returns ``(id_col, cluster_id)`` for every node appearing in
+    ``pairs``, with ``cluster_id`` = the minimum id in the component —
+    the canonical keeper for a dedup decision.
+
+    Scale design: each round is expressed as groupBy-min + an equi-join
+    on the center node — never ``collect_list`` of a neighborhood, so a
+    100M-node component cannot materialize an adjacency array on one
+    task (the root's full spoke list exists only as rows). Rounds
+    converge in O(log n); each round's join reuses the groupBy's hash
+    partitioning on the center. Lineage is truncated every round with an
+    eager ``localCheckpoint`` (on a cluster: ``checkpoint`` to
+    fault-tolerant storage), and convergence is detected by an
+    order-independent fingerprint aggregate (count + bit_xor of the pair
+    hash) — one tiny driver row per round, never the edge set.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fingerprint = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        fp = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                hash64(F.concat_ws("_", F.col("u"), F.col("v")))
+            ).alias("x"),
+        ).first()
+        if fingerprint == (fp["n"], fp["x"]):
+            break
+        fingerprint = (fp["n"], fp["x"])
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # At the fixpoint every edge is (member, root); roots appear only on
+    # the v side and cluster under themselves.
+    members = edges.select(
+        F.col("u").alias(id_col), F.col("v").alias("cluster_id")
+    )
+    roots = (
+        edges.select(F.col("v").alias(id_col))
+        .distinct()
+        .select(id_col, F.col(id_col).alias("cluster_id"))
+    )
+    return members.union(roots).distinct()

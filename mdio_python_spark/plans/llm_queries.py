@@ -181,6 +181,43 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(pairs, shingle_sets).where(F.col("jaccard") >= 0.5)
 
 
+@register(
+    "dedup_cluster_assignments",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM candidate_pairs
+      UNION
+      SELECT doc_b, doc_a FROM candidate_pairs
+    ),
+    cc AS (
+      SELECT u AS id, u AS label FROM edges
+      UNION
+      SELECT e.v AS id, cc.label
+      FROM cc JOIN edges e ON e.u = cc.id
+      WHERE cc.label < e.v
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
+    """,
+)
+def q_dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: LSH candidate pairs -> connected components ->
+    (doc_id, cluster_id = min id in component). The step pairwise dedup
+    misses: A~B and B~C puts A,B,C in ONE cluster even when A~C was never
+    a candidate pair, so exactly one representative per transitive group
+    survives.
+
+    Spark side is alternating large-star/small-star rounds (O(log n),
+    join-based — no adjacency arrays); the oracle is a recursive-CTE
+    min-label propagation, pruned to labels below the receiving node.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_hashes(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    return dedup.connected_components(pairs)
+
+
 def _simhash_cte(bits: int) -> str:
     return f"""
   tok AS (

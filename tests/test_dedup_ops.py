@@ -143,3 +143,33 @@ def test_bucket_pairs_uncapped_matches_default_on_small_buckets(spark):
         ).collect()
     )
     assert capped == uncapped and len(capped) > 0
+
+
+def test_connected_components_path_clique_pair(spark):
+    # a 12-node path (worst case for naive label propagation), a triangle,
+    # and an isolated pair — all must collapse to their min-id root
+    pairs = [(i, i + 1) for i in range(1, 12)] + [
+        (20, 21), (21, 22), (20, 22), (30, 31),
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(df).collect()
+    }
+    want = (
+        {(i, 1) for i in range(1, 13)}
+        | {(i, 20) for i in (20, 21, 22)}
+        | {(30, 30), (31, 30)}
+    )
+    assert got == want
+
+
+def test_connected_components_handles_reversed_and_duplicate_edges(spark):
+    df = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 1), (9, 7), (9, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == {(1, 1), (3, 1), (5, 1), (7, 7), (9, 7)}
