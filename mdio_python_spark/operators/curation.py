@@ -1,0 +1,152 @@
+"""Corpus curation operators: eval-set decontamination, Gopher-style
+repetition filters, deterministic stratified sampling.
+
+Beyond-reference surface (BASELINE.json north star) — the filters a
+training-data pipeline runs between dedup and tokenization:
+
+- decontamination: flag training docs sharing long word n-grams with an
+  evaluation split (the standard test-set-leak guard). The eval n-gram
+  set is orders of magnitude smaller than the corpus, so it broadcasts;
+  the corpus side is a scan + one map-side-combinable groupBy.
+- repetition features: Gopher/C4-style per-doc repetition scores
+  (duplicate-bigram fraction, top-bigram character mass) — two chained
+  combinable groupBys on the same key, no joins.
+- stratified sampling: per-stratum keep rates applied via a salted
+  deterministic hash — a pure projection + filter, shuffle-free, and
+  reproducible across runs/engines (no RNG state).
+
+All hashing is the shared md5-based 60-bit ``hash64`` so DuckDB oracles
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mdio_python_spark.functions.scalars import hash64
+from mdio_python_spark.operators.dedup import shingle_hashes, word_shingles
+
+
+def split_hash(id_col: Column, salt: str, modulus: int) -> Column:
+    """Deterministic bucket in [0, modulus) from a salted id hash."""
+    return F.pmod(hash64(F.concat(F.lit(salt), id_col.cast("string"))), F.lit(modulus))
+
+
+def eval_split_pred(
+    id_col: str = "doc_id", modulus: int = 20, salt: str = "eval"
+) -> Column:
+    """True for rows in the held-out eval split (~1/modulus of the corpus)."""
+    return split_hash(F.col(id_col), salt, modulus) == 0
+
+
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-train-doc overlap with the eval split's word ``n``-grams.
+
+    Returns ``(id_col, n_ngrams, n_contaminated, contaminated)`` for every
+    train doc with at least one ``n``-gram. ``contaminated`` is the
+    conventional any-overlap decision (one shared 8-gram means the doc
+    quotes eval material).
+
+    Scale shape: the eval n-gram set is tiny relative to the corpus (an
+    eval suite is ~1e6 grams) and broadcasts; the train side is one scan
+    producing distinct (doc, gram-hash) pairs — the only exchange is the
+    per-doc distinct/groupBy, and the grams cross the wire as 8-byte
+    hashes, never strings.
+    """
+    eval_grams = (
+        shingle_hashes(eval_docs, n, text_col, id_col)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_grams = shingle_hashes(train, n, text_col, id_col, distinct=True)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition scores per document.
+
+    - ``dup_bigram_frac``: fraction of bigram occurrences that are repeats
+      of an earlier occurrence (1 - distinct/total).
+    - ``top_bigram`` / ``top_bigram_count``: the most frequent bigram
+      (ties broken by the lexicographically greater bigram, identically
+      in the oracle).
+    - ``top_bigram_char_frac``: character mass of the top bigram's
+      occurrences over all bigram characters — the "fraction of
+      characters in the most common 2-gram" filter.
+
+    Two chained groupBys on ``(doc, bigram)`` then ``doc`` — both
+    map-side combinable, the second reuses the first's hash partitioning
+    (no extra exchange), and nothing joins back against the corpus.
+    """
+    bi = word_shingles(df, 2, text_col, id_col, distinct=False)
+    counts = bi.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    gram_chars = F.col("c") * F.length("shingle")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.sum(gram_chars).alias("_total_gram_chars"),
+        F.max(F.struct(F.col("c"), F.col("shingle"), gram_chars.alias("gc"))).alias(
+            "_top"
+        ),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.col("_top.shingle").alias("top_bigram"),
+        F.col("_top.c").alias("top_bigram_count"),
+        (
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("dup_bigram_frac"),
+        (
+            F.col("_top.gc").cast("double")
+            / F.col("_total_gram_chars").cast("double")
+        ).alias("top_bigram_char_frac"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    precision: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain mixing).
+
+    A row survives iff its salted id hash mod ``precision`` falls below
+    ``rate * precision`` for its stratum — so reruns, retries, and other
+    engines (the DuckDB oracle) select the *same* rows, unlike
+    ``DataFrame.sample`` whose partition-seeded RNG changes under
+    repartitioning. Pure projection + filter: shuffle-free, pushed past
+    the scan by Catalyst, and the rate table is a literal CASE (strata
+    counts are small; use a broadcast join if they ever are not).
+    """
+    bucket = split_hash(F.col(id_col), salt, precision)
+    threshold = F.lit(int(round(default_rate * precision)))
+    for key in sorted(rates, reverse=True):
+        threshold = F.when(
+            F.col(stratum_col) == key, F.lit(int(round(rates[key] * precision)))
+        ).otherwise(threshold)
+    return df.where(bucket < threshold)

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mdio_python_spark.functions.scalars import hash64, sql_hash64
-from mdio_python_spark.operators import dedup, similarity, text
+from mdio_python_spark.operators import curation, dedup, similarity, text
 from mdio_python_spark.plans.registry import register
 from mdio_python_spark.sources.tables import load_table
 
@@ -940,3 +940,111 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("bigram", "n", "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination, repetition filters, stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _ngram_list_sql(n: int) -> str:
+    """DuckDB fragment: list of word n-grams of ``text`` (empty when short)."""
+    return (
+        f"CASE WHEN len({_TOKS}) >= {n} THEN list_transform("
+        f"generate_series(1, len({_TOKS}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' ')) "
+        "ELSE [] END"
+    )
+
+
+_EVAL_HASH = sql_hash64("'eval' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "decontamination_overlap",
+    f"""
+    WITH
+    train_grams AS (
+      SELECT DISTINCT doc_id, unnest({_ngram_list_sql(8)}) AS gram
+      FROM documents WHERE {_EVAL_HASH} % 20 <> 0
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_ngram_list_sql(8)}) AS gram
+      FROM documents WHERE {_EVAL_HASH} % 20 = 0
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_ngrams,
+           COUNT(e.gram) AS n_contaminated,
+           COUNT(e.gram) > 0 AS contaminated
+    FROM train_grams t LEFT JOIN eval_grams e USING (gram)
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag train docs sharing any word 8-gram
+    with a deterministic held-out eval split (~5% of the corpus). The eval
+    gram set broadcasts; the corpus side is one scan + one combinable
+    groupBy, with grams crossing the wire as 8-byte hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = curation.eval_split_pred()
+    return curation.contamination(docs.where(~pred), docs.where(pred), n=8)
+
+
+@register(
+    "repetition_features",
+    f"""
+    WITH
+    bi AS (
+      SELECT doc_id, unnest({_ngram_list_sql(2)}) AS gram FROM documents
+    ),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, gram, c, len(gram) * c AS gc,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+      FROM counts
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             COUNT(*) AS n_distinct_bigrams,
+             CAST(SUM(len(gram) * c) AS BIGINT) AS total_gc
+      FROM counts GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_bigrams, a.n_distinct_bigrams,
+           r.gram AS top_bigram, r.c AS top_bigram_count,
+           CAST(a.n_bigrams - a.n_distinct_bigrams AS DOUBLE)
+             / CAST(a.n_bigrams AS DOUBLE) AS dup_bigram_frac,
+           CAST(r.gc AS DOUBLE) / CAST(a.total_gc AS DOUBLE)
+             AS top_bigram_char_frac
+    FROM agg a JOIN ranked r ON r.doc_id = a.doc_id AND r.rn = 1
+    """,
+)
+def q_repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-bigram fraction and
+    top-bigram character mass per doc — two chained combinable groupBys,
+    no joins back against the corpus."""
+    return curation.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+_SAMPLE_RATES = {"src0": 1.0, "src5": 0.5, "src10": 0.25, "src15": 0.1}
+
+
+@register(
+    "stratified_sample_by_source",
+    f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE {sql_hash64("'sample' || CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE source WHEN 'src0' THEN 10000 WHEN 'src5' THEN 5000
+                  WHEN 'src10' THEN 2500 WHEN 'src15' THEN 1000
+                  ELSE 500 END
+    """,
+)
+def q_stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: per-source keep rates via a salted id
+    hash — reproducible across engines/retries (unlike RNG ``sample``),
+    shuffle-free, and filter-pushed to the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, _SAMPLE_RATES, default_rate=0.05
+    ).select("doc_id", "source", "lang")
