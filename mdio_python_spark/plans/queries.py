@@ -789,3 +789,156 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of attribution, bounded range join, gap fill
+# (operators/temporal.py; beyond-reference — the reference has no event model)
+# ---------------------------------------------------------------------------
+
+_EVENTS_US = "SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events"
+
+
+@register(
+    "asof_view_attribution",
+    f"""
+    WITH e AS ({_EVENTS_US}),
+    p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS view_event_id, us AS view_us
+          FROM e WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, v.view_event_id,
+           p.us - v.view_us AS lag_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.us >= v.view_us
+    """,
+)
+def q_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent view
+    at-or-before it (classic attribution). Union + running last(ignorenulls)
+    window — ONE shuffle on user_id, no range self-join; the DuckDB oracle
+    is an independent ASOF LEFT JOIN (deterministic: (user_id, ts) unique).
+    Microsecond longs in/out — no raw timestamps cross the driver hash."""
+    from mdio_python_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("us").alias("view_us"),
+        )
+    )
+    return asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_us="us",
+        right_us="view_us",
+        payload_cols=["view_event_id", "view_us"],
+    ).select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.col("us") - F.col("view_us")).alias("lag_us"),
+    )
+
+
+@register(
+    "error_click_correlation",
+    f"""
+    WITH e AS ({_EVENTS_US}),
+    err AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'error'),
+    clk AS (SELECT user_id, event_id AS click_id, us AS click_us
+            FROM e WHERE event_type = 'click')
+    SELECT err.event_id, err.user_id,
+           COUNT(clk.click_id) AS n_clicks_5min
+    FROM err LEFT JOIN clk
+      ON err.user_id = clk.user_id
+     AND clk.click_us > err.us
+     AND clk.click_us <= err.us + 300000000
+    GROUP BY err.event_id, err.user_id
+    """,
+)
+def q_error_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks by the same user within 5 minutes after
+    each error (zero-count errors included). Time-bucketed equi-join —
+    the left side explodes to 2 buckets, each click lands in exactly 1,
+    so the shuffle is a plain (user_id, bucket) hash exchange and Catalyst
+    never falls back to a nested-loop join (which the oracle's non-equi
+    form would force at scale)."""
+    from mdio_python_spark.operators.temporal import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    errors = ev.where(F.col("event_type") == "error").drop("event_type")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("us").alias("click_us"),
+        )
+    )
+    pairs = bucketed_range_join(
+        errors,
+        clicks,
+        keys=["user_id"],
+        horizon_us=300_000_000,
+        left_us="us",
+        right_us="click_us",
+        # count(click_id) ignores nulls, so the groupBy absorbs the
+        # spurious null-extended rows — skip the dedup exchange.
+        dedup_unmatched=False,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("click_id").alias("n_clicks_5min")
+    )
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    hours AS (
+      SELECT unnest(generate_series((SELECT MIN(hour_ts) FROM hourly),
+                                    (SELECT MAX(hour_ts) FROM hourly),
+                                    INTERVAL 1 HOUR)) AS hour_ts
+    ),
+    grid AS (
+      SELECT h.hour_ts, t.event_type
+      FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+    )
+    SELECT strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+           g.event_type,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN hourly a USING (hour_ts, event_type)
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill: dense (hour x event_type) grid with zero-filled counts.
+    The corpus-sized work is the combinable hourly pre-aggregate; the
+    densify (sequence + explode + two broadcast joins) runs on the tiny
+    post-agg table, so it costs the same at 100 TB as at sf0.01."""
+    from mdio_python_spark.operators.temporal import gap_fill_hours
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    filled = gap_fill_hours(
+        hourly, ["event_type"], "hour_ts", fill={"n_events": F.lit(0)}
+    )
+    return filled.select(
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+    )
