@@ -1,0 +1,75 @@
+"""Scale-shape regression tests for declared queries: assert the physical
+plan properties that make each query safe at 1000 executors, so a future
+edit that silently reintroduces a global window, a nested-loop join, or a
+corpus-sized shuffle fails here rather than in production.
+
+Plans are inspected un-executed (AQE initial plan) — explicit
+``F.broadcast`` hints and exchange counts are already visible there.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from mdio_python_spark.plans.registry import queries
+
+
+def _plan(spark, name: str) -> str:
+    df = queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_attribution_single_exchange(spark):
+    """The as-of join is a union + one window: exactly one hash exchange
+    (user_id), no join operator at all."""
+    plan = _plan(spark, "asof_view_attribution")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort equi-join — never
+    the nested-loop fallback a raw non-equi condition would force."""
+    plan = _plan(spark, "error_click_correlation")
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The eval n-gram side must broadcast; the corpus side must never be
+    on the build side of a shuffle join."""
+    plan = _plan(spark, "decontamination_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gap_fill_joins_broadcast(spark):
+    """Gap-fill densification runs on the tiny post-agg table: the final
+    left join broadcasts (the corpus is never reshuffled for a join; the
+    hours x types cross join is a 1-row x n-types broadcast NLJ, fine)."""
+    plan = _plan(spark, "events_gap_fill")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ordered_export_no_global_window(spark):
+    """The export ordinal must stay range-partitioned — a bare
+    Window.orderBy(...) serializes the corpus through one task."""
+    plan = _plan(spark, "ordered_export")
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_lsh_pairs", "near_dup_jaccard", "simhash_hamming_pairs"],
+)
+def test_pair_generators_never_nested_loop(spark, name):
+    """Candidate pairs come from in-bucket generation — any plan change
+    that reintroduces a corpus self-join shows up as a nested loop or
+    cartesian product here."""
+    plan = _plan(spark, name)
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan
