@@ -1048,3 +1048,41 @@ def q_stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     return curation.stratified_sample(
         docs, _SAMPLE_RATES, default_rate=0.05
     ).select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fixed-context token-stream assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           cum_before // 2048 AS seq_id,
+           cum_before % 2048 AS seq_offset,
+           (cum_before + n_tokens - 1) // 2048
+             - cum_before // 2048 + 1 AS n_seqs_spanned
+    FROM c
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style packing: each doc's slot in the concatenated 2048-token
+    training stream (start sequence, offset, sequences spanned). The
+    global prefix sum runs range-partitioned with broadcast carry offsets
+    (operators/packing.py) — the oracle's bare ``SUM() OVER (ORDER BY)``
+    is exactly the single-task plan the operator avoids."""
+    from mdio_python_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), 2048)
