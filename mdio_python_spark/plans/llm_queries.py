@@ -1086,3 +1086,100 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.packing import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), 2048)
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear model scoring (fasttext-style embedding-bag inference)
+# ---------------------------------------------------------------------------
+
+
+def _scoring_oracle() -> str:
+    from mdio_python_spark.operators.scoring import sql_token_weight
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM({sql_token_weight('token')}) AS BIGINT) AS weight_sum
+      FROM tok GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, weight_sum,
+             CAST(weight_sum AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * 50001.0) AS score
+      FROM agg
+    )
+    SELECT doc_id, n_tokens, weight_sum, score,
+           CASE WHEN score >= 0.05 THEN 'keep'
+                WHEN score >= -0.05 THEN 'review'
+                ELSE 'drop' END AS label
+    FROM scored
+    """
+
+
+@register("quality_model_score", _scoring_oracle())
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring at corpus scale: a fasttext-shaped hashed linear
+    classifier — token -> weight bucket (computed from the shared hash64,
+    no weight-table join), exact BIGINT accumulation, one double divide.
+    Plan: explode + one combinable groupBy; weights cross the wire as
+    longs. A deployed model would broadcast a real weight array into the
+    same plan."""
+    from mdio_python_spark.operators.scoring import model_score
+
+    return model_score(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) — the iterative-algorithm pattern, one verifiable step
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 8) -> str:
+    from mdio_python_spark.functions.determinism import sql_dsum
+
+    cos = _IVF_COS.format(a="embedding", b="cent_vec")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cent_vec
+      FROM embeddings WHERE vec_id < {k}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cluster
+      FROM embeddings, cent
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY {cos} DESC, cid) = 1
+    ),
+    dims AS (
+      SELECT cluster,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             unnest(embedding) AS val
+      FROM assign
+    )
+    SELECT cluster, dim, COUNT(*) AS n_members,
+           {sql_dsum("CAST(val AS DOUBLE)", 8)}
+             / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM dims GROUP BY cluster, dim
+    """
+
+
+@register("kmeans_lloyd_step", _kmeans_oracle())
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One verifiable Lloyd iteration of k-means (k=8) on the embedding
+    corpus: literal-centroid argmax assignment (pure projection, zero
+    joins) + per-(cluster, dim) exact-decimal means — the corpus-scale
+    iterative-training pattern; ``operators/kmeans.py::kmeans_fit`` loops
+    this step with a k x dim driver round-trip per iteration."""
+    from mdio_python_spark.operators.kmeans import lloyd_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in sorted(
+            emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+            key=lambda r: r[0],
+        )
+    ]
+    return lloyd_step(emb, cents)
