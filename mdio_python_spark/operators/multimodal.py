@@ -1,14 +1,23 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 
-Beyond-reference surface (BASELINE.json north star). The *decode* kernels
-are STUBS — image/audio libraries are not in this container — but every
-Spark-facing piece is real and tested: schemas, batch iteration, partition
-behavior, UDF signatures, and the feature math, which is **batch
-vectorized**: each Arrow batch is grouped by media geometry, decoded into
-one stacked ndarray, and reduced with whole-batch numpy ops. The only
-per-row work is buffer construction from the variable-length payloads —
-exactly the boundary a real codec (PIL/ffmpeg) also imposes.
+Beyond-reference surface (BASELINE.json north star). Decode dispatches on
+``meta.media_type``:
+
+- ``image/bmp`` and ``audio/wav`` decode for REAL via the pure-numpy
+  codecs in ``operators/media_codecs.py`` (uncompressed public byte
+  layouts — no external library needed);
+- ``image/fake`` / ``audio/fake`` are deterministic stand-ins for the
+  compressed formats (JPEG/MP3/H.264) whose codecs are not in this
+  container — the documented stub boundary;
+- anything else raises ``MediaDecodeError`` with the format name.
+
+Every Spark-facing piece is real and tested: schemas, batch iteration,
+partition behavior, UDF signatures, and the feature math, which is
+**batch vectorized**: each Arrow batch is grouped by (media_type,
+geometry), decoded into one stacked ndarray, and reduced with whole-batch
+numpy ops. The only per-row work is header parsing / buffer construction
+from variable-length payloads — the same boundary PIL/ffmpeg impose.
 
 Scale notes: payload processing is a shuffle-free scan; Arrow moves each
 batch to Python once; decoded features are small fixed-width vectors, so
@@ -24,13 +33,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mdio_python_spark.operators.media_codecs import (
+    MediaDecodeError,
+    decode_bmp,
+    decode_wav,
+)
+
 # Typed metadata struct carried beside every payload column.
 MEDIA_META_SCHEMA = (
     "media_type string, width int, height int, channels int, "
     "sample_rate int, n_frames int"
 )
-
-FAKE_DECODE = True  # container has no codec libs; deterministic fake kernel
 
 
 def _fill_pixels(payload: bytes, n: int) -> np.ndarray:
@@ -43,32 +56,65 @@ def _fill_pixels(payload: bytes, n: int) -> np.ndarray:
 
 
 def _decode_image_batch(
-    payloads: Iterator[bytes], width: int, height: int, channels: int
+    payloads: Iterator[bytes],
+    width: int,
+    height: int,
+    channels: int,
+    media_type: str = "image/fake",
 ) -> np.ndarray:
-    """STUB batched image decode -> (k, height, width, channels) uint8.
+    """Batched image decode -> (k, height, width, channels) uint8.
 
-    Real implementation: ``PIL.Image.open(BytesIO(p))`` per payload —
-    per-payload decode is intrinsic (variable-length compressed inputs),
-    but everything downstream operates on the stacked array.
-    """
-    if not FAKE_DECODE:
-        raise NotImplementedError("image codecs not available in this container")
-    n = width * height * channels
-    return np.stack([_fill_pixels(p, n) for p in payloads]).reshape(
-        -1, height, width, channels
-    )
+    Per-payload decode is intrinsic (variable-length inputs); everything
+    downstream operates on the stacked array."""
+    if media_type == "image/bmp":
+        imgs = []
+        for p in payloads:
+            img = decode_bmp(p)
+            if img.shape != (height, width, channels):
+                raise MediaDecodeError(
+                    f"BMP geometry {img.shape} != metadata "
+                    f"({height}, {width}, {channels})"
+                )
+            imgs.append(img)
+        return np.stack(imgs)
+    if media_type in ("image/fake", "video/fake"):
+        n = width * height * channels
+        return np.stack([_fill_pixels(p, n) for p in payloads]).reshape(
+            -1, height, width, channels
+        )
+    raise MediaDecodeError(f"no codec for media type {media_type!r}")
 
 
-def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Single-payload stub decode (test/reference kernel)."""
-    return _decode_image_batch([payload], width, height, channels)[0]
+def _decode_image(
+    payload: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    media_type: str = "image/fake",
+) -> np.ndarray:
+    """Single-payload decode (test/reference kernel)."""
+    return _decode_image_batch([payload], width, height, channels, media_type)[0]
 
 
-def _decode_audio(payload: bytes, sample_rate: int) -> np.ndarray:
-    """STUB audio decode (real: soundfile/ffmpeg). Fake: int8 view as PCM."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("audio codecs not available in this container")
-    return np.frombuffer(payload or b"", dtype=np.int8).astype(np.float32) / 128.0
+def _decode_audio_rows(
+    payloads: list[bytes], media_type: str
+) -> list[np.ndarray]:
+    """Per-row audio decode to mono float64. ``audio/wav`` parses the RIFF
+    container (channels averaged to mono); ``audio/fake`` views raw bytes
+    as int8 PCM."""
+    if media_type == "audio/wav":
+        out = []
+        for p in payloads:
+            frames, _rate = decode_wav(p)
+            out.append(frames.mean(axis=1))
+        return out
+    if media_type.endswith("/fake"):
+        # deterministic stand-in for compressed formats: raw bytes as PCM
+        return [
+            np.frombuffer(p or b"", dtype=np.int8).astype(np.float64) / 128.0
+            for p in payloads
+        ]
+    raise MediaDecodeError(f"no codec for media type {media_type!r}")
 
 
 def attach_payload(
@@ -98,13 +144,13 @@ def attach_payload(
 
 
 def _geometry_groups(pdf: pd.DataFrame):
-    """Group a batch by media geometry so each group decodes into ONE
-    stacked ndarray. Typically a batch is one geometry -> one group."""
+    """Group a batch by (media_type, geometry) so each group decodes into
+    ONE stacked ndarray. Typically a batch is one type -> one group."""
     metas = pd.DataFrame(list(pdf["meta"]), index=pdf.index)
-    for (w, h, c), idx in metas.groupby(
-        ["width", "height", "channels"], sort=False
+    for (mt, w, h, c), idx in metas.groupby(
+        ["media_type", "width", "height", "channels"], sort=False
     ).groups.items():
-        yield int(w), int(h), int(c), idx
+        yield str(mt), int(w), int(h), int(c), idx
 
 
 def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -122,10 +168,10 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             chunks = []
-            for w, h, c, idx in _geometry_groups(pdf):
-                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c).astype(
-                    np.float64
-                )
+            for mt, w, h, c, idx in _geometry_groups(pdf):
+                imgs = _decode_image_batch(
+                    pdf.loc[idx, "payload"], w, h, c, mt
+                ).astype(np.float64)
                 means = imgs.mean(axis=(1, 2))  # (k, channels)
                 chunks.append(
                     pd.DataFrame(
@@ -163,8 +209,8 @@ def resize_images(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             chunks = []
-            for w, h, c, idx in _geometry_groups(pdf):
-                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c)
+            for mt, w, h, c, idx in _geometry_groups(pdf):
+                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c, mt)
                 ys = (np.arange(out_height) * h // out_height).astype(int)
                 xs = (np.arange(out_width) * w // out_width).astype(int)
                 resized = imgs[:, ys][:, :, xs]  # (k, out_h, out_w, c)
@@ -179,11 +225,18 @@ def resize_images(
                     }
                     for m in pdf.loc[idx, "meta"]
                 ]
+                if mt == "image/bmp":
+                    # keep the output payload a valid BMP, not raw pixels
+                    from mdio_python_spark.operators.media_codecs import encode_bmp
+
+                    payloads = [encode_bmp(r) for r in resized]
+                else:
+                    payloads = [r.tobytes() for r in resized]
                 chunks.append(
                     pd.DataFrame(
                         {
                             id_col: pdf.loc[idx, id_col].to_numpy(),
-                            "payload": [r.tobytes() for r in resized],
+                            "payload": payloads,
                             "meta": metas,
                         },
                         index=idx,
@@ -209,8 +262,8 @@ def sample_frames(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             chunks = []
-            for w, h, c, idx in _geometry_groups(pdf):
-                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c)
+            for mt, w, h, c, idx in _geometry_groups(pdf):
+                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c, mt)
                 n_frames = np.array(
                     [int(m["n_frames"]) for m in pdf.loc[idx, "meta"]]
                 )
@@ -248,13 +301,20 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [p or b"" for p in pdf["payload"]]
-            lens = np.array([len(p) for p in payloads], dtype=np.int64)
-            pcm = (
-                np.frombuffer(b"".join(payloads), dtype=np.int8).astype(
-                    np.float64
+            types = pd.Series(
+                [m["media_type"] for m in pdf["meta"]], index=pdf.index
+            )
+            segments: list[np.ndarray] = [np.empty(0)] * len(pdf)
+            positions = {ix: i for i, ix in enumerate(pdf.index)}
+            for mt, idx in types.groupby(types, sort=False).groups.items():
+                decoded = _decode_audio_rows(
+                    [p or b"" for p in pdf.loc[idx, "payload"]], str(mt)
                 )
-                / 128.0
+                for ix, seg in zip(idx, decoded):
+                    segments[positions[ix]] = seg
+            lens = np.array([len(s) for s in segments], dtype=np.int64)
+            pcm = (
+                np.concatenate(segments) if lens.sum() else np.empty(0)
             )
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             nz = lens > 0

@@ -132,17 +132,41 @@ def q_zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_image_features", None, bench=False)
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal surface as a declared query (rows-only: the decode
-    kernel is a documented deterministic STUB, ``multimodal.FAKE_DECODE``
-    — no SQL oracle is possible for binary decode). Attaches an
-    image-typed payload to the documents table and runs the
-    batch-vectorized mapInPandas feature extractor; real plumbing, fake
-    pixels."""
+    """Multimodal surface as a declared query (rows-only: binary decode
+    has no SQL oracle). Synthesizes a valid 8x8 24-bit BMP per document
+    (deterministic pixels from doc_id) with ``media_codecs.encode_bmp``,
+    then runs the REAL pure-numpy BMP decode + batch-vectorized
+    mapInPandas feature extraction — the full decode path, no stub."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
     from mdio_python_spark.operators import multimodal as mm
+    from mdio_python_spark.operators.media_codecs import encode_bmp
     from mdio_python_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    media = mm.attach_payload(docs, "text", width=16, height=16, channels=3)
+    @pandas_udf("binary")
+    def synth_bmp(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        y, x, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        return ids.map(
+            lambda i: encode_bmp(
+                ((int(i) + y * 8 + x + c * 37) % 256).astype(np.uint8)
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.attach_payload(
+        docs.withColumn("_bmp", synth_bmp("doc_id")),
+        "_bmp",
+        media_type="image/bmp",
+        width=8,
+        height=8,
+        channels=3,
+    )
     return mm.image_features(media)
 
 
