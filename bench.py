@@ -39,27 +39,33 @@ def main() -> None:
         except Exception:
             pass
 
+    # Per-query isolation: one broken query must cost one row, not the
+    # round (round 2 lost its entire bench to a single AnalysisException).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(registry().items()):
         if not spec.bench:
             continue
-        df = spec.fn(spark, sf_dir)
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — harness must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_declared_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_declared_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd  # module scope: pandas_udf resolves string type hints here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,8 +138,6 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic pixels from doc_id) with ``media_codecs.encode_bmp``,
     then runs the REAL pure-numpy BMP decode + batch-vectorized
     mapInPandas feature extraction — the full decode path, no stub."""
-    import pandas as pd
-
     from pyspark.sql.functions import pandas_udf
 
     from mdio_python_spark.operators import multimodal as mm

@@ -31,16 +31,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """TIMESTAMP(NANOS) workaround, shared by the batch and streaming event
-    readers: with ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives
-    as int64 nanos; rebuild a microsecond TimestampType with integer
-    division (a double round-trip would lose precision at ~1.7e18 ns).
-    DuckDB truncates ns->us the same way, so oracles match. No-op when the
-    column is already a timestamp."""
+    """Normalize the event-time column to a canonical TimestampType,
+    shared by the batch and streaming event readers. The driver's
+    ``events.parquet`` layout has varied across rounds:
+
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` the
+      column arrives as int64 nanos; rebuild a microsecond TimestampType
+      with integer division (a double round-trip would lose precision at
+      ~1.7e18 ns). DuckDB truncates ns->us the same way, so oracles match.
+    - timestamp[us] without tz: Spark 4 reads it as TIMESTAMP_NTZ; cast to
+      TimestampType. The session tz is pinned UTC (session.py), so the
+      wall-clock values are unchanged and DuckDB ``epoch_us`` parity holds.
+    - already TimestampType: no-op."""
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get(col) == "bigint":
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

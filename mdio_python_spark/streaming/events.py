@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (driver parquet layout)
+        T.StructField("ts", T.TimestampNTZType()),  # see stream_events: sniffed
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -44,7 +44,13 @@ def stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
         watch_dir = tempfile.mkdtemp(prefix="events-stream-")
         for i in range(copies):
             os.symlink(src, os.path.join(watch_dir, f"events_{i}.parquet"))
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(watch_dir)
+    # File streams require a declared schema, but the driver's on-disk `ts`
+    # layout has varied across rounds (int64 nanos vs timestamp[us]-NTZ).
+    # Sniff the physical schema from a batch read of the same path so the
+    # stream always sees what's actually on disk, then share the batch
+    # reader's event-time normalizer.
+    physical = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(physical).parquet(watch_dir)
     from mdio_python_spark.sources.tables import normalize_nanos_ts
 
     return normalize_nanos_ts(raw)
