@@ -83,6 +83,23 @@ def write_manifest(dataset: Dataset, path: str, chunks: dict[str, int]) -> None:
         "dataset": dataset.model_dump(mode="json"),
         "chunks": chunks,
         "format": "mdio-spark-store/1",
+        # Interop boundary, recorded so a future environment with the
+        # missing codecs can plug in without a format change:
+        # - trace data lives in parquet with the column codec named here
+        #   (not zarr chunks); zarr EXPORTS use null/zlib/gzip (stdlib) —
+        #   blosc-zstd (the reference's default, builder/schemas/
+        #   compressors.py:24-25) raises UnsupportedCodecError on read and
+        #   plugs into zarr_store._decode_chunk/_encode_chunk.
+        # - lossy access views use quantize+zstd with the same accuracy
+        #   contract as the reference's fixed-accuracy ZFP (compressors.
+        #   py:46-98) but NOT the ZFP on-disk format; see
+        #   operators/access_pattern.py.
+        "codecs": {
+            "traces": "parquet/zstd",
+            "zarr_export": ["null", "zlib", "gzip"],
+            "zarr_unsupported": ["blosc", "zstd"],
+            "lossy": "quantize+zstd (ZFP-accuracy analog, not ZFP format)",
+        },
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2, default=str)
@@ -160,18 +177,19 @@ def slice_traces(
 
 def open_mdio(spark: SparkSession, path: str) -> DataFrame:
     """``open_mdio`` analog accepting EITHER container format: this
-    engine's parquet store (manifest.json) or an MDIO-shaped zarr v2 cube
-    (``api/io.py:36-65``) — both yield the same long-format trace
-    DataFrame (dim values + indices + samples)."""
+    engine's parquet store (manifest.json) or an MDIO-shaped zarr cube in
+    v2 or v3 layout (``api/io.py:36-66``) — both yield the same
+    long-format trace DataFrame (dim values + indices + samples)."""
     if os.path.exists(os.path.join(path, MANIFEST)):
         return open_store(spark, path).traces
-    if os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(
-        os.path.join(path, ".zmetadata")
+    if any(
+        os.path.exists(os.path.join(path, marker))
+        for marker in (".zgroup", ".zmetadata", "zarr.json")
     ):
         from mdio_python_spark.sources.zarr_store import zarr_cube_to_df
 
         return zarr_cube_to_df(spark, path)
-    raise ValueError(f"{path}: neither an engine store nor a zarr v2 group")
+    raise ValueError(f"{path}: neither an engine store nor a zarr group")
 
 
 def dense_slice(

@@ -1,18 +1,30 @@
-"""Pure-numpy Zarr v2 store interop (S4 for real ``.mdio`` data).
+"""Pure-numpy Zarr v2 + v3 store interop (S4 for real ``.mdio`` data).
 
-The reference's container is an xarray-convention Zarr group
-(``api/io.py:36-65``: v2 + consolidated metadata; variables carry
-``_ARRAY_DIMENSIONS``). This module implements the *public zarr v2
-storage spec* directly — ``.zgroup``/``.zarray``/``.zattrs`` JSON
-metadata, C-order full-size chunk files named ``i.j.k`` (or ``i/j/k``
-with ``dimension_separator: "/"``), edge chunks padded to the full chunk
-shape — so an engine user can read existing MDIO/Zarr cubes and write
-cubes that zarr/xarray readers open, without zarr installed.
+The reference's container is an xarray-convention Zarr group and
+supports BOTH storage-spec versions behind a global toggle
+(``api/io.py:57-66``, ``constants.py:10-15``: v2 with consolidated
+metadata + ``_ARRAY_DIMENSIONS`` attrs; v3 with per-node ``zarr.json``
+and first-class ``dimension_names``). This module implements both
+*public zarr storage specs* directly:
 
-Compressors: ``null`` and ``zlib`` (stdlib). Blosc/zstd-compressed
-stores (the reference's default codec) need the blosc codec, which is
-not in this container — such chunks are rejected with an explicit error
-naming the missing codec rather than misparsed.
+- **v2**: ``.zgroup``/``.zarray``/``.zattrs`` JSON metadata, C-order
+  full-size chunk files named ``i.j.k`` (or ``i/j/k`` with
+  ``dimension_separator: "/"``), edge chunks padded to the full chunk
+  shape, optional consolidated ``.zmetadata``.
+- **v3**: one ``zarr.json`` per node (``node_type`` group/array),
+  ``chunk_grid {regular}``, default chunk-key encoding ``c/i/j`` (and
+  the ``v2`` encoding variant), ``codecs`` chains of
+  ``bytes[+gzip|zlib]``, ``dimension_names``.
+
+so an engine user can read existing MDIO/Zarr cubes and write cubes
+that zarr/xarray readers open, without zarr installed.
+
+Compressors: ``null``/``zlib``/``gzip`` (stdlib). Blosc/zstd-compressed
+stores (the reference's default v2 codec is blosc-zstd clevel 5,
+``builder/schemas/compressors.py:24-25``) need codecs not in this
+container — such chunks are rejected with an explicit error naming the
+missing codec rather than misparsed; the codec hook (`_decode_chunk` /
+`_encode_chunk`) is the single place a real deployment plugs blosc in.
 
 Scale shape: reading is one Spark task per *spatial chunk column* (all
 vertical chunks of one spatial chunk tuple), each task touching only its
@@ -49,9 +61,11 @@ def _decode_chunk(raw: bytes, compressor: dict | None) -> bytes:
     cid = compressor.get("id")
     if cid == "zlib":
         return zlib.decompress(raw)
+    if cid == "gzip":  # zarr v3 stdlib codec; wbits=31 selects gzip framing
+        return zlib.decompress(raw, 31)
     raise UnsupportedCodecError(
         f"chunk compressor {cid!r} unsupported (container has no {cid} codec); "
-        "re-write the store with compressor null or zlib"
+        "re-write the store with compressor null, zlib, or gzip"
     )
 
 
@@ -61,6 +75,11 @@ def _encode_chunk(raw: bytes, compressor: dict | None) -> bytes:
     cid = compressor.get("id")
     if cid == "zlib":
         return zlib.compress(raw, compressor.get("level", 1))
+    if cid == "gzip":
+        import gzip
+
+        # mtime=0 keeps the gzip header byte-deterministic across runs
+        return gzip.compress(raw, compresslevel=compressor.get("level", 1), mtime=0)
     raise UnsupportedCodecError(f"cannot encode with compressor {cid!r}")
 
 
@@ -81,6 +100,7 @@ class ZarrArray:
     order: str
     dim_sep: str
     attrs: dict = field(default_factory=dict)
+    key_prefix: str = ""  # "" (v2 / v3 "v2" encoding) or "c" (v3 default)
 
     @property
     def dims(self) -> list[str]:
@@ -93,7 +113,10 @@ class ZarrArray:
         )
 
     def chunk_file(self, idx: tuple[int, ...]) -> str:
-        return os.path.join(self.path, self.dim_sep.join(str(i) for i in idx))
+        parts = ([self.key_prefix] if self.key_prefix else []) + [
+            str(i) for i in idx
+        ]
+        return os.path.join(self.path, self.dim_sep.join(parts))
 
 
 @dataclass
@@ -108,7 +131,53 @@ def _parse_fill(fill, dtype: np.dtype):
         return np.zeros((), dtype=dtype)[()]
     if fill == "NaN":
         return np.nan
+    if fill == "Infinity":
+        return np.inf
+    if fill == "-Infinity":
+        return -np.inf
     return np.array(fill, dtype=dtype)[()]
+
+
+# zarr v3 names its data types; v2 uses numpy byte-order descriptors.
+_V3_DTYPES = {
+    "bool": "|b1",
+    "int8": "|i1",
+    "int16": "<i2",
+    "int32": "<i4",
+    "int64": "<i8",
+    "uint8": "|u1",
+    "uint16": "<u2",
+    "uint32": "<u4",
+    "uint64": "<u8",
+    "float16": "<f2",
+    "float32": "<f4",
+    "float64": "<f8",
+    "complex64": "<c8",
+    "complex128": "<c16",
+}
+_V3_DTYPE_NAMES = {np.dtype(v): k for k, v in _V3_DTYPES.items()}
+
+
+def _v3_codecs(codecs: list | None, name: str) -> tuple[dict | None, str]:
+    """Reduce a v3 codec chain to (compressor-dict, endian). Unknown
+    compression codecs are carried through so decode raises the explicit
+    UnsupportedCodecError; sharding is rejected outright (it changes the
+    chunk file layout, not just the bytes)."""
+    comp: dict | None = None
+    endian = "little"
+    for c in codecs or []:
+        cname, cfg = c.get("name"), (c.get("configuration") or {})
+        if cname == "bytes":
+            endian = cfg.get("endian", "little")
+        elif cname in ("gzip", "zlib"):
+            comp = {"id": cname, "level": cfg.get("level", 1)}
+        elif cname == "sharding_indexed":
+            raise UnsupportedCodecError(
+                f"{name}: v3 sharding_indexed layout unsupported"
+            )
+        else:
+            comp = {"id": cname, **cfg}
+    return comp, endian
 
 
 def _read_json(p: str) -> dict:
@@ -117,8 +186,11 @@ def _read_json(p: str) -> dict:
 
 
 def open_group(path: str) -> ZarrGroup:
-    """Parse a zarr v2 group directory (consolidated ``.zmetadata`` when
-    present, else a directory walk)."""
+    """Parse a zarr group directory — v3 when a root ``zarr.json`` is
+    present (reference toggle: ``api/io.py:57-66``), else v2
+    (consolidated ``.zmetadata`` when present, else a directory walk)."""
+    if os.path.exists(os.path.join(path, "zarr.json")):
+        return _open_group_v3(path)
     meta_path = os.path.join(path, ".zmetadata")
     entries: dict[str, dict] = {}
     if os.path.exists(meta_path):
@@ -160,6 +232,62 @@ def open_group(path: str) -> ZarrGroup:
             attrs=entries.get(f"{name}/.zattrs", {}),
         )
     return ZarrGroup(path=path, attrs=group_attrs, arrays=arrays)
+
+
+def _open_group_v3(path: str) -> ZarrGroup:
+    """Parse a zarr v3 group: one ``zarr.json`` per node, arrays carry
+    ``dimension_names`` (mapped onto the v2 ``_ARRAY_DIMENSIONS`` attr so
+    every consumer sees one dims convention)."""
+    root_meta = _read_json(os.path.join(path, "zarr.json"))
+    if root_meta.get("zarr_format") != 3:
+        raise ValueError(f"{path}: zarr.json is not zarr_format 3")
+    arrays: dict[str, ZarrArray] = {}
+    for r, _dirs, files in os.walk(path):
+        if "zarr.json" not in files:
+            continue
+        rel = os.path.relpath(r, path)
+        if rel == ".":
+            continue
+        meta = _read_json(os.path.join(r, "zarr.json"))
+        if meta.get("node_type") != "array":
+            continue
+        name = rel.replace(os.sep, "/")
+        dt = meta["data_type"]
+        if not isinstance(dt, str) or dt not in _V3_DTYPES:
+            raise ValueError(f"{name}: unsupported v3 data_type {dt!r}")
+        grid = meta["chunk_grid"]
+        if grid.get("name") != "regular":
+            raise ValueError(f"{name}: only regular chunk grids supported")
+        comp, endian = _v3_codecs(meta.get("codecs"), name)
+        dtype = np.dtype(_V3_DTYPES[dt])
+        if endian == "big":
+            dtype = dtype.newbyteorder(">")
+        cke = meta.get("chunk_key_encoding") or {"name": "default"}
+        enc = cke.get("name", "default")
+        sep = (cke.get("configuration") or {}).get(
+            "separator", "/" if enc == "default" else "."
+        )
+        attrs = dict(meta.get("attributes") or {})
+        if meta.get("dimension_names"):
+            attrs.setdefault(
+                "_ARRAY_DIMENSIONS", list(meta["dimension_names"])
+            )
+        arrays[name] = ZarrArray(
+            path=r,
+            name=name,
+            shape=tuple(meta["shape"]),
+            chunks=tuple(grid["configuration"]["chunk_shape"]),
+            dtype=dtype,
+            compressor=comp,
+            fill_value=_parse_fill(meta.get("fill_value"), dtype),
+            order="C",
+            dim_sep=sep,
+            attrs=attrs,
+            key_prefix="c" if enc == "default" else "",
+        )
+    return ZarrGroup(
+        path=path, attrs=root_meta.get("attributes", {}), arrays=arrays
+    )
 
 
 # --- region read (the core of any zarr reader) ------------------------------
@@ -218,9 +346,44 @@ def write_array_meta(
     compressor: dict | None,
     fill_value=0,
     extra_attrs: dict | None = None,
+    zarr_format: int = 2,
 ) -> None:
     d = os.path.join(root, name)
     os.makedirs(d, exist_ok=True)
+    if zarr_format == 3:
+        codecs: list[dict] = [
+            {"name": "bytes", "configuration": {"endian": "little"}}
+        ]
+        if compressor is not None:
+            codecs.append(
+                {
+                    "name": compressor["id"],
+                    "configuration": {"level": compressor.get("level", 1)},
+                }
+            )
+        meta = {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(shape),
+            "data_type": _V3_DTYPE_NAMES[np.dtype(dtype)],
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(chunks)},
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": bool(fill_value)
+            if np.dtype(dtype).kind == "b"
+            else fill_value,
+            "codecs": codecs,
+            "attributes": extra_attrs or {},
+            "dimension_names": list(dims),
+        }
+        with open(os.path.join(d, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+        return
     meta = {
         "zarr_format": 2,
         "shape": list(shape),
@@ -247,15 +410,20 @@ def write_chunk(
     chunks: tuple[int, ...],
     compressor: dict | None,
     fill_value=0,
+    zarr_format: int = 2,
 ) -> None:
     """Write one chunk file; ``data`` may be an edge remainder — it is
-    padded to the full chunk shape per the v2 spec."""
+    padded to the full chunk shape per the spec (both versions)."""
     if tuple(data.shape) != tuple(chunks):
         full = np.full(chunks, fill_value, dtype=data.dtype)
         full[tuple(slice(0, s) for s in data.shape)] = data
         data = full
     raw = _encode_chunk(np.ascontiguousarray(data).tobytes(), compressor)
-    path = os.path.join(root, name, ".".join(str(i) for i in chunk_idx))
+    if zarr_format == 3:  # default v3 key encoding: c/i/j nested dirs
+        path = os.path.join(root, name, "c", *[str(i) for i in chunk_idx])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    else:
+        path = os.path.join(root, name, ".".join(str(i) for i in chunk_idx))
     with open(path, "wb") as f:
         f.write(raw)
 
@@ -356,9 +524,12 @@ def store_to_zarr(
     store_path: str,
     zarr_path: str,
     compressor: dict | None = None,
+    zarr_format: int = 2,
 ) -> int:
-    """Export the engine's parquet store to an xarray-convention zarr v2
-    group readable by zarr/xarray (and by :func:`zarr_cube_to_df`).
+    """Export the engine's parquet store to an xarray-convention zarr
+    group (v2 or v3 — the reference's global format toggle,
+    ``api/io.py:57-66``) readable by zarr/xarray (and by
+    :func:`zarr_cube_to_df`).
 
     Chunk boundaries = the store's chunk keys, so the write is
     ``applyInPandas`` over the store's existing partition layout — each
@@ -367,7 +538,12 @@ def store_to_zarr(
     """
     from mdio_python_spark.sources.store import open_store
 
-    compressor = compressor or {"id": "zlib", "level": 1}
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format!r}")
+    # zlib is a v2 numcodecs id; gzip is the v3 stdlib codec name
+    compressor = compressor or (
+        {"id": "zlib", "level": 1} if zarr_format == 2 else {"id": "gzip", "level": 1}
+    )
     st = open_store(spark, store_path)
     spatial = st.spatial_dims
     attrs = st.dataset.attributes
@@ -383,10 +559,23 @@ def store_to_zarr(
     shape = tuple(dim_sizes[d] for d in spatial)
 
     os.makedirs(zarr_path, exist_ok=True)
-    with open(os.path.join(zarr_path, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": 2}, f)
-    with open(os.path.join(zarr_path, ".zattrs"), "w") as f:
-        json.dump({"attributes": attrs}, f, default=str)
+    if zarr_format == 3:
+        with open(os.path.join(zarr_path, "zarr.json"), "w") as f:
+            json.dump(
+                {
+                    "zarr_format": 3,
+                    "node_type": "group",
+                    "attributes": json.loads(
+                        json.dumps({"attributes": attrs}, default=str)
+                    ),
+                },
+                f,
+            )
+    else:
+        with open(os.path.join(zarr_path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        with open(os.path.join(zarr_path, ".zattrs"), "w") as f:
+            json.dump({"attributes": attrs}, f, default=str)
 
     # dimension coordinates (tiny, driver-side)
     dim_values: dict[str, np.ndarray] = {}
@@ -403,9 +592,11 @@ def store_to_zarr(
         write_array_meta(
             zarr_path, d, (len(vals),), (len(vals),), np.dtype("<i8"), [d],
             compressor,
+            zarr_format=zarr_format,
         )
         write_chunk(
-            zarr_path, d, (0,), vals.astype("<i8"), (len(vals),), compressor
+            zarr_path, d, (0,), vals.astype("<i8"), (len(vals),), compressor,
+            zarr_format=zarr_format,
         )
     labels = (np.arange(ns) * attrs.get("sampleIntervalUs", 1000) // 1000).astype(
         "<i8"
@@ -414,7 +605,10 @@ def store_to_zarr(
         zarr_path, vertical, (ns,), (ns,), np.dtype("<i8"), [vertical],
         compressor,
     )
-    write_chunk(zarr_path, vertical, (0,), labels, (ns,), compressor)
+    write_chunk(
+        zarr_path, vertical, (0,), labels, (ns,), compressor,
+        zarr_format=zarr_format,
+    )
 
     write_array_meta(
         zarr_path,
@@ -425,6 +619,7 @@ def store_to_zarr(
         [*spatial, vertical],
         compressor,
         fill_value=0,
+        zarr_format=zarr_format,
     )
     write_array_meta(
         zarr_path,
@@ -435,6 +630,7 @@ def store_to_zarr(
         list(spatial),
         compressor,
         fill_value=False,
+        zarr_format=zarr_format,
     )
     # physical coordinates (cdp_x etc.) as dim-shaped float64 arrays —
     # what a real MDIO consumer expects beside the amplitude cube
@@ -478,17 +674,19 @@ def store_to_zarr(
         block[local] = samples
         live[local] = True
         write_chunk(
-            zarr_path, var_name, (*cidx, 0), block, var_chunks, compressor, 0
+            zarr_path, var_name, (*cidx, 0), block, var_chunks, compressor, 0,
+            zarr_format=zarr_format,
         )
         write_chunk(
             zarr_path, "trace_mask", cidx, live, spatial_chunks, compressor,
-            False,
+            False, zarr_format=zarr_format,
         )
         for cname in coord_names:
             cblock = np.zeros(block_shape, dtype=np.float64)
             cblock[local] = pdf[cname].to_numpy(dtype=np.float64)
             write_chunk(
-                zarr_path, cname, cidx, cblock, spatial_chunks, compressor, 0
+                zarr_path, cname, cidx, cblock, spatial_chunks, compressor, 0,
+                zarr_format=zarr_format,
             )
         return pd.DataFrame({"n": [len(pdf)]})
 
@@ -498,5 +696,6 @@ def store_to_zarr(
         .agg(F.sum("n").alias("n"))
         .collect()[0]["n"]
     )
-    consolidate(zarr_path)
+    if zarr_format == 2:
+        consolidate(zarr_path)
     return int(counts or 0)

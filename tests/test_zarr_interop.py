@@ -1,6 +1,8 @@
-"""Zarr v2 interop tests (S4 for real MDIO-shaped stores): read cubes
-written by an independent writer, write cubes an independent reader can
-open, and roundtrip the engine's own store through zarr."""
+"""Zarr v2 + v3 interop tests (S4 for real MDIO-shaped stores): read
+cubes written by an independent writer, write cubes an independent reader
+can open, and roundtrip the engine's own store through zarr — in both
+storage-spec versions, mirroring the reference's format toggle
+(``api/io.py:57-66``)."""
 
 from __future__ import annotations
 
@@ -9,7 +11,14 @@ import os
 import numpy as np
 import pytest
 
-from tests.zarr_factory import read_zarr_array, write_group_meta, write_zarr_array
+from tests.zarr_factory import (
+    read_zarr_array,
+    read_zarr_array_v3,
+    write_group_meta,
+    write_group_meta_v3,
+    write_zarr_array,
+    write_zarr_array_v3,
+)
 
 from mdio_python_spark.sources import zarr_store as zs
 
@@ -145,6 +154,142 @@ def test_store_to_zarr_roundtrip(tmp_path, spark):
         "crossline",
         "time",
     ]
+
+
+@pytest.fixture
+def cube_zarr_v3(tmp_path):
+    """Independent-writer v3 cube, same geometry as ``cube_zarr``."""
+    root = str(tmp_path / "cube3.zarr")
+    rng = np.random.default_rng(31)
+    amp = rng.standard_normal((6, 4, 5)).astype("<f4")
+    mask = np.ones((6, 4), dtype="|b1")
+    mask[4:, 2:] = False
+    amp[~mask] = 0.0
+    write_group_meta_v3(
+        root, {"attributes": {"defaultVariableName": "amplitude"}}
+    )
+    write_zarr_array_v3(root, "inline", np.arange(10, 16, dtype="<i8"), (6,), ["inline"])
+    write_zarr_array_v3(root, "crossline", np.arange(100, 104, dtype="<i8"), (4,), ["crossline"])
+    write_zarr_array_v3(root, "time", np.arange(5, dtype="<i8"), (5,), ["time"])
+    write_zarr_array_v3(
+        root, "amplitude", amp, (2, 2, 5), ["inline", "crossline", "time"]
+    )
+    write_zarr_array_v3(root, "trace_mask", mask, (2, 2), ["inline", "crossline"])
+    return root, amp, mask
+
+
+def test_read_independent_v3_cube(spark, cube_zarr_v3):
+    root, amp, mask = cube_zarr_v3
+    g = zs.open_group(root)
+    assert g.arrays["amplitude"].dims == ["inline", "crossline", "time"]
+    df = zs.zarr_cube_to_df(spark, root)
+    rows = df.collect()
+    assert len(rows) == int(mask.sum())
+    for r in rows[:8]:
+        il, xl = r["inline_idx"], r["crossline_idx"]
+        assert r["inline"] == 10 + il and r["crossline"] == 100 + xl
+        assert np.allclose(
+            np.array(r["samples"], dtype=np.float32), amp[il, xl]
+        )
+
+
+def test_store_to_zarr_v3_roundtrip(tmp_path, spark):
+    """Engine store -> v3 zarr -> (a) independent v3 reader sees the dense
+    cube, (b) engine zarr reader reproduces the trace table, (c) open_mdio
+    dispatches on the root zarr.json."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+    from mdio_python_spark.sources.store import open_mdio
+
+    sgy = str(tmp_path / "cube.sgy")
+    headers, samples, rows = make_poststack_3d(
+        sgy, n_inline=6, n_crossline=5, n_samples=8, dead_fraction=0.2
+    )
+    store_path = str(tmp_path / "store")
+    template = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": []}
+    )
+    segy_to_store(spark, sgy, store_path, template)
+    zarr_path = str(tmp_path / "out3.zarr")
+    n = zs.store_to_zarr(spark, store_path, zarr_path, zarr_format=3)
+    assert n == len(headers)
+    assert os.path.exists(os.path.join(zarr_path, "zarr.json"))
+    assert not os.path.exists(os.path.join(zarr_path, ".zmetadata"))
+
+    amp = read_zarr_array_v3(zarr_path, "amplitude")
+    mask = read_zarr_array_v3(zarr_path, "trace_mask")
+    assert amp.shape == (6, 5, 8)
+    assert int(mask.sum()) == len(headers)
+    for (il, xl), trace in zip(rows, samples):
+        assert mask[il - 1, xl - 1]
+        assert np.allclose(amp[il - 1, xl - 1], trace)
+
+    got = {
+        (r["inline"], r["crossline"]): np.array(r["samples"], dtype=np.float32)
+        for r in open_mdio(spark, zarr_path).collect()
+    }
+    assert set(got) == set(rows)
+    for (il, xl), trace in zip(rows, samples):
+        assert np.allclose(got[(il, xl)], trace)
+
+
+def test_v3_unsupported_codec_rejected(tmp_path):
+    import json
+
+    root = str(tmp_path / "zstd.zarr")
+    os.makedirs(os.path.join(root, "a", "c"))
+    json.dump(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}},
+        open(os.path.join(root, "zarr.json"), "w"),
+    )
+    json.dump(
+        {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": [2],
+            "data_type": "float32",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+            "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+            "fill_value": 0.0,
+            "codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "zstd", "configuration": {"level": 5}},
+            ],
+            "attributes": {},
+            "dimension_names": ["x"],
+        },
+        open(os.path.join(root, "a", "zarr.json"), "w"),
+    )
+    with open(os.path.join(root, "a", "c", "0"), "wb") as f:
+        f.write(b"\x28\xb5\x2f\xfd")
+    g = zs.open_group(root)
+    with pytest.raises(zs.UnsupportedCodecError, match="zstd"):
+        zs.read_array(g.arrays["a"])
+
+
+def test_v3_v2_outputs_agree(tmp_path, spark):
+    """The same store exported in both formats yields byte-identical
+    dense cubes through the engine reader."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+
+    sgy = str(tmp_path / "c.sgy")
+    make_poststack_3d(sgy, n_inline=4, n_crossline=3, n_samples=6)
+    store = str(tmp_path / "store")
+    template = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": []}
+    )
+    segy_to_store(spark, sgy, store, template)
+    p2, p3 = str(tmp_path / "v2.zarr"), str(tmp_path / "v3.zarr")
+    zs.store_to_zarr(spark, store, p2, zarr_format=2)
+    zs.store_to_zarr(spark, store, p3, zarr_format=3)
+    df2 = zs.zarr_cube_to_df(spark, p2).orderBy("inline", "crossline").collect()
+    df3 = zs.zarr_cube_to_df(spark, p3).orderBy("inline", "crossline").collect()
+    assert [r.asDict() for r in df2] == [r.asDict() for r in df3]
 
 
 def test_cli_zarr_roundtrip(tmp_path, spark):
