@@ -41,14 +41,18 @@ def main() -> None:
 
     # Per-query isolation: one broken query must cost one row, not the
     # round (round 2 lost its entire bench to a single AnalysisException).
+    # Query CONSTRUCTION stays outside the timer (py4j plan-building adds
+    # a flat ~50-100 ms that isn't execution cost and would skew every
+    # cross-round per-query comparison); every declared query builds
+    # lazily, so all real work lands inside the timed write.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(registry().items()):
         if not spec.bench:
             continue
-        t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — harness must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]

@@ -150,3 +150,47 @@ def stratified_sample(
             F.col(stratum_col) == key, F.lit(int(round(rates[key] * precision)))
         ).otherwise(threshold)
     return df.where(bucket < threshold)
+
+
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based source rebalancing at alpha = 0.5: keep counts
+    proportional to ``sqrt(n_s)`` instead of ``n_s``, the standard
+    up/down-weighting used when mixing training corpora of very different
+    sizes (multilingual / multi-domain mixes).
+
+    ``rate_s = sqrt(n_min / n_s)`` — the smallest stratum keeps
+    everything, an s-times-larger stratum keeps ``1/sqrt(s)`` of its
+    rows, so post-sample sizes are ``sqrt(n_min * n_s)``, i.e. proportional
+    to ``n_s ** 0.5``. alpha is pinned to 0.5 because ``sqrt`` is
+    IEEE-correctly-rounded in both the JVM and DuckDB — a general
+    ``pow(x, alpha)`` is a transcendental the two engines may round
+    differently, which would break exact cross-engine reproducibility
+    (the property this operator exists to provide; see
+    ``stratified_sample``). The keep decision itself is integer: a row
+    survives iff its salted hash mod ``precision`` falls below
+    ``floor(rate * precision)``.
+
+    Scale shape: per-stratum counts are one combinable groupBy over a
+    low-cardinality key (tiny result), broadcast back; the corpus side
+    is a scan + broadcast-hash-join + filter, no corpus shuffle.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        stratum_col,
+        F.floor(
+            F.sqrt(F.col("_n_min") / F.col("_n")) * F.lit(precision)
+        ).alias("_keep_below"),
+    )
+    bucket = split_hash(F.col(id_col), salt, precision)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(bucket < F.col("_keep_below"))
+        .drop("_keep_below")
+    )

@@ -120,18 +120,18 @@ def ordered_export(
     single-partition global window that serializes the corpus through one
     task at scale.
 
-    Why persist + a driver-side offsets map instead of a counts self-join:
-    the round-2 form joined the sorted stage against a windowed aggregate
-    of *itself*; the analyzer's self-join dedup re-aliases the right
-    subtree's expr ids, so neither planner- nor AQE-level exchange reuse
-    fires and the corpus is range-SORTED TWICE (measured: two separate
-    rangepartitioning exchanges at sf0.1, 2.6 s vs 1.1 s in r1). Caching
-    the sorted stage makes both consumers hit one materialization, and
-    the per-partition counts — ≤ num_partitions rows, the only thing that
-    ever reaches the driver — become a literal lookup map, so the output
-    branch is a pure projection over the cache: no second sort, no join,
-    no window. The cache write is the same corpus-sized spill a second
-    shuffle would have been, minus the second global sort.
+    Why the sorted stage is persisted: the counts branch joins the sorted
+    stage against a windowed aggregate of *itself*; the analyzer's
+    self-join dedup re-aliases the right subtree's expr ids, so neither
+    planner- nor AQE-level exchange reuse fires and without the cache the
+    corpus is range-SORTED TWICE (measured: two separate rangepartitioning
+    exchanges at sf0.1, 2.6 s vs 1.1 s in r1). With MEMORY_AND_DISK
+    persistence both consumers hit one materialization — the cache write
+    is the same corpus-sized spill a second shuffle would have been,
+    minus the second global sort. The plan stays fully lazy (no driver
+    action at construction time); the offsets side is one tiny row per
+    range partition, windowed with a deliberate constant partition key
+    and broadcast back.
     """
     from pyspark import StorageLevel
 
@@ -150,23 +150,24 @@ def ordered_export(
         (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("_local"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # One tiny row per range partition; collecting it is the offsets
-    # "broadcast" (and eagerly materializes the cache for the output pass).
-    counts = sorted(
-        (r["_pid"], r["_n"])
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over the tiny per-partition count table (≤ n
+    # rows). `_pid % 1` is constant 0 but non-foldable, so the single
+    # deliberate partition survives optimization without the global-window
+    # WindowExec warning.
+    w = (
+        Window.partitionBy(F.col("_pid") % F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
-    if offsets:
-        pairs = [F.lit(x) for kv in offsets.items() for x in kv]
-        offset_expr = F.element_at(F.create_map(*pairs), F.col("_pid"))
-    else:
-        offset_expr = F.lit(0)
-    return local.withColumn(
-        "export_ordinal",
-        (offset_expr + F.col("_local") + F.lit(1)).cast("long"),
-    ).drop("_pid", "_local")
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "export_ordinal",
+            (F.col("_offset") + F.col("_local") + F.lit(1)).cast("long"),
+        )
+        .drop("_pid", "_local", "_offset")
+    )

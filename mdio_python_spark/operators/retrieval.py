@@ -1,0 +1,181 @@
+"""Lexical retrieval over the document corpus: BM25-family relevance
+scoring and term statistics.
+
+Beyond-reference surface (BASELINE.json north star): the lexical
+counterpart of the embedding ANN operators in ``similarity.py`` — every
+large-scale training-data pipeline needs "find documents matching these
+terms" both for curation (targeted subset extraction) and for building
+retrieval baselines.
+
+Scale design (the 100 TB shape):
+- For a FIXED query term set (the common case: k query terms, k small)
+  per-term frequencies are computed as pure Column expressions over the
+  token array — **no corpus explode, no shuffle**; the corpus is scanned,
+  each row emits k tf counts.
+- Corpus statistics (N, total token count, per-term document frequency)
+  are ONE combinable global aggregate producing a single row, attached
+  back via a broadcast nested-loop join of that 1-row table (the only
+  join in the plan, build side = 1 row).
+- The final top-k ranks the scored table with a window ordered by
+  (score desc, doc_id) — the input to the sort is the corpus, so the
+  plan filters score > 0 first: only docs containing at least one query
+  term reach the sort (for selective queries this is a tiny fraction).
+
+Determinism: the classic BM25 idf uses ``ln`` — a transcendental that
+libm (DuckDB) and the JVM (Spark) may round differently. We use the
+monotone pre-log Robertson idf ``(N - df + 0.5) / (df + 0.5)`` instead:
+per-term document ranking is unchanged (the transform is monotone in
+df), and the whole score is rational arithmetic — IEEE +,-,*,/ are
+correctly rounded in both engines, so scores hash-match bit-for-bit as
+long as the oracle mirrors the exact expression tree (association
+order included).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def _toks(text_col: str):
+    # identical tokenization to plans.llm_queries._TOKS
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against ``terms`` with rational-idf BM25.
+
+    Returns (id_col, score) for documents matching >= 1 term.
+    """
+    if not terms:
+        raise ValueError("empty query term set")
+    toks = _toks(text_col)
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    tf_cols = {
+        f"_tf{i}": F.size(F.filter(toks, _eq(t))).cast("long")
+        for i, t in enumerate(terms)
+    }
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("_dl"),
+        *[c.alias(n) for n, c in tf_cols.items()],
+    )
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = per_doc.join(F.broadcast(stats))
+    # dl/avgdl as dl * N / sum_dl; constants and association order mirrored
+    # exactly in the SQL oracle (see plans.llm_queries).
+    norm = F.lit(1.0 - B) + F.lit(B) * F.col("_dl") * F.col("_n_docs") / F.col(
+        "_sum_dl"
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}")
+        idf = (F.col("_n_docs") - F.col(f"_df{i}") + F.lit(0.5)) / (
+            F.col(f"_df{i}") + F.lit(0.5)
+        )
+        term_score = F.when(
+            tf > 0,
+            idf * ((tf * F.lit(K1 + 1.0)) / (tf + F.lit(K1) * norm)),
+        ).otherwise(F.lit(0.0))
+        score = term_score if score is None else score + term_score
+    return (
+        scored.withColumn("score", score)
+        .where(F.col("score") > 0)
+        .select(id_col, "score")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 retrieval: (id, score, rank), rank 1 = best.
+
+    Two-phase top-k so no corpus-sized set ever reaches a single task
+    (for common query terms "matching docs" can be most of the corpus):
+    phase 1 ranks within 64 deterministic hash buckets of the id (a
+    partitioned window — parallel) and keeps k per bucket; phase 2 ranks
+    the ≤ 64k survivors globally. Ties break on id, so the result is
+    identical to a direct global top-k and to the single-window SQL
+    oracle.
+    """
+    from mdio_python_spark.functions.scalars import hash64
+
+    scored = bm25_scores(df, terms, id_col=id_col, text_col=text_col)
+    bucket = F.pmod(hash64(F.col(id_col).cast("string")), F.lit(64))
+    w_local = Window.partitionBy(bucket).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    pruned = scored.withColumn("_lrank", F.row_number().over(w_local)).where(
+        F.col("_lrank") <= k
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )
+
+
+def term_stats(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term corpus statistics (collection frequency + document
+    frequency) for a fixed vocabulary — one combinable aggregate, output
+    one row per term via a literal-array explode of the k aggregated
+    columns (never an explode of the corpus)."""
+    toks = _toks(text_col)
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    per_doc = df.select(
+        *[
+            F.size(F.filter(toks, _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    agg = per_doc.agg(
+        *[F.sum(f"_tf{i}").alias(f"_cf{i}") for i in range(len(terms))],
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.col(f"_cf{i}").alias("collection_freq"),
+                F.col(f"_df{i}").alias("doc_freq"),
+            )
+            for i, t in enumerate(terms)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.term", "r.collection_freq", "r.doc_freq"
+    )

@@ -164,3 +164,43 @@ def fingerprint(text: Column) -> Column:
     text (rolling-hash analog; same md5-based hash in the oracle)."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return hash64(normalized)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style document chunking: overlapping fixed-size token windows.
+
+    Each doc yields windows starting every ``chunk_tokens - overlap``
+    tokens; the tail window may be short. Pure array expressions
+    (``sequence`` + ``posexplode`` + ``slice``): the only row expansion
+    is the per-doc chunk list (~n_tokens/stride rows), JVM-side, no
+    shuffle — at 100 TB this is a scan that emits a few rows per row,
+    exactly how a chunking pass feeds an embedding/indexing stage.
+
+    Output: (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_hash) —
+    the chunk text itself is hashed (shared ``hash64``) so downstream
+    exact comparisons stay 8 bytes wide.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.posexplode(starts)
+    ).withColumnsRenamed({"pos": "chunk_idx", "col": "chunk_start"})
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        hash64(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

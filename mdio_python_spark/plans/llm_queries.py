@@ -1183,3 +1183,253 @@ def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return lloyd_step(emb, cents)
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval: BM25 relevance + fixed-vocabulary term statistics
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "spark", "stream", "vector"]
+_BM25_K = 15
+
+
+def _bm25_oracle() -> str:
+    from mdio_python_spark.operators.retrieval import B, K1
+
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({_TOKS}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # expression tree mirrors operators.retrieval.bm25_scores EXACTLY
+    # (same association order, double promotion points, and repr'd
+    # float literals) so IEEE arithmetic lands bit-identical.
+    norm = (
+        f"({1.0 - B!r} + (({B!r} * CAST(dl AS DOUBLE)) * CAST(n_docs AS DOUBLE))"
+        " / CAST(sum_dl AS DOUBLE))"
+    )
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            f"((CAST(n_docs - df{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        )
+        tf_part = (
+            f"((CAST(tf{i} AS DOUBLE) * {K1 + 1.0!r})"
+            f" / (CAST(tf{i} AS DOUBLE) + ({K1!r} * {norm})))"
+        )
+        terms.append(
+            f"(CASE WHEN tf{i} > 0 THEN {idf} * {tf_part} ELSE 0.0 END)"
+        )
+    score = " + ".join(terms)
+    return f"""
+    WITH per_doc AS (
+      SELECT doc_id, len({_TOKS}) AS dl,
+             {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id, {score} AS score FROM per_doc, stats
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored WHERE score > 0
+    ) WHERE rank <= {_BM25_K}
+    """
+
+
+@register("bm25_topk", _bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: rational-idf BM25 top-15 for a fixed 4-term
+    query. For a fixed term set the per-doc term frequencies are pure
+    Column expressions over the token array — no corpus explode, no
+    shuffle; corpus stats attach as a broadcast 1-row join, and only
+    score-positive docs reach the final (tiny) rank sort. See
+    operators/retrieval.py for the determinism story (no ln: IEEE
+    rational arithmetic only)."""
+    from mdio_python_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K)
+
+
+def _term_stats_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({_TOKS}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    aggs = ",\n             ".join(
+        f"CAST(SUM(tf{i}) AS BIGINT) AS cf{i},\n             "
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT '{t}' AS term, cf{i} AS collection_freq, df{i} AS doc_freq"
+        " FROM agg"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT {tf_cols} FROM documents
+    ),
+    agg AS (
+      SELECT {aggs} FROM per_doc
+    )
+    {selects}
+    """
+
+
+@register("term_stats", _term_stats_oracle())
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-vocabulary term statistics (collection + document frequency):
+    one combinable corpus aggregate producing a single row, pivoted to one
+    row per term by exploding a k-element literal struct array — the
+    corpus itself is never exploded."""
+    from mdio_python_spark.operators.retrieval import term_stats
+
+    return term_stats(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling + dataset-card stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temperature_resample",
+    f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    mn AS (SELECT MIN(n) AS n_min FROM counts),
+    rates AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000) AS BIGINT) AS keep_below
+      FROM counts, mn
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN rates r USING (source)
+    WHERE {sql_hash64("'temp' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < r.keep_below
+    """,
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source rebalancing: keep counts
+    proportional to sqrt(n_source) via a deterministic salted-hash
+    threshold — the standard corpus-mixing step before training. Tiny
+    combinable count agg broadcast back; corpus side is scan + broadcast
+    join + filter (no corpus shuffle). sqrt is IEEE-correctly-rounded in
+    both engines, which is why alpha is pinned to 0.5
+    (operators/curation.py:temperature_resample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.temperature_resample(docs).select("doc_id", "source", "lang")
+
+
+@register(
+    "dataset_card_stats",
+    f"""
+    WITH per_doc AS (
+      SELECT source, lang, doc_id, n_chars, len({_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang ORDER BY n_chars, doc_id) AS rn
+      FROM per_doc
+    ),
+    agg AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM per_doc GROUP BY source, lang
+    )
+    SELECT a.source, a.lang, a.n_docs, a.total_chars, a.total_tokens,
+           a.min_chars, a.max_chars, r.n_chars AS median_chars
+    FROM agg a JOIN ranked r
+      ON r.source = a.source AND r.lang = a.lang
+     AND r.rn = (a.n_docs + 1) // 2
+    """,
+)
+def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per (source, lang): doc/char/token totals,
+    char-length extrema, and the exact lower median of n_chars (element
+    at rank (n+1) div 2 under a total order — deterministic in both
+    engines, unlike interpolating percentiles). Two combinable groupBys
+    plus one partitioned window; the window's per-group sort is the cost
+    of an EXACT median — at 100 TB swap in approx_percentile and keep
+    this form for audit runs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    per_doc = docs.select(
+        "source", "lang", "doc_id", "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source", "lang").orderBy("n_chars", "doc_id")
+    ranked = per_doc.withColumn("rn", F.row_number().over(w))
+    agg = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    med = ranked.join(
+        F.broadcast(agg.select("source", "lang", "n_docs")),
+        ["source", "lang"],
+    ).where(F.col("rn") == F.expr("(n_docs + 1) div 2"))
+    return (
+        agg.join(
+            med.select("source", "lang", F.col("n_chars").alias("median_chars")),
+            ["source", "lang"],
+        ).select(
+            "source", "lang", "n_docs", "total_chars", "total_tokens",
+            "min_chars", "max_chars", "median_chars",
+        )
+    )
+
+
+@register(
+    "document_chunks",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id,
+             unnest(generate_series(0, greatest(len(tk) - 1, 0), 48)) AS chunk_start,
+             generate_subscripts(generate_series(0, greatest(len(tk) - 1, 0), 48), 1) - 1
+               AS chunk_idx,
+             tk
+      FROM toked
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(tk, chunk_start + 1, chunk_start + 64)) AS BIGINT)
+             AS n_chunk_tokens,
+           {sql_hash64("array_to_string(list_slice(tk, chunk_start + 1, chunk_start + 64), ' ')")}
+             AS chunk_hash
+    FROM exploded
+    """,
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 64-token windows every 48 tokens (16 overlap)
+    per document — pure sequence/posexplode/slice array expressions, no
+    shuffle; chunk text crosses as an 8-byte hash
+    (operators/text.py:chunk_documents)."""
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

@@ -40,6 +40,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # window. Newly registered queries are NOT in this tail, so they default
 # into the checked window automatically.
 _DRIVER_CHECK_TAIL: tuple[str, ...] = (
+    "minhash_lsh_pairs",
+    "near_dup_jaccard",
+    "grid_assign_cells",
+    "chunk_keys",
+    "coordinate_gather",
     "dedup_exact_groups",
     "dedup_exact_kept",
     "minhash_signatures",

@@ -39,3 +39,37 @@ def test_redact_pii_hash_matches_redacted(spark):
         F.md5("t")
     ).first()[0]
     assert r["redacted_hash"] == expect
+
+
+def test_chunk_documents_windows(spark):
+    from mdio_python_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame([(1, words), (2, "short text")], ["doc_id", "text"])
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    # doc 1: starts at 0, 48, 96 -> sizes 64, 52, 4
+    assert [(rows[(1, i)]["chunk_start"], rows[(1, i)]["n_chunk_tokens"]) for i in range(3)] == [
+        (0, 64),
+        (48, 52),
+        (96, 4),
+    ]
+    # doc 2: one short chunk
+    assert rows[(2, 0)]["chunk_start"] == 0
+    assert rows[(2, 0)]["n_chunk_tokens"] == 2
+    assert len(rows) == 4
+    # overlap: chunk 1 of doc 1 starts inside chunk 0 (48 < 64)
+    # hashes are deterministic and distinct across different windows
+    assert rows[(1, 0)]["chunk_hash"] != rows[(1, 1)]["chunk_hash"]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from mdio_python_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap=16)
