@@ -58,6 +58,9 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop per-query cached relations (e.g. ordered_export's persisted
+        # sort stage) so later queries aren't timed under their memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     out = {

@@ -56,18 +56,25 @@ def gun_geometry_analysis(
     over. Two aggs: a tiny per-line gun count broadcast back into one
     (line, gun) agg; no window, map-side combinable.
     """
+    from pyspark import StorageLevel
+
     # dedup to (line, gun, shot) triples FIRST: one map-side-combinable
     # shuffle collapses the trace table (measured 3.0s -> dedup-first at
     # sf0.1), and both the per-line gun count and the mod-shot analysis
-    # run over the collapsed triples instead of re-scanning the source
-    triples = df.select(line_col, gun_col, shot_col).distinct()
-    # derive the tiny per-line gun count straight from the source with a
-    # 2-col distinct (partial agg collapses it to ~|line x gun| rows per
-    # task) rather than from `triples` — AQE does not reuse the triples
-    # exchange across branches, so deriving from it re-runs the 3-col
-    # distinct (measured 1.87 -> 1.63 s at sf0.1)
+    # run over the collapsed triples instead of re-scanning the source.
+    # The triples stage is persisted because AQE does not reuse its
+    # exchange across the two consuming branches — without the cache the
+    # gun-count branch either re-runs the 3-col distinct or (the r2 form)
+    # re-scans the source table with a second 2-col distinct; with it the
+    # corpus is scanned and shuffled exactly once and the gun count runs
+    # over the already-collapsed (small) triples.
+    triples = (
+        df.select(line_col, gun_col, shot_col)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     line_guns = (
-        df.select(line_col, gun_col)
+        triples.select(line_col, gun_col)
         .distinct()
         .groupBy(line_col)
         .agg(F.count(F.lit(1)).alias("num_guns"))

@@ -73,3 +73,27 @@ def test_pair_generators_never_nested_loop(spark, name):
     plan = _plan(spark, name)
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_document_chunks_no_shuffle(spark):
+    """Chunking is a pure scan-stage row expansion — any Exchange means a
+    regression re-introduced a shuffle into what should be a map-only op."""
+    plan = _plan(spark, "document_chunks")
+    assert "Exchange" not in plan, plan
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    """The per-source rate table must broadcast; the corpus must never be
+    the build side or sort-merge-joined."""
+    plan = _plan(spark, "temperature_resample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_term_stats_no_corpus_explode(spark):
+    """The pivot explodes a k-element literal struct array, never corpus
+    rows: exactly one Generate over a 1-row aggregate."""
+    plan = _plan(spark, "term_stats")
+    assert "SortMergeJoin" not in plan, plan
+    # the only exchange is the single-row final aggregation
+    assert plan.count("Exchange") <= 2, plan
