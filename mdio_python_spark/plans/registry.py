@@ -45,6 +45,8 @@ _DRIVER_CHECK_TAIL: tuple[str, ...] = (
     "grid_assign_cells",
     "chunk_keys",
     "coordinate_gather",
+    "shot_index_dense",
+    "shot_index_floor",
     "dedup_exact_groups",
     "dedup_exact_kept",
     "minhash_signatures",

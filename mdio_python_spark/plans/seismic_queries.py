@@ -185,3 +185,45 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@register("streaming_user_sessions", None, bench=False)
+def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization as a declared query: file-source stream ->
+    watermark -> ``session_window`` (30 min gap) per user -> memory sink,
+    driven to completion. State is bounded by open sessions per key; the
+    batch twin is ``events_sessions``. Rows-only check (streams have no
+    SQL oracle); value assertions live in tests/test_streaming.py."""
+    from mdio_python_spark.streaming import events as ev
+
+    stream = ev.stream_events(spark, sf_dir)
+    sess = ev.sessionized(stream, gap="30 minutes")
+    out = ev.run_to_memory(sess, "streaming_user_sessions_q")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end"),
+        "user_id",
+        "n_events",
+    )
+
+
+@register("streaming_dedup_replayed", None, bench=False)
+def q_streaming_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once redelivery: the events
+    file is staged TWICE into the watch directory (every event replayed)
+    and ``dropDuplicatesWithinWatermark`` on event_id collapses the
+    replays back to the exact single-copy cardinality. State is bounded
+    by event-rate x watermark horizon — the property that keeps an
+    unbounded feed safe. Rows-only check; the cardinality assertion
+    lives in tests/test_streaming.py."""
+    from mdio_python_spark.streaming import events as ev
+
+    stream = ev.stream_events(spark, sf_dir, copies=2)
+    deduped = ev.deduped(stream, watermark="1 hour")
+    out = ev.run_to_memory(
+        deduped, "streaming_dedup_replayed_q", output_mode="append"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct_events"),
+    )
