@@ -47,6 +47,7 @@ _DRIVER_CHECK_TAIL: tuple[str, ...] = (
     "coordinate_gather",
     "shot_index_dense",
     "shot_index_floor",
+    "component_synthesis",
     "dedup_exact_groups",
     "dedup_exact_kept",
     "minhash_signatures",

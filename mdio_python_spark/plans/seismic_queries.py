@@ -227,3 +227,38 @@ def q_streaming_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_id").alias("n_distinct_events"),
     )
+
+
+@register("multimodal_audio_features", None, bench=False)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio surface as a declared query (rows-only): synthesizes a valid
+    16-bit PCM WAV per document (deterministic sine burst keyed on doc_id)
+    with ``media_codecs.encode_wav``, then runs the REAL RIFF parse +
+    batch-vectorized ``mapInPandas`` RMS/zero-crossing extraction — the
+    full decode path, no stub."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mdio_python_spark.operators import multimodal as mm
+    from mdio_python_spark.operators.media_codecs import encode_wav
+    from mdio_python_spark.sources.tables import load_table
+
+    @pandas_udf("binary")
+    def synth_wav(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        t = np.arange(256, dtype=np.float64)
+        return ids.map(
+            lambda i: encode_wav(
+                0.5 * np.sin(2 * np.pi * (1 + int(i) % 16) * t / 64.0),
+                sample_rate=8000,
+            )
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = mm.attach_payload(
+        docs.withColumn("_wav", synth_wav("doc_id")),
+        "_wav",
+        media_type="audio/wav",
+        sample_rate=8000,
+    )
+    return mm.audio_features(media)
