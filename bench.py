@@ -47,6 +47,7 @@ def main() -> None:
     # lazily, so all real work lands inside the timed write.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    spark.catalog.clearCache()  # warm-up loop caches must not skew query #1
     for name, spec in sorted(registry().items()):
         if not spec.bench:
             continue
@@ -54,13 +55,14 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 — harness must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # drop per-query cached relations (e.g. ordered_export's persisted
-        # sort stage) so later queries aren't timed under their memory
-        spark.catalog.clearCache()
+        finally:
+            # drop per-query cached relations (e.g. ordered_export's
+            # persisted sort stage) — on success AND failure — so later
+            # queries aren't timed under an earlier query's memory
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     out = {

@@ -36,13 +36,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mdio_python_spark.operators.text import tokens
+
 K1 = 1.2
 B = 0.75
 
 
 def _toks(text_col: str):
-    # identical tokenization to plans.llm_queries._TOKS
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # the ONE shared tokenization (operators.text.tokens, mirrored by
+    # plans.llm_queries._TOKS) — oracle hash parity depends on it
+    return tokens(F.lower(F.col(text_col)))
+
+
+def _eq(term: str):
+    # single-arg closure: a 2-arg lambda would make pyspark pass the
+    # array index as the second argument
+    return lambda x: x == F.lit(term)
 
 
 def bm25_scores(
@@ -58,9 +67,6 @@ def bm25_scores(
     if not terms:
         raise ValueError("empty query term set")
     toks = _toks(text_col)
-    def _eq(term: str):
-        return lambda x: x == F.lit(term)
-
     tf_cols = {
         f"_tf{i}": F.size(F.filter(toks, _eq(t))).cast("long")
         for i, t in enumerate(terms)
@@ -150,9 +156,6 @@ def term_stats(
     one row per term via a literal-array explode of the k aggregated
     columns (never an explode of the corpus)."""
     toks = _toks(text_col)
-    def _eq(term: str):
-        return lambda x: x == F.lit(term)
-
     per_doc = df.select(
         *[
             F.size(F.filter(toks, _eq(t))).cast("long").alias(f"_tf{i}")

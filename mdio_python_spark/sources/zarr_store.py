@@ -159,12 +159,17 @@ _V3_DTYPE_NAMES = {np.dtype(v): k for k, v in _V3_DTYPES.items()}
 
 
 def _v3_codecs(codecs: list | None, name: str) -> tuple[dict | None, str]:
-    """Reduce a v3 codec chain to (compressor-dict, endian). Unknown
-    compression codecs are carried through so decode raises the explicit
-    UnsupportedCodecError; sharding is rejected outright (it changes the
-    chunk file layout, not just the bytes)."""
+    """Reduce a v3 codec chain to (compressor-dict, endian). ANY codec
+    outside the supported set (bytes endian marker + gzip/zlib
+    compression) marks the whole chain unsupported — an unknown
+    array->array codec like ``transpose`` must not be silently dropped
+    just because a known compressor follows it (the bytes would gunzip
+    fine but carry a scrambled layout). Decode raises the explicit
+    UnsupportedCodecError naming the first offender; sharding is rejected
+    at parse time (it changes the chunk *file layout*, not just bytes)."""
     comp: dict | None = None
     endian = "little"
+    unsupported: dict | None = None
     for c in codecs or []:
         cname, cfg = c.get("name"), (c.get("configuration") or {})
         if cname == "bytes":
@@ -175,9 +180,9 @@ def _v3_codecs(codecs: list | None, name: str) -> tuple[dict | None, str]:
             raise UnsupportedCodecError(
                 f"{name}: v3 sharding_indexed layout unsupported"
             )
-        else:
-            comp = {"id": cname, **cfg}
-    return comp, endian
+        elif unsupported is None:
+            unsupported = {"id": cname, **cfg}
+    return (unsupported if unsupported is not None else comp), endian
 
 
 def _read_json(p: str) -> dict:
@@ -604,6 +609,7 @@ def store_to_zarr(
     write_array_meta(
         zarr_path, vertical, (ns,), (ns,), np.dtype("<i8"), [vertical],
         compressor,
+        zarr_format=zarr_format,
     )
     write_chunk(
         zarr_path, vertical, (0,), labels, (ns,), compressor,
@@ -649,6 +655,7 @@ def store_to_zarr(
             list(spatial),
             compressor,
             fill_value=0,
+            zarr_format=zarr_format,
         )
 
     chunk_cols = [f"{d}_chunk" for d in spatial]

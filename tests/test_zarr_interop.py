@@ -336,3 +336,82 @@ def test_store_to_zarr_writes_coordinates(tmp_path, spark):
         assert cdp_x[il - 1, xl - 1] == pytest.approx(
             (700000 + il * 100 + xl * 3) / 100.0
         )
+
+
+def test_store_to_zarr_v3_writes_coordinates_and_labels(tmp_path, spark):
+    """v3 export with physical coordinates: every array node (amplitude,
+    mask, dim coords, vertical labels, cdp_x/cdp_y) must carry v3
+    zarr.json metadata — no stray v2 .zarray — and be readable back."""
+    import json
+
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+
+    sgy = str(tmp_path / "c.sgy")
+    headers, samples, rows = make_poststack_3d(
+        sgy, n_inline=4, n_crossline=3, n_samples=6
+    )
+    store = str(tmp_path / "store")
+    segy_to_store(spark, sgy, store, default_registry().get("PostStack3DTime"))
+    zarr_path = str(tmp_path / "z3.zarr")
+    zs.store_to_zarr(spark, store, zarr_path, zarr_format=3)
+
+    g = zs.open_group(zarr_path)
+    for name in ("amplitude", "trace_mask", "inline", "crossline", "time", "cdp_x"):
+        assert name in g.arrays, f"{name} missing from v3 group: {sorted(g.arrays)}"
+        node_dir = os.path.join(zarr_path, name)
+        assert os.path.exists(os.path.join(node_dir, "zarr.json")), name
+        assert not os.path.exists(os.path.join(node_dir, ".zarray")), name
+        meta = json.load(open(os.path.join(node_dir, "zarr.json")))
+        assert meta["zarr_format"] == 3 and meta["node_type"] == "array", name
+
+    time_labels = zs.read_array(g.arrays["time"])
+    assert len(time_labels) == 6
+    cdp_x = zs.read_array(g.arrays["cdp_x"])
+    assert cdp_x.shape == (4, 3)
+    for il, xl in rows:
+        assert cdp_x[il - 1, xl - 1] == pytest.approx(
+            (700000 + il * 100 + xl * 3) / 100.0
+        )
+
+
+def test_v3_unknown_array_codec_not_silently_dropped(tmp_path):
+    """A spec-valid chain [transpose, bytes, gzip] must raise — gunzipping
+    and reshaping without undoing the transpose would scramble values."""
+    import json
+
+    root = str(tmp_path / "tr.zarr")
+    os.makedirs(os.path.join(root, "a", "c"))
+    json.dump(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}},
+        open(os.path.join(root, "zarr.json"), "w"),
+    )
+    json.dump(
+        {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": [2, 2],
+            "data_type": "float32",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+            "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+            "fill_value": 0.0,
+            "codecs": [
+                {"name": "transpose", "configuration": {"order": [1, 0]}},
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "gzip", "configuration": {"level": 1}},
+            ],
+            "attributes": {},
+            "dimension_names": ["x", "y"],
+        },
+        open(os.path.join(root, "a", "zarr.json"), "w"),
+    )
+    import gzip as _gz
+
+    os.makedirs(os.path.join(root, "a", "c", "0"), exist_ok=True)
+    with open(os.path.join(root, "a", "c", "0", "0"), "wb") as f:
+        f.write(_gz.compress(b"\x00" * 16, 1))
+    g = zs.open_group(root)
+    with pytest.raises(zs.UnsupportedCodecError, match="transpose"):
+        zs.read_array(g.arrays["a"])
