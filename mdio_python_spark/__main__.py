@@ -31,15 +31,39 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("store")
     p_exp.add_argument("segy")
 
-    p_cp = sub.add_parser("copy", help="store -> store passthrough")
+    p_cp = sub.add_parser(
+        "copy",
+        help="store -> store (metadata+grid by default, like `mdio copy`; "
+        "opt into data with --with-traces / --with-headers)",
+    )
     p_cp.add_argument("src")
     p_cp.add_argument("dest")
+    p_cp.add_argument(
+        "--with-traces",
+        action="store_true",
+        help="also copy trace data (samples + headers)",
+    )
+    p_cp.add_argument(
+        "--with-headers",
+        action="store_true",
+        help="also copy header columns (no samples)",
+    )
+    p_cp.add_argument(
+        "--overwrite", action="store_true", help="overwrite the destination"
+    )
 
     p_zex = sub.add_parser(
-        "export-zarr", help="store -> xarray-convention zarr v2 group"
+        "export-zarr", help="store -> xarray-convention zarr group"
     )
     p_zex.add_argument("store")
     p_zex.add_argument("zarr")
+    p_zex.add_argument(
+        "--zarr-format",
+        type=int,
+        choices=(2, 3),
+        default=2,
+        help="storage spec version (the reference's global format toggle)",
+    )
 
     p_zim = sub.add_parser(
         "import-zarr", help="MDIO-shaped zarr v2 cube -> store-format trace parquet"
@@ -89,8 +113,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export-zarr":
         from mdio_python_spark.sources.zarr_store import store_to_zarr
 
-        n = store_to_zarr(spark, args.store, args.zarr)
-        print(f"exported {n} traces -> {args.zarr}")
+        n = store_to_zarr(spark, args.store, args.zarr, zarr_format=args.zarr_format)
+        print(f"exported {n} traces -> {args.zarr} (zarr v{args.zarr_format})")
     elif args.cmd == "import-zarr":
         from mdio_python_spark.sources.zarr_store import zarr_cube_to_df
 
@@ -98,34 +122,55 @@ def main(argv: list[str] | None = None) -> int:
         df.write.mode("overwrite").parquet(args.out_parquet)
         print(f"imported {args.zarr} -> {args.out_parquet}")
     elif args.cmd == "copy":
-        # K5 dataset copy (``src/mdio/commands/copy.py:49-80``). The copy
-        # must preserve the store contract: chunk-partitioned traces layout
-        # (partition pruning on the copy) and any materialized access views
-        # the manifest advertises.
+        # K5 dataset copy (``src/mdio/commands/copy.py:49-80``). Like the
+        # reference, the default copies the metadata + grid skeleton only;
+        # ``--with-headers`` adds the header columns, ``--with-traces`` the
+        # full trace data. The copy must preserve the store contract:
+        # chunk-partitioned traces layout (partition pruning on the copy)
+        # and any materialized access views the manifest advertises.
+        import os
         import shutil
 
         from mdio_python_spark.sources.store import open_store
 
+        if os.path.exists(args.dest) and not args.overwrite:
+            print(f"{args.dest} exists (use --overwrite)", file=sys.stderr)
+            return 1
         st = open_store(spark, args.src)
-        chunk_cols = [c for c in st.chunk_cols if c in st.traces.columns]
-        writer = (
-            st.traces.repartition(*chunk_cols) if chunk_cols else st.traces
-        ).write.mode("overwrite").option("compression", "zstd")
-        if chunk_cols:
-            writer = writer.partitionBy(*chunk_cols)
-        writer.parquet(f"{args.dest}/traces")
+        if args.with_traces or args.with_headers:
+            traces = st.traces
+            if not args.with_traces:  # headers only: drop the bulk columns
+                keep = [
+                    c for c in traces.columns if c not in ("samples", "raw")
+                ]
+                traces = traces.select(*keep)
+            chunk_cols = [c for c in st.chunk_cols if c in traces.columns]
+            writer = (
+                traces.repartition(*chunk_cols) if chunk_cols else traces
+            ).write.mode("overwrite").option("compression", "zstd")
+            if chunk_cols:
+                writer = writer.partitionBy(*chunk_cols)
+            writer.parquet(f"{args.dest}/traces")
+        else:
+            os.makedirs(args.dest, exist_ok=True)
         for d in st.dims:
             st.dims[d].coalesce(1).write.mode("overwrite").parquet(
                 f"{args.dest}/dims/{d}"
             )
         with open(f"{args.src}/manifest.json") as f:
             manifest = json.load(f)
-        for view in manifest.get("accessViews", {}):
-            shutil.copytree(
-                f"{args.src}/{view}", f"{args.dest}/{view}", dirs_exist_ok=True
-            )
+        if args.with_traces:
+            for view in manifest.get("accessViews", {}):
+                shutil.copytree(
+                    f"{args.src}/{view}", f"{args.dest}/{view}", dirs_exist_ok=True
+                )
         shutil.copyfile(f"{args.src}/manifest.json", f"{args.dest}/manifest.json")
-        print(f"copied {args.src} -> {args.dest}")
+        what = (
+            "traces+headers"
+            if args.with_traces
+            else ("headers" if args.with_headers else "metadata")
+        )
+        print(f"copied {args.src} -> {args.dest} ({what})")
     return 0
 
 

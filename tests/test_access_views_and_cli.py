@@ -83,7 +83,10 @@ def test_cli_copy_preserves_layout_and_views(small_store, spark, tmp_path):
     ap.build_access_view(st, "inline", num_partitions=2)
     dest = str(tmp_path / "copy")
     out = subprocess.run(
-        [sys.executable, "-m", "mdio_python_spark", "copy", store_path, dest],
+        [
+            sys.executable, "-m", "mdio_python_spark", "copy",
+            store_path, dest, "--with-traces",
+        ],
         capture_output=True,
         text=True,
         cwd="/root/repo",
@@ -98,3 +101,42 @@ def test_cli_copy_preserves_layout_and_views(small_store, spark, tmp_path):
     # access view directory shipped and readable
     view = ap.open_access_view(spark, copied, "inline")
     assert view.count() == st.traces.count()
+
+
+def test_cli_copy_metadata_and_headers_modes(small_store, spark, tmp_path):
+    """`mdio copy` parity: default = metadata+grid only; --with-headers
+    ships header columns without samples; an existing destination is
+    refused without --overwrite."""
+    store_path, _ = small_store
+    st = open_store(spark, store_path)
+
+    meta_dest = str(tmp_path / "meta_copy")
+    out = subprocess.run(
+        [sys.executable, "-m", "mdio_python_spark", "copy", store_path, meta_dest],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert os.path.exists(os.path.join(meta_dest, "manifest.json"))
+    assert os.path.exists(os.path.join(meta_dest, "dims", "inline"))
+    assert not os.path.exists(os.path.join(meta_dest, "traces"))
+
+    # refuses to clobber without --overwrite
+    out = subprocess.run(
+        [sys.executable, "-m", "mdio_python_spark", "copy", store_path, meta_dest],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 1
+
+    hdr_dest = str(tmp_path / "hdr_copy")
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "mdio_python_spark", "copy",
+            store_path, hdr_dest, "--with-headers",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    headers = spark.read.parquet(os.path.join(hdr_dest, "traces"))
+    assert headers.count() == st.traces.count()
+    assert "samples" not in headers.columns
+    assert "inline" in headers.columns

@@ -415,3 +415,22 @@ def test_v3_unknown_array_codec_not_silently_dropped(tmp_path):
     g = zs.open_group(root)
     with pytest.raises(zs.UnsupportedCodecError, match="transpose"):
         zs.read_array(g.arrays["a"])
+
+
+def test_cli_zarr_v3_roundtrip(tmp_path, spark):
+    """CLI surface: export-zarr --zarr-format 3 -> import-zarr."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.__main__ import main
+
+    sgy = str(tmp_path / "c.sgy")
+    make_poststack_3d(sgy, n_inline=4, n_crossline=3, n_samples=6)
+    store = str(tmp_path / "store")
+    zarr_path = str(tmp_path / "z3.zarr")
+    out_pq = str(tmp_path / "traces3.parquet")
+    assert main(["import", sgy, store]) == 0
+    assert main(["export-zarr", store, zarr_path, "--zarr-format", "3"]) == 0
+    assert os.path.exists(os.path.join(zarr_path, "zarr.json"))
+    assert main(["import-zarr", zarr_path, out_pq]) == 0
+    df = spark.read.parquet(out_pq)
+    assert df.count() == 12
