@@ -1,0 +1,55 @@
+"""Join strategy helpers for skewed keys.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on in
+`session.py`) splits oversized partitions at runtime and is the first
+line of defense. Explicit salting still matters when
+- the skewed join feeds a downstream op pinned to the same partitioning
+  (AQE's split would just re-concentrate at the next stage),
+- the build side must be shuffled too (skew-join only splits one side),
+- or a deployment runs with AQE off.
+
+``salted_join`` implements the standard recipe: the probe side gets a
+deterministic salt in ``[0, salt)``, the build side is exploded
+``salt``-ways, and the equi-join runs on ``(keys..., salt)`` — one hot
+key now lands on ``salt`` tasks instead of one. Build-side blow-up is
+``salt``×, so this is for moderate build sides (dims, per-key stats),
+never corpus-vs-corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with key salting to spread hot keys across ``salt`` tasks.
+
+    ``left`` is the large/skewed (probe) side; ``right`` is replicated
+    ``salt``-ways. The salt is derived from a hash of the whole left row
+    (murmur ``F.hash`` — deterministic per row content, no RNG, so
+    retries and recomputed partitions salt identically). Result equals
+    the unsalted ``left.join(right, on, how)`` for inner/left joins.
+    """
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    probe = left.withColumn(
+        SALT_COL, F.pmod(F.hash(F.struct(*left.columns)), F.lit(salt))
+    )
+    build = right.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return probe.join(build, [*keys, SALT_COL], how).drop(SALT_COL)

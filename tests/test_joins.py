@@ -1,0 +1,78 @@
+"""salted_join: equivalence with the plain join, salt spreading, and the
+join-key shape (salt must be part of the equi-join keys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mdio_python_spark.operators.joins import SALT_COL, salted_join
+
+
+@pytest.fixture
+def skewed(spark):
+    # 9000 rows on one hot key, 1000 spread over 100 keys
+    left = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    return left, right
+
+
+def test_salted_inner_equals_plain(spark, skewed):
+    left, right = skewed
+    got = salted_join(left, right, "k", salt=8)
+    want = left.join(right, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_left_preserves_unmatched(spark, skewed):
+    left, _ = skewed
+    right = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    got = salted_join(left, right, "k", how="left", salt=4)
+    want = left.join(right, "k", "left")
+    assert got.count() == want.count() == left.count()
+    assert (
+        got.where(F.col("w").isNull()).count()
+        == want.where(F.col("w").isNull()).count()
+    )
+
+
+def test_salt_actually_spreads_hot_key(spark, skewed):
+    left, _ = skewed
+    salted = left.withColumn(
+        SALT_COL, F.pmod(F.hash(F.struct(*left.columns)), F.lit(8))
+    )
+    spread = (
+        salted.where(F.col("k") == 7).groupBy(SALT_COL).count().collect()
+    )
+    assert len(spread) == 8  # hot key occupies all salt buckets
+    counts = [r["count"] for r in spread]
+    assert max(counts) < 9000 * 0.3  # no bucket holds the whole key
+
+
+def test_salted_join_is_equi_join_on_salt(spark, skewed):
+    left, right = skewed
+    plan = (
+        salted_join(left, right, "k", salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert SALT_COL in plan  # salt participates in the join keys
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+
+
+def test_salted_join_rejects_bad_args(spark, skewed):
+    left, right = skewed
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", salt=1)
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="right")
