@@ -52,10 +52,18 @@ def main() -> None:
         if not spec.bench:
             continue
         try:
-            df = spec.fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # best of 2: single-shot timings on a long-lived 48g JVM are
+            # GC-pause roulette (observed 9x spikes on 0.2s queries); the
+            # min of two complete executions is the query's actual cost
+            best = None
+            for _ in range(2):
+                df = spec.fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 — harness must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:
