@@ -50,6 +50,12 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     elif dtype == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
+    elif dtype == "int":
+        # defensive: epoch seconds (another plausible on-disk drift)
+        df = df.withColumn(col, F.expr(f"timestamp_seconds({col})"))
+    elif dtype == "string":
+        # defensive: ISO-8601 strings; UTC session tz keeps parity
+        df = df.withColumn(col, F.to_timestamp(F.col(col)))
     return df
 
 

@@ -113,3 +113,32 @@ def test_user_running_stats_stateful(spark):
         assert f[uid]["n_events"] == b[uid]["n_events"]
         assert abs(f[uid]["total_value"] - b[uid]["total_value"]) < 1e-6
         assert f[uid]["max_value"] == b[uid]["max_value"]
+
+
+def test_normalize_ts_handles_layout_drift(spark):
+    """The driver's on-disk ts layout changed twice across rounds (int64
+    nanos -> timestamp[us] NTZ); normalize_nanos_ts must converge every
+    plausible layout to the same UTC TimestampType values."""
+    from datetime import datetime, timezone
+
+    from mdio_python_spark.sources.tables import normalize_nanos_ts
+
+    want = datetime(2024, 3, 1, 12, 30, 15)
+    us = int(datetime(2024, 3, 1, 12, 30, 15, tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    variants = {
+        "bigint": spark.createDataFrame([(us * 1000,)], "ts long"),
+        "int_seconds": spark.sql(
+            f"SELECT CAST({us // 1_000_000} AS INT) AS ts"
+        ),
+        "string": spark.createDataFrame([("2024-03-01 12:30:15",)], "ts string"),
+        "timestamp_ntz": spark.sql(
+            "SELECT TIMESTAMP_NTZ '2024-03-01 12:30:15' AS ts"
+        ),
+        "timestamp": spark.sql("SELECT TIMESTAMP '2024-03-01 12:30:15' AS ts"),
+    }
+    for label, df in variants.items():
+        out = normalize_nanos_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp", label
+        got = out.collect()[0]["ts"]
+        assert got.replace(tzinfo=None) == want, (label, got)
