@@ -1433,3 +1433,117 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + ADC (the embedding-compression scale path)
+# ---------------------------------------------------------------------------
+
+_L2SQ = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x, y) -> x + y)"
+)
+
+_PQ_M, _PQ_K, _PQ_SUB = 4, 8, 16  # 64-dim = 4 subspaces x 16 dims, 8 codes
+
+
+def _pq_oracle(adc_tables: list[list[float]]) -> str:
+    subs = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        d = _L2SQ.format(
+            a=f"list_slice(e.embedding, {lo}, {hi})",
+            b=f"list_slice(c.embedding, {lo}, {hi})",
+        )
+        subs.append(
+            f"""sub{m} AS (
+      SELECT e.vec_id, CAST(c.vec_id AS BIGINT) AS code_{m}
+      FROM embeddings e, cb c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id ORDER BY {d}, c.vec_id) = 1
+    )"""
+        )
+    # String-hop CASTs (see functions.determinism.sql_dsum): a bare
+    # decimal literal is DECIMAL in DuckDB, and DECIMAL->DOUBLE
+    # double-rounds (int128 then /10^scale) — measured 1-ulp drift on a
+    # halfway case. VARCHAR->DOUBLE is correctly rounded, so the table
+    # entries land bit-identical to Spark's F.lit doubles.
+    adc_terms = " + ".join(
+        "list_value("
+        + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in adc_tables[m])
+        + f")[CAST(code_{m} AS INT) + 1]"
+        for m in range(_PQ_M)
+    )
+    joins = " ".join(f"JOIN sub{m} USING (vec_id)" for m in range(1, _PQ_M))
+    return f"""
+    WITH cb AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    {", ".join(subs)}
+    SELECT vec_id, code_0, code_1, code_2, code_3,
+           {adc_terms} AS adc_dist
+    FROM sub0 {joins}
+    """
+
+
+def _pq_query_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mdio_python_spark.operators.similarity import (
+        pq_adc_distance,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books, sub = pq_codebooks(emb, n_subspaces=_PQ_M, n_codes=_PQ_K)
+    q_vec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    codes = pq_encode(emb, books, sub)
+    return codes.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(_PQ_M)],
+        pq_adc_distance(codes, q_vec, books, sub).alias("adc_dist"),
+    )
+
+
+def _pq_register() -> None:
+    """Register with an oracle whose ADC lookup tables are the SAME
+    plan-build-time literals the Spark side uses — computed here once
+    from the smallest testdata copy (the codebook rows are identical at
+    every sf: vec_id < 8)."""
+    import duckdb
+
+    from mdio_python_spark.operators.similarity import _py_l2sq
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+        f"WHERE vec_id < {_PQ_K} ORDER BY vec_id"
+    ).fetchall()
+    books = [
+        [
+            [float(x) for x in vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+            for _, vec in rows
+        ]
+        for m in range(_PQ_M)
+    ]
+    q_vec = [
+        float(x)
+        for x in con.execute(
+            "SELECT embedding FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+            "WHERE vec_id = 0"
+        ).fetchone()[0]
+    ]
+    tables = [
+        [_py_l2sq(q_vec[m * _PQ_SUB : (m + 1) * _PQ_SUB], c) for c in books[m]]
+        for m in range(_PQ_M)
+    ]
+    register("embedding_pq_adc", _pq_oracle(tables))(_pq_query_impl)
+
+
+_pq_register()

@@ -51,6 +51,8 @@ _DRIVER_CHECK_TAIL: tuple[str, ...] = (
     "shot_index_dense",
     "shot_index_floor",
     "component_synthesis",
+    "duplicate_ordinal",
+    "nonbinned_collapse",
     "dedup_exact_groups",
     "dedup_exact_kept",
     "minhash_signatures",
