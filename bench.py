@@ -69,8 +69,12 @@ def main() -> None:
         finally:
             # drop per-query cached relations (e.g. ordered_export's
             # persisted sort stage) — on success AND failure — so later
-            # queries aren't timed under an earlier query's memory
+            # queries aren't timed under an earlier query's memory, and
+            # pay accumulated GC debt OUTSIDE the next timed window (a
+            # deferred major GC was landing inside unlucky queries and
+            # inflating both best-of-2 runs ~6x)
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     out = {
