@@ -1449,46 +1449,55 @@ _L2SQ = (
 _PQ_M, _PQ_K, _PQ_SUB = 4, 8, 16  # 64-dim = 4 subspaces x 16 dims, 8 codes
 
 
-def _pq_oracle(adc_tables: list[list[float]]) -> str:
+def _pq_oracle() -> str:
+    """Everything (codebooks, codes, ADC tables) derives from the SAME
+    sf the driver queries, in both engines: the per-subspace
+    query-to-codeword distances are computed in SQL with the identical
+    left fold the Spark side's plan-build-time tables use
+    (``_py_l2sq`` == ``_L2SQ``), so the literal-lookup and the
+    SQL-computed values are bit-equal."""
     subs = []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
-        d = _L2SQ.format(
+        d_ec = _L2SQ.format(
             a=f"list_slice(e.embedding, {lo}, {hi})",
+            b=f"list_slice(c.embedding, {lo}, {hi})",
+        )
+        d_qc = _L2SQ.format(
+            a=f"list_slice(q.q_vec, {lo}, {hi})",
             b=f"list_slice(c.embedding, {lo}, {hi})",
         )
         subs.append(
             f"""sub{m} AS (
-      SELECT e.vec_id, CAST(c.vec_id AS BIGINT) AS code_{m}
-      FROM embeddings e, cb c
+      SELECT e.vec_id, CAST(c.vec_id AS BIGINT) AS code_{m}, {d_qc} AS t{m}
+      FROM embeddings e, cb c, q
       QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY e.vec_id ORDER BY {d}, c.vec_id) = 1
+        PARTITION BY e.vec_id ORDER BY {d_ec}, c.vec_id) = 1
     )"""
         )
-    # String-hop CASTs (see functions.determinism.sql_dsum): a bare
-    # decimal literal is DECIMAL in DuckDB, and DECIMAL->DOUBLE
-    # double-rounds (int128 then /10^scale) — measured 1-ulp drift on a
-    # halfway case. VARCHAR->DOUBLE is correctly rounded, so the table
-    # entries land bit-identical to Spark's F.lit doubles.
-    adc_terms = " + ".join(
-        "list_value("
-        + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in adc_tables[m])
-        + f")[CAST(code_{m} AS INT) + 1]"
-        for m in range(_PQ_M)
-    )
+    adc = " + ".join(f"t{m}" for m in range(_PQ_M))
     joins = " ".join(f"JOIN sub{m} USING (vec_id)" for m in range(1, _PQ_M))
     return f"""
     WITH cb AS (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PQ_K}
     ),
+    q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
     {", ".join(subs)}
     SELECT vec_id, code_0, code_1, code_2, code_3,
-           {adc_terms} AS adc_dist
+           {adc} AS adc_dist
     FROM sub0 {joins}
     """
 
 
-def _pq_query_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("embedding_pq_adc", _pq_oracle())
+def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. TPAMI 2011): per-subspace
+    argmin against literal codebooks (pure projection, no shuffle —
+    64-dim float32 compresses to 4 codes) plus asymmetric-distance
+    scoring to a fixed query via plan-build-time literal lookup tables
+    (4 lookups + adds per candidate instead of a 64-dim dot product).
+    Codebooks/query derive from the queried sf in BOTH engines
+    (operators/similarity.py: pq_codebooks/pq_encode/pq_adc_distance)."""
     from mdio_python_spark.operators.similarity import (
         pq_adc_distance,
         pq_codebooks,
@@ -1507,43 +1516,3 @@ def _pq_query_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"code_{m}" for m in range(_PQ_M)],
         pq_adc_distance(codes, q_vec, books, sub).alias("adc_dist"),
     )
-
-
-def _pq_register() -> None:
-    """Register with an oracle whose ADC lookup tables are the SAME
-    plan-build-time literals the Spark side uses — computed here once
-    from the smallest testdata copy (the codebook rows are identical at
-    every sf: vec_id < 8)."""
-    import duckdb
-
-    from mdio_python_spark.operators.similarity import _py_l2sq
-
-    con = duckdb.connect()
-    rows = con.execute(
-        "SELECT vec_id, embedding FROM "
-        "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
-        f"WHERE vec_id < {_PQ_K} ORDER BY vec_id"
-    ).fetchall()
-    books = [
-        [
-            [float(x) for x in vec[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
-            for _, vec in rows
-        ]
-        for m in range(_PQ_M)
-    ]
-    q_vec = [
-        float(x)
-        for x in con.execute(
-            "SELECT embedding FROM "
-            "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
-            "WHERE vec_id = 0"
-        ).fetchone()[0]
-    ]
-    tables = [
-        [_py_l2sq(q_vec[m * _PQ_SUB : (m + 1) * _PQ_SUB], c) for c in books[m]]
-        for m in range(_PQ_M)
-    ]
-    register("embedding_pq_adc", _pq_oracle(tables))(_pq_query_impl)
-
-
-_pq_register()
