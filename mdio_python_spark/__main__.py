@@ -133,26 +133,39 @@ def main(argv: list[str] | None = None) -> int:
 
         from mdio_python_spark.sources.store import open_store
 
-        if os.path.exists(args.dest) and not args.overwrite:
-            print(f"{args.dest} exists (use --overwrite)", file=sys.stderr)
-            return 1
+        if os.path.exists(args.dest):
+            if not args.overwrite:
+                print(f"{args.dest} exists (use --overwrite)", file=sys.stderr)
+                return 1
+            # replace, never merge: copytree(dirs_exist_ok) onto a prior
+            # copy would mix old and new part-files
+            shutil.rmtree(args.dest)
         st = open_store(spark, args.src)
-        if args.with_traces or args.with_headers:
-            traces = st.traces
-            if not args.with_traces:  # headers only: drop the bulk columns
-                keep = [
-                    c for c in traces.columns if c not in ("samples", "raw")
-                ]
-                traces = traces.select(*keep)
-            chunk_cols = [c for c in st.chunk_cols if c in traces.columns]
-            writer = (
-                traces.repartition(*chunk_cols) if chunk_cols else traces
-            ).write.mode("overwrite").option("compression", "zstd")
-            if chunk_cols:
-                writer = writer.partitionBy(*chunk_cols)
-            writer.parquet(f"{args.dest}/traces")
-        else:
-            os.makedirs(args.dest, exist_ok=True)
+        traces = st.traces
+        if not args.with_traces:
+            # drop the bulk columns (samples + the 240-byte raw header
+            # blob); metadata mode keeps ONLY the schema via limit(0) so
+            # the copy remains an openable store skeleton
+            keep = [
+                c
+                for c in traces.columns
+                if c not in ("samples", "raw", "raw_header")
+            ]
+            traces = traces.select(*keep)
+            if not args.with_headers:
+                traces = traces.limit(0)
+        chunk_cols = [c for c in st.chunk_cols if c in traces.columns]
+        if not (args.with_traces or args.with_headers):
+            # an empty partitioned write emits no parquet footer and the
+            # skeleton would be unreadable; one empty unpartitioned part
+            # file preserves the schema
+            chunk_cols = []
+        writer = (
+            traces.repartition(*chunk_cols) if chunk_cols else traces
+        ).write.mode("overwrite").option("compression", "zstd")
+        if chunk_cols:
+            writer = writer.partitionBy(*chunk_cols)
+        writer.parquet(f"{args.dest}/traces")
         for d in st.dims:
             st.dims[d].coalesce(1).write.mode("overwrite").parquet(
                 f"{args.dest}/dims/{d}"
@@ -164,7 +177,11 @@ def main(argv: list[str] | None = None) -> int:
                 shutil.copytree(
                     f"{args.src}/{view}", f"{args.dest}/{view}", dirs_exist_ok=True
                 )
-        shutil.copyfile(f"{args.src}/manifest.json", f"{args.dest}/manifest.json")
+        else:
+            # the manifest must not advertise payloads that were excluded
+            manifest.pop("accessViews", None)
+        with open(f"{args.dest}/manifest.json", "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
         what = (
             "traces+headers"
             if args.with_traces

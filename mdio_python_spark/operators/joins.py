@@ -45,6 +45,12 @@ def salted_join(
         raise ValueError("salt must be >= 2")
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    if SALT_COL in left.columns or SALT_COL in right.columns:
+        # withColumn would silently REPLACE a user column of this name and
+        # the final drop would lose it from the result
+        raise ValueError(
+            f"input already has a {SALT_COL!r} column; rename it first"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     probe = left.withColumn(
         SALT_COL, F.pmod(F.hash(F.struct(*left.columns)), F.lit(salt))

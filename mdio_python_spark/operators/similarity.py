@@ -411,6 +411,12 @@ def pq_codebooks(
         .select(id_col, vec_col)
         .collect()
     )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"codebook prefix has {len(rows)} rows with {id_col} < "
+            f"{n_codes}; need {n_codes} (codes are POSITIONS in this "
+            "sorted prefix — oracles must rank the same way)"
+        )
     dim = len(rows[0][1])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")

@@ -1469,19 +1469,22 @@ def _pq_oracle() -> str:
         )
         subs.append(
             f"""sub{m} AS (
-      SELECT e.vec_id, CAST(c.vec_id AS BIGINT) AS code_{m}, {d_qc} AS t{m}
+      SELECT e.vec_id, CAST(c.code_pos AS BIGINT) AS code_{m}, {d_qc} AS t{m}
       FROM embeddings e, cb c, q
       QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY e.vec_id ORDER BY {d_ec}, c.vec_id) = 1
+        PARTITION BY e.vec_id ORDER BY {d_ec}, c.code_pos) = 1
     )"""
         )
     adc = " + ".join(f"t{m}" for m in range(_PQ_M))
     joins = " ".join(f"JOIN sub{m} USING (vec_id)" for m in range(1, _PQ_M))
     return f"""
     WITH cb AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PQ_K}
+      -- code = POSITION in the sorted id-prefix (matches pq_encode's
+      -- enumerate over sorted collected rows even if ids are sparse)
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_pos, embedding
+      FROM embeddings WHERE vec_id < {_PQ_K}
     ),
-    q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT embedding AS q_vec FROM cb WHERE code_pos = 0),
     {", ".join(subs)}
     SELECT vec_id, code_0, code_1, code_2, code_3,
            {adc} AS adc_dist
@@ -1506,10 +1509,9 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     books, sub = pq_codebooks(emb, n_subspaces=_PQ_M, n_codes=_PQ_K)
-    q_vec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    ]
+    # query vector = first codeword (already collected: books[m][0] is
+    # subspace m of the smallest-id row) — no second driver round-trip
+    q_vec = [x for m in range(_PQ_M) for x in books[m][0]]
     codes = pq_encode(emb, books, sub)
     return codes.select(
         "vec_id",

@@ -118,7 +118,13 @@ def test_cli_copy_metadata_and_headers_modes(small_store, spark, tmp_path):
     assert out.returncode == 0, out.stderr
     assert os.path.exists(os.path.join(meta_dest, "manifest.json"))
     assert os.path.exists(os.path.join(meta_dest, "dims", "inline"))
-    assert not os.path.exists(os.path.join(meta_dest, "traces"))
+    # the skeleton must remain an OPENABLE store: schema-bearing empty
+    # traces, manifest not advertising excluded access views
+    skeleton = open_store(spark, meta_dest)
+    assert skeleton.traces.count() == 0
+    assert "samples" not in skeleton.traces.columns
+    meta = json.load(open(os.path.join(meta_dest, "manifest.json")))
+    assert "accessViews" not in meta
 
     # refuses to clobber without --overwrite
     out = subprocess.run(

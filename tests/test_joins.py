@@ -76,3 +76,12 @@ def test_salted_join_rejects_bad_args(spark, skewed):
         salted_join(left, right, "k", salt=1)
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="right")
+
+
+def test_salted_join_rejects_salt_column_collision(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias(SALT_COL))
+    right = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(left, right, "k")
