@@ -77,16 +77,41 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
-    out = {
+    # Full per-query map goes to a sidecar file: at 66+ queries the inline
+    # map overflows the driver's ~2 KB stdout-tail capture and the round's
+    # official bench records parsed=null (VERDICT r3 item 1). The FINAL
+    # stdout line is a compact summary (< 1 KB) the driver can always parse.
+    sidecar = Path(__file__).resolve().parent / "BENCH_detail.json"
+    detail = {
         "metric": "total_declared_query_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "timing": "best_of_2_gc_isolated",
+        "queries": timings,
+        "errors": errors,
+    }
+    sidecar.write_text(json.dumps(detail, indent=1))
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "total_declared_query_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "timing": "best_of_2_gc_isolated",
+        "top5": top,
+        "detail": sidecar.name,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        summary["error_names"] = sorted(errors)[:8]
+    line = json.dumps(summary)
+    if len(line) > 1000:  # hard guarantee: never overflow the tail capture
+        for k in ("error_names", "top5"):
+            summary.pop(k, None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

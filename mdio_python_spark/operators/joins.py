@@ -36,10 +36,15 @@ def salted_join(
     """Equi-join with key salting to spread hot keys across ``salt`` tasks.
 
     ``left`` is the large/skewed (probe) side; ``right`` is replicated
-    ``salt``-ways. The salt is derived from a hash of the whole left row
-    (murmur ``F.hash`` — deterministic per row content, no RNG, so
-    retries and recomputed partitions salt identically). Result equals
-    the unsalted ``left.join(right, on, how)`` for inner/left joins.
+    ``salt``-ways. The salt mixes a per-physical-row component
+    (``monotonically_increasing_id`` + ``spark_partition_id``) into the
+    content hash, so byte-identical duplicate rows of a hot key — the most
+    common skew shape — still spread across ``salt`` tasks. It stays
+    deterministic per physical row within a job run (mid-ids are stable
+    under task retry because Spark recomputes the same partition with the
+    same partition index and row order). Map-typed columns are excluded
+    from the content hash (``F.hash`` rejects maps). Result equals the
+    unsalted ``left.join(right, on, how)`` for inner/left joins.
     """
     if salt < 2:
         raise ValueError("salt must be >= 2")
@@ -52,8 +57,19 @@ def salted_join(
             f"input already has a {SALT_COL!r} column; rename it first"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    hashable = [
+        c for c, t in left.dtypes if not t.startswith("map<")
+    ] or keys
     probe = left.withColumn(
-        SALT_COL, F.pmod(F.hash(F.struct(*left.columns)), F.lit(salt))
+        SALT_COL,
+        F.pmod(
+            F.hash(
+                F.struct(*hashable),
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(salt),
+        ),
     )
     build = right.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

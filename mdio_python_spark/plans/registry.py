@@ -22,7 +22,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None  # None => driver runs rows-only check
+    oracle: str | None
+    # oracle semantics:
+    #   "SELECT ..."        => DuckDB exact-equality oracle (driver + local)
+    #   "local:<test ref>"  => non-SQL-expressible; exact-equality gate
+    #                          lives in the named local test (driver sees
+    #                          rows-only). Every query must have one or the
+    #                          other — None is reserved for migration only.
     bench: bool = True  # False => fixed-cost smoke (e.g. pipeline roundtrip
     # on synthesized input) whose runtime is independent of sf — declared
     # for correctness but excluded from the sf-scaling bench metric
@@ -30,51 +36,15 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# The driver's correctness harness checks the FIRST 50 registered queries
-# (registration order); anything after rides unchecked there. Order the
-# registry deliberately (VERDICT r2, next-round item 8): demote a fixed
-# tail of long-stable, pure-column-expression queries so that every
-# event-time, temporal, streaming, multimodal, and pipeline-roundtrip
-# query — the ones that have actually broken at the environment boundary —
-# lands inside the driver's window. This narrows WHICH external check
-# covers the tail, not WHETHER it is checked: every tail query keeps its
-# oracle and runs under the identical exact-equality cross-engine gate in
-# tests/test_oracle_parity.py on every suite run (and was hash-green in
-# CORRECTNESS_r01 AND r02). Newly registered queries are NOT in this
-# tail, so they default into the driver-checked window automatically.
-_DRIVER_CHECK_TAIL: tuple[str, ...] = (
-    "minhash_lsh_pairs",
-    "near_dup_jaccard",
-    "grid_assign_cells",
-    "chunk_keys",
-    "coordinate_gather",
-    "shot_index_dense",
-    "shot_index_floor",
-    "component_synthesis",
-    "duplicate_ordinal",
-    "nonbinned_collapse",
-    "dedup_exact_groups",
-    "dedup_exact_kept",
-    "minhash_signatures",
-    "minhash_jaccard_estimate",
-    "simhash_16",
-    "text_quality_features",
-    "lang_id_heuristic",
-    "text_redaction",
-    "doc_fingerprint",
-    "binary_payload_stats",
-    "token_count_by_lang",
-    "top_bigrams",
-    "dim_distinct_values",
-    "coordinate_scalar_apply",
-    "sample_label_normalize",
-)
-
-
-def _ordered(reg: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    tail = [n for n in _DRIVER_CHECK_TAIL if n in reg]
-    head = [n for n in reg if n not in _DRIVER_CHECK_TAIL]
-    return {n: reg[n] for n in head + tail}
+# The registry is exposed in NATURAL registration order (module import
+# order in _ensure_loaded, then source order within a module). An earlier
+# round reordered it so selected queries always landed inside an external
+# harness's fixed-size check window; that curation was removed on advisor
+# guidance — the code under test must not steer which queries external
+# verification samples. Every oracle-declared query (head and tail alike)
+# runs under the identical exact-equality DuckDB gate in
+# tests/test_oracle_parity.py on every suite run, and the non-SQL queries
+# carry exact local gates (oracle="local:<test>").
 
 
 def register(
@@ -89,7 +59,7 @@ def register(
 
 def registry() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    return _ordered(_REGISTRY)
+    return dict(_REGISTRY)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -97,8 +67,12 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """SQL oracles only — ``local:`` gates are enforced by the test
+    suite, not the cross-engine driver (DuckDB can't run them)."""
     return {
-        name: spec.oracle for name, spec in registry().items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in registry().items()
+        if spec.oracle is not None and not spec.oracle.startswith("local:")
     }
 
 

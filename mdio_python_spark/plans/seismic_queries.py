@@ -40,7 +40,7 @@ def _synthetic_cube(spark: SparkSession, n_il: int, n_xl: int, ns: int) -> DataF
     )
 
 
-@register("seismic_ingest_roundtrip", None, bench=False)
+@register("seismic_ingest_roundtrip", "local:tests/test_segy_roundtrip.py", bench=False)
 def q_seismic_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship seismic pipeline end-to-end in one declared query:
     write a deterministic SEG-Y (K3/K4) -> ingest to the chunked store
@@ -86,7 +86,7 @@ def q_seismic_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("zarr_store_roundtrip", None, bench=False)
+@register("zarr_store_roundtrip", "local:tests/test_zarr_interop.py::test_zarr_roundtrip_query_exact", bench=False)
 def q_zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zarr v2 interop surface (S4 for real MDIO-shaped containers):
     synthesize a cube -> ingest to the engine store -> export to an
@@ -131,7 +131,7 @@ def q_zarr_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_image_features", None, bench=False)
+@register("multimodal_image_features", "local:tests/test_media_codecs.py::test_image_features_query_exact", bench=False)
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface as a declared query (rows-only: binary decode
     has no SQL oracle). Synthesizes a valid 8x8 24-bit BMP per document
@@ -169,7 +169,7 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(media)
 
 
-@register("streaming_events_hourly", None, bench=False)
+@register("streaming_events_hourly", "local:tests/test_streaming.py::test_streaming_hourly_equals_batch_frame", bench=False)
 def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface as a declared query: file-source stream
     over the events table -> watermark -> tumbling hourly window -> memory
@@ -187,7 +187,7 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_user_sessions", None, bench=False)
+@register("streaming_user_sessions", "local:tests/test_streaming.py::test_streaming_sessions_equals_batch_frame", bench=False)
 def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization as a declared query: file-source stream ->
     watermark -> ``session_window`` (30 min gap) per user -> memory sink,
@@ -207,7 +207,7 @@ def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_dedup_replayed", None, bench=False)
+@register("streaming_dedup_replayed", "local:tests/test_streaming.py::test_streaming_dedup_exact_cardinality", bench=False)
 def q_streaming_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under at-least-once redelivery: the events
     file is staged TWICE into the watch directory (every event replayed)
@@ -229,7 +229,7 @@ def q_streaming_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_features", None, bench=False)
+@register("multimodal_audio_features", "local:tests/test_media_codecs.py::test_audio_features_query_exact", bench=False)
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio surface as a declared query (rows-only): synthesizes a valid
     16-bit PCM WAV per document (deterministic sine burst keyed on doc_id)

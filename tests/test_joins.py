@@ -47,7 +47,15 @@ def test_salted_left_preserves_unmatched(spark, skewed):
 def test_salt_actually_spreads_hot_key(spark, skewed):
     left, _ = skewed
     salted = left.withColumn(
-        SALT_COL, F.pmod(F.hash(F.struct(*left.columns)), F.lit(8))
+        SALT_COL,
+        F.pmod(
+            F.hash(
+                F.struct(*left.columns),
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(8),
+        ),
     )
     spread = (
         salted.where(F.col("k") == 7).groupBy(SALT_COL).count().collect()
@@ -55,6 +63,49 @@ def test_salt_actually_spreads_hot_key(spark, skewed):
     assert len(spread) == 8  # hot key occupies all salt buckets
     counts = [r["count"] for r in spread]
     assert max(counts) < 9000 * 0.3  # no bucket holds the whole key
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """The classic skew shape: byte-identical duplicates of one hot key.
+    A content-only hash sends all of them to ONE salt bucket; mixing in the
+    per-physical-row id must spread them."""
+    left = (
+        spark.range(8000)
+        .select(F.lit(7).alias("k"), F.lit("same").alias("v"))
+        .repartition(8)
+    )
+    right = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    got = salted_join(left, right, "k", salt=8)
+    assert got.count() == 8000
+    # inspect spread with the production salt expression
+    from mdio_python_spark.operators import joins as J
+
+    salted = left.withColumn(
+        J.SALT_COL,
+        F.pmod(
+            F.hash(
+                F.struct(*left.columns),
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(8),
+        ),
+    )
+    spread = salted.groupBy(J.SALT_COL).count().collect()
+    assert len(spread) == 8
+    assert max(r["count"] for r in spread) < 8000 * 0.3
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """F.hash rejects MapType; the salt must skip map columns, not throw."""
+    left = spark.range(100).select(
+        (F.col("id") % 3).alias("k"),
+        F.create_map(F.lit("a"), F.col("id")).alias("m"),
+    )
+    right = spark.range(3).select(F.col("id").alias("k"), F.lit(9).alias("w"))
+    got = salted_join(left, right, "k", salt=4)
+    want = left.join(right, "k")
+    assert got.count() == want.count() == 100
 
 
 def test_salted_join_is_equi_join_on_salt(spark, skewed):

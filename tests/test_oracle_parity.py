@@ -43,8 +43,10 @@ QUERY_NAMES = sorted(registry())
 def test_query_matches_oracle(name, spark, duck):
     spec = registry()[name]
     sdf = spec.fn(spark, SF_SMOKE).toPandas()
-    if spec.oracle is None:
-        assert len(sdf) >= 0  # rows-only check, mirroring the driver
+    if spec.oracle is None or spec.oracle.startswith("local:"):
+        # Non-SQL surface: the exact-equality gate lives in the local test
+        # named by the "local:" marker; here mirror the driver's rows-only.
+        assert len(sdf) >= 0
         return
     register_duck_views(duck, SF_SMOKE)
     odf = duck.execute(spec.oracle).df()

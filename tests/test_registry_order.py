@@ -1,28 +1,21 @@
-"""Registry-order invariants: the driver's correctness harness checks the
-FIRST 50 registered queries, so the ordering is part of the verification
-contract (see plans/registry.py). These guards fail if a future
-registration pushes a high-risk query out of the checked window."""
+"""Registry invariants: natural registration order, complete coverage.
+
+The registry is exposed in natural registration order (no curation of
+which queries an external check window samples — removed on advisor
+guidance). What we pin instead: every registered query is either
+oracle-paired (DuckDB SQL exact-equality, run by tests/test_oracle_parity)
+or carries a declared local exact gate (oracle="local:<test>"), so nothing
+is verified by row-count alone.
+"""
 
 from __future__ import annotations
 
-from mdio_python_spark.plans.registry import (
-    _DRIVER_CHECK_TAIL,
-    oracle_sql,
-    queries,
-    registry,
-)
+from mdio_python_spark.plans.registry import oracle_sql, queries, registry
 
-DRIVER_WINDOW = 50
-
-# Queries that have historically broken at the environment boundary (event
-# time, streams, binary pipelines) or are newest: must stay driver-checked.
-RISKY = {
-    "asof_view_attribution",
-    "error_click_correlation",
-    "events_gap_fill",
-    "events_sessions",
-    "events_hourly",
-    "customer_order_gaps",
+# Queries whose semantics DuckDB cannot oracle (binary pipelines,
+# streaming). Each must declare its local exact-equality gate via the
+# spec's oracle="local:<test module>" marker.
+NON_SQL = {
     "seismic_ingest_roundtrip",
     "zarr_store_roundtrip",
     "multimodal_image_features",
@@ -30,47 +23,53 @@ RISKY = {
     "streaming_events_hourly",
     "streaming_user_sessions",
     "streaming_dedup_replayed",
-    "bm25_topk",
-    "term_stats",
-    "temperature_resample",
-    "dataset_card_stats",
-    "document_chunks",
-    "embedding_pq_adc",
 }
 
 
-def test_risky_queries_inside_driver_window():
-    order = list(queries())
-    window = set(order[:DRIVER_WINDOW])
-    missing = RISKY - window
-    assert not missing, (
-        f"high-risk queries outside the driver's first-{DRIVER_WINDOW} "
-        f"window: {sorted(missing)} — demote more stable queries to "
-        "_DRIVER_CHECK_TAIL in plans/registry.py"
-    )
-
-
-def test_tail_names_all_exist():
+def test_natural_registration_order():
+    """registry() must reflect insertion order — no reordering layer."""
     reg = registry()
-    stale = [n for n in _DRIVER_CHECK_TAIL if n not in reg]
-    assert not stale, f"_DRIVER_CHECK_TAIL names not in registry: {stale}"
+    from mdio_python_spark.plans.registry import _REGISTRY
+
+    assert list(reg) == list(_REGISTRY)
 
 
-def test_tail_queries_all_have_oracles():
-    """A query may only ride outside the driver window if the local
-    exact-equality oracle gate still covers it."""
+def test_every_query_has_exact_gate():
+    """No query is verified by row-count alone: SQL oracle or local gate."""
+    reg = registry()
     osql = oracle_sql()
-    uncovered = [n for n in _DRIVER_CHECK_TAIL if n not in osql]
-    assert not uncovered, (
-        f"tail queries without a local oracle: {uncovered} — rows-only "
-        "queries must stay inside the driver window"
+    ungated = [
+        n
+        for n, spec in reg.items()
+        if n not in osql and not (spec.oracle or "").startswith("local:")
+    ]
+    assert not ungated, (
+        f"queries with neither a DuckDB oracle nor a declared local "
+        f"exact-equality gate: {ungated}"
     )
 
 
-def test_new_queries_default_into_window():
-    """Anything not explicitly demoted must precede the whole tail."""
-    order = list(queries())
-    first_tail_pos = min(order.index(n) for n in _DRIVER_CHECK_TAIL)
-    head = order[:first_tail_pos]
-    assert not set(head) & set(_DRIVER_CHECK_TAIL)
-    assert set(order) - set(_DRIVER_CHECK_TAIL) == set(head)
+def test_non_sql_queries_declare_local_gates():
+    reg = registry()
+    for name in NON_SQL:
+        assert name in reg, name
+        assert (reg[name].oracle or "").startswith("local:"), (
+            f"{name} is non-SQL-oracleable and must declare its local "
+            f"exact gate as oracle='local:<test>'"
+        )
+
+
+def test_oracle_sql_excludes_local_gates():
+    """The driver must see local-gated queries as rows-only (no SQL)."""
+    osql = oracle_sql()
+    for name, sql in osql.items():
+        assert not sql.startswith("local:"), name
+        assert "select" in sql.lower(), f"{name} oracle is not SQL"
+
+
+def test_queries_callable_and_named():
+    reg = registry()
+    assert len(reg) >= 74
+    for name, spec in reg.items():
+        assert spec.name == name
+        assert callable(spec.fn)
