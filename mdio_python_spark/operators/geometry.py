@@ -68,6 +68,11 @@ def gun_geometry_analysis(
     # re-scans the source table with a second 2-col distinct; with it the
     # corpus is scanned and shuffled exactly once and the gun count runs
     # over the already-collapsed (small) triples.
+    # Caching contract: the persisted triples stage rides on the returned
+    # DataFrame — callers release it with caching.release_cached after
+    # their terminal action (ingest does).
+    from mdio_python_spark.operators.caching import attach_cached
+
     triples = (
         df.select(line_col, gun_col, shot_col)
         .distinct()
@@ -80,7 +85,7 @@ def gun_geometry_analysis(
         .agg(F.count(F.lit(1)).alias("num_guns"))
     )
     joined = triples.join(F.broadcast(line_guns), line_col)
-    return (
+    out = (
         joined.groupBy(line_col, gun_col, "num_guns")
         .agg(
             F.count(F.lit(1)).alias("n_shots"),
@@ -90,6 +95,7 @@ def gun_geometry_analysis(
         )
         .orderBy(line_col, gun_col)
     )
+    return attach_cached(out, triples)
 
 
 def detect_gun_geometry(rows: list[tuple]) -> tuple[str, int]:

@@ -132,8 +132,15 @@ def ordered_export(
     action at construction time); the offsets side is one tiny row per
     range partition, windowed with a deliberate constant partition key
     and broadcast back.
+
+    Caching contract: the persisted stage rides on the returned DataFrame —
+    call ``operators.caching.release_cached(result)`` after the terminal
+    action (CLI/export paths do). Without it a long-lived session
+    accumulates one cached relation per call.
     """
     from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached
 
     # no explicit partition count unless asked: REPARTITION_BY_NUM pins the
     # stage shape and (measured) costs ~3x wall vs letting AQE size it
@@ -163,7 +170,7 @@ def ordered_export(
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(
             "export_ordinal",
@@ -171,3 +178,4 @@ def ordered_export(
         )
         .drop("_pid", "_local", "_offset")
     )
+    return attach_cached(out, local)

@@ -128,9 +128,13 @@ def _build_strategy_plan(
                 "cable long, chan_min long",
             )
     if overrides.auto_shot_wrap or overrides.calculate_shot_index:
-        analysis = geometry.gun_geometry_analysis(
+        analysis_df = geometry.gun_geometry_analysis(
             headers, "shot_line", "gun", "shot_point"
-        ).collect()
+        )
+        analysis = analysis_df.collect()
+        from mdio_python_spark.operators.caching import release_cached
+
+        release_cached(analysis_df)
         geom, num_guns = geometry.detect_gun_geometry(analysis)
         if geom == "B":
             plan.shot_mode, plan.num_guns = "floor", num_guns

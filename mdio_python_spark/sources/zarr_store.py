@@ -341,6 +341,43 @@ def _dtype_descr(dtype: np.dtype) -> str:
     return dtype.str
 
 
+def _v3_compressor(compressor: dict | None) -> dict | None:
+    """Translate a compressor dict to a valid zarr v3 codec. ``zlib`` is a
+    v2 numcodecs id, not a v3 spec codec — map it to ``gzip`` (both sides:
+    metadata AND chunk encoding must agree, so callers use the returned
+    dict for both). Anything else unsupported raises rather than emitting
+    metadata real v3 readers reject."""
+    if compressor is None:
+        return None
+    cid = compressor.get("id")
+    if cid == "gzip":
+        return compressor
+    if cid == "zlib":
+        return {"id": "gzip", "level": compressor.get("level", 1)}
+    raise UnsupportedCodecError(
+        f"compressor {cid!r} is not a supported zarr v3 codec here "
+        "(use gzip, zlib [auto-mapped to gzip], or null)"
+    )
+
+
+def _json_fill(fill_value, dtype: np.dtype):
+    """Serialize a fill value per the zarr spec (v2 and v3 agree): bools
+    as JSON booleans, non-finite floats as the string forms "NaN" /
+    "Infinity" / "-Infinity" — a bare NaN token is invalid JSON that real
+    readers reject."""
+    kind = np.dtype(dtype).kind
+    if kind == "b":
+        return bool(fill_value)
+    if kind in "fc":
+        f = float(np.real(fill_value)) if kind == "c" else float(fill_value)
+        if math.isnan(f):
+            return "NaN"
+        if math.isinf(f):
+            return "Infinity" if f > 0 else "-Infinity"
+        return f
+    return fill_value
+
+
 def write_array_meta(
     root: str,
     name: str,
@@ -356,14 +393,15 @@ def write_array_meta(
     d = os.path.join(root, name)
     os.makedirs(d, exist_ok=True)
     if zarr_format == 3:
+        v3_comp = _v3_compressor(compressor)
         codecs: list[dict] = [
             {"name": "bytes", "configuration": {"endian": "little"}}
         ]
-        if compressor is not None:
+        if v3_comp is not None:
             codecs.append(
                 {
-                    "name": compressor["id"],
-                    "configuration": {"level": compressor.get("level", 1)},
+                    "name": v3_comp["id"],
+                    "configuration": {"level": v3_comp.get("level", 1)},
                 }
             )
         meta = {
@@ -379,15 +417,13 @@ def write_array_meta(
                 "name": "default",
                 "configuration": {"separator": "/"},
             },
-            "fill_value": bool(fill_value)
-            if np.dtype(dtype).kind == "b"
-            else fill_value,
+            "fill_value": _json_fill(fill_value, dtype),
             "codecs": codecs,
             "attributes": extra_attrs or {},
             "dimension_names": list(dims),
         }
         with open(os.path.join(d, "zarr.json"), "w") as f:
-            json.dump(meta, f)
+            json.dump(meta, f, allow_nan=False)
         return
     meta = {
         "zarr_format": 2,
@@ -395,7 +431,7 @@ def write_array_meta(
         "chunks": list(chunks),
         "dtype": _dtype_descr(np.dtype(dtype)),
         "compressor": compressor,
-        "fill_value": fill_value,
+        "fill_value": _json_fill(fill_value, dtype),
         "order": "C",
         "filters": None,
         "dimension_separator": ".",
@@ -423,6 +459,10 @@ def write_chunk(
         full = np.full(chunks, fill_value, dtype=data.dtype)
         full[tuple(slice(0, s) for s in data.shape)] = data
         data = full
+    if zarr_format == 3:
+        # metadata and bytes must agree: the same zlib->gzip translation
+        # write_array_meta applies
+        compressor = _v3_compressor(compressor)
     raw = _encode_chunk(np.ascontiguousarray(data).tobytes(), compressor)
     if zarr_format == 3:  # default v3 key encoding: c/i/j nested dirs
         path = os.path.join(root, name, "c", *[str(i) for i in chunk_idx])

@@ -434,3 +434,69 @@ def test_cli_zarr_v3_roundtrip(tmp_path, spark):
     assert main(["import-zarr", zarr_path, out_pq]) == 0
     df = spark.read.parquet(out_pq)
     assert df.count() == 12
+
+
+def test_v3_write_translates_zlib_to_gzip(tmp_path):
+    """ADVICE r3: an explicit {'id':'zlib'} with zarr_format=3 must not
+    emit codec name 'zlib' (not a v3 spec codec). Metadata AND chunk bytes
+    both carry the gzip translation, so the store self-reads."""
+    import json as _json
+
+    root = str(tmp_path / "v3zlib.zarr")
+    os.makedirs(root)
+    write_group_meta_v3(root)
+    data = np.arange(12, dtype="<f4").reshape(3, 4)
+    zs.write_array_meta(
+        root, "a", (3, 4), (3, 4), np.dtype("<f4"), ["x", "y"],
+        {"id": "zlib", "level": 3}, zarr_format=3,
+    )
+    zs.write_chunk(
+        root, "a", (0, 0), data, (3, 4), {"id": "zlib", "level": 3},
+        zarr_format=3,
+    )
+    meta = _json.load(open(os.path.join(root, "a", "zarr.json")))
+    names = [c["name"] for c in meta["codecs"]]
+    assert "zlib" not in names and "gzip" in names
+    grp = zs.open_group(root)
+    got = zs.read_array(grp.arrays["a"])
+    np.testing.assert_array_equal(got, data)
+
+
+def test_v3_write_rejects_unknown_codec(tmp_path):
+    root = str(tmp_path / "v3bad.zarr")
+    os.makedirs(root)
+    with pytest.raises(zs.UnsupportedCodecError, match="blosc"):
+        zs.write_array_meta(
+            root, "a", (2,), (2,), np.dtype("<f4"), ["x"],
+            {"id": "blosc", "cname": "zstd"}, zarr_format=3,
+        )
+
+
+@pytest.mark.parametrize("zarr_format", [2, 3])
+def test_nan_fill_serializes_as_spec_string(tmp_path, zarr_format):
+    """Non-finite float fills must serialize as the spec's string forms
+    ("NaN"/"Infinity"/"-Infinity"), never a bare NaN JSON token."""
+    import json as _json
+
+    root = str(tmp_path / f"nanfill{zarr_format}.zarr")
+    os.makedirs(root)
+    (write_group_meta_v3 if zarr_format == 3 else write_group_meta)(root)
+    zs.write_array_meta(
+        root, "a", (4,), (2,), np.dtype("<f4"), ["x"], None,
+        fill_value=float("nan"), zarr_format=zarr_format,
+    )
+    meta_file = os.path.join(
+        root, "a", "zarr.json" if zarr_format == 3 else ".zarray"
+    )
+    raw = open(meta_file).read()
+    assert '"NaN"' in raw
+    _json.loads(raw)  # strict: must be valid JSON without NaN tokens
+    # only chunk 1 written; chunk 0 must materialize as NaN fill
+    zs.write_chunk(
+        root, "a", (1,), np.array([7, 8], dtype="<f4"), (2,), None,
+        zarr_format=zarr_format,
+    )
+    grp = zs.open_group(root)
+    got = zs.read_array(grp.arrays["a"])
+    assert np.isnan(got[:2]).all()
+    np.testing.assert_array_equal(got[2:], [7.0, 8.0])
