@@ -40,7 +40,7 @@ def _synthetic_cube(spark: SparkSession, n_il: int, n_xl: int, ns: int) -> DataF
     )
 
 
-@register("seismic_ingest_roundtrip", "local:tests/test_segy_roundtrip.py", bench=False)
+@register("seismic_ingest_roundtrip", "local:tests/test_segy_roundtrip.py::test_seismic_roundtrip_query_exact", bench=False)
 def q_seismic_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship seismic pipeline end-to-end in one declared query:
     write a deterministic SEG-Y (K3/K4) -> ingest to the chunked store

@@ -152,3 +152,63 @@ def test_unknown_media_type_raises(spark):
     media = mm.attach_payload(df, "raw", media_type="image/jpeg")
     with pytest.raises(Exception, match="no codec"):
         mm.image_features(media).collect()
+
+
+# --- exact-equality gates for the declared multimodal queries (VERDICT r4).
+# Mirror the declared queries' deterministic synth AND the vectorized
+# kernel math in pure numpy, then require bitwise-equal doubles on the
+# FULL query output at sf0.001.
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_image_features_query_exact(spark):
+    from mdio_python_spark.plans.registry import registry
+    from mdio_python_spark.sources.tables import load_table
+
+    out = registry()["multimodal_image_features"].fn(spark, SF_SMOKE).toPandas()
+    doc_ids = sorted(
+        r.doc_id for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    )
+    assert sorted(out["doc_id"]) == doc_ids
+    y, x, c = np.meshgrid(np.arange(8), np.arange(8), np.arange(3), indexing="ij")
+    by_id = out.set_index("doc_id")
+    for i in doc_ids:
+        img = ((int(i) + y * 8 + x + c * 37) % 256).astype(np.uint8)
+        a = np.stack([img]).astype(np.float64)  # same layout as the kernel
+        means = a.mean(axis=(1, 2))[0]
+        std = a.std(axis=(1, 2, 3))[0]
+        row = by_id.loc[i]
+        assert int(row.n_pixels) == 64
+        assert row.mean_r == means[0] and row.mean_g == means[1]
+        assert row.mean_b == means[2]
+        assert row.std_all == std
+
+
+def test_audio_features_query_exact(spark):
+    from mdio_python_spark.operators.media_codecs import encode_wav
+    from mdio_python_spark.plans.registry import registry
+    from mdio_python_spark.sources.tables import load_table
+
+    out = registry()["multimodal_audio_features"].fn(spark, SF_SMOKE).toPandas()
+    doc_ids = sorted(
+        r.doc_id for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    )
+    assert sorted(out["doc_id"]) == doc_ids
+    t = np.arange(256, dtype=np.float64)
+    by_id = out.set_index("doc_id")
+    for i in doc_ids:
+        sig = 0.5 * np.sin(2 * np.pi * (1 + int(i) % 16) * t / 64.0)
+        frames, _rate = decode_wav(encode_wav(sig, sample_rate=8000))
+        seg = frames.mean(axis=1)
+        # mirror the kernel's reduceat-based (sequential) reductions
+        sumsq = np.add.reduceat(seg * seg, np.array([0]))[0]
+        rms = np.sqrt(sumsq / len(seg))
+        sign = np.sign(seg)
+        cross = np.zeros(len(seg), dtype=np.int64)
+        cross[1:] = sign[1:] != sign[:-1]
+        cross[0] = 0
+        row = by_id.loc[i]
+        assert int(row.n_samples) == 256
+        assert row.rms == rms
+        assert int(row.zero_crossings) == int(cross.sum())

@@ -142,3 +142,79 @@ def test_normalize_ts_handles_layout_drift(spark):
         assert dict(out.dtypes)["ts"] == "timestamp", label
         got = out.collect()[0]["ts"]
         assert got.replace(tzinfo=None) == want, (label, got)
+
+
+# --- exact-equality gates for the declared streaming queries (VERDICT r4) ---
+# These are the "local:" oracles the registry declares for the rows-only
+# streaming queries: FULL-FRAME equality against the equivalent batch
+# computation, not just row counts.
+
+
+def _frames_equal(got, want, keys):
+    import pandas as pd
+
+    got = got.reindex(sorted(got.columns), axis=1).sort_values(keys, ignore_index=True)
+    want = want.reindex(sorted(want.columns), axis=1).sort_values(
+        keys, ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_streaming_hourly_equals_batch_frame(spark):
+    from mdio_python_spark.plans.registry import registry
+
+    reg = registry()
+    got = reg["streaming_events_hourly"].fn(spark, SF).toPandas()
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    _frames_equal(got, batch, ["hour", "event_type"])
+
+
+def test_streaming_sessions_equals_batch_frame(spark):
+    """Same session_window logical plan, two execution modes (streaming
+    state store vs batch agg) — outputs must be identical frames."""
+    from mdio_python_spark.plans.registry import registry
+
+    got = registry()["streaming_user_sessions"].fn(spark, SF).toPandas()
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("end"),
+            "user_id",
+            "n_events",
+        )
+        .toPandas()
+    )
+    _frames_equal(got, batch, ["user_id", "start"])
+
+
+def test_streaming_dedup_exact_cardinality(spark):
+    """Replayed-twice stream deduped back to EXACTLY the batch per-type
+    frame (counts and distinct counts)."""
+    from mdio_python_spark.plans.registry import registry
+
+    got = registry()["streaming_dedup_replayed"].fn(spark, SF).toPandas()
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct_events"),
+        )
+        .toPandas()
+    )
+    _frames_equal(got, batch, ["event_type"])

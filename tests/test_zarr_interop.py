@@ -500,3 +500,22 @@ def test_nan_fill_serializes_as_spec_string(tmp_path, zarr_format):
     got = zs.read_array(grp.arrays["a"])
     assert np.isnan(got[:2]).all()
     np.testing.assert_array_equal(got[2:], [7.0, 8.0])
+
+
+def test_zarr_roundtrip_query_exact(spark):
+    """Exact-value local gate for the declared ``zarr_store_roundtrip``
+    query: SEG-Y -> store -> zarr v2 -> open_mdio must reproduce bit-exact
+    stats of the synthesized cube (same mirror as the SEG-Y gate)."""
+    from tests.test_segy_roundtrip import _mirror_exact_stats
+
+    from mdio_python_spark.plans.registry import registry
+    from mdio_python_spark.plans.seismic_queries import _synthetic_cube
+
+    [row] = registry()["zarr_store_roundtrip"].fn(spark, "unused").collect()
+    cube = _synthetic_cube(spark, 6, 5, 16).select("samples").collect()
+    samples = np.array([r.samples for r in cube], dtype=np.float32).ravel()
+    n, mean, std = _mirror_exact_stats(samples)
+    assert row.n_traces == 30
+    assert row["count"] == n == 480
+    assert row["mean"] == mean
+    assert row["std"] == std
