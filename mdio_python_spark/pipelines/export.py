@@ -28,11 +28,15 @@ def store_to_segy(
     out_path: str,
     selection_mask: DataFrame | None = None,
     num_partitions: int | None = None,
+    staging=None,
 ) -> int:
     """Export the store back to SEG-Y; returns the trace count written.
 
     Uses the verbatim ``raw_header`` column when present (byte-identical
     roundtrip); otherwise headers are re-encoded from dim/coord columns.
+    ``staging`` (URI or ``sources.staging.StagingStore``) relocates the
+    executor part files off the driver-local filesystem for object-store
+    clusters — see ``segy.write_segy``.
     """
     st = store.open_store(spark, store_path)
     dims = st.spatial_dims
@@ -77,5 +81,6 @@ def store_to_segy(
         write_spec=write_spec,
         num_partitions=num_partitions,
         n_rows=n,
+        staging=staging,
     )
     return n

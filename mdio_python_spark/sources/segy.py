@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from mdio_python_spark.sources import segy_codec as codec
+from mdio_python_spark.sources import staging as staging_mod
 
 
 @dataclass
@@ -255,6 +256,7 @@ def write_segy(
     num_partitions: int | None = None,
     n_rows: int | None = None,
     text_encoding: str = "cp037",
+    staging: "str | staging_mod.StagingStore | None" = None,
 ) -> None:
     """K3/K4 — ordered SEG-Y export. ``n_rows`` (when the caller already
     knows the trace count — ingest does, export just counted) avoids the
@@ -265,9 +267,19 @@ def write_segy(
     ``header_fields`` (re-encoded per spec, F4), and ``samples``.
 
     Physical plan: one range shuffle on the export key; each task streams
-    its ordered slice to ``part-<i>``; the driver concatenates parts in
-    partition order (range partitions are globally ordered, replacing the
-    reference's merge tree, ``blocked_io.py:226-251``).
+    its ordered slice to ``part-<i>`` in the staging store; the driver
+    concatenates parts in partition order (range partitions are globally
+    ordered, replacing the reference's merge tree,
+    ``blocked_io.py:226-251``).
+
+    ``staging`` is where executors put part files: a URI (``file://...``
+    or a scheme registered via ``sources.staging.register_scheme``) or a
+    ready ``StagingStore``. Default: ``<out_path>.parts`` on the local
+    filesystem — correct for local mode and POSIX-shared clusters; on an
+    object-store cluster pass the store-backed staging URI so executors
+    and driver never need a shared mount (the reference has the same
+    contract: its partial-file merge runs over shared storage,
+    ``blocked_io.py:214-302``).
     """
     ns = write_spec.samples_per_trace
     data_format = write_spec.data_format
@@ -275,8 +287,9 @@ def write_segy(
     header_fields = header_fields or []
     hdr_spec = spec or codec.DEFAULT_TRACE_HEADER_SPEC
 
-    tmp_dir = out_path + ".parts"
-    os.makedirs(tmp_dir, exist_ok=True)
+    store = staging_mod.staging_for(
+        staging if staging is not None else out_path + ".parts"
+    )
 
     if num_partitions is None:
         # ~300 MB processing chunks, matching the reference's export
@@ -294,9 +307,9 @@ def write_segy(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        part_path = os.path.join(tmp_dir, f"part-{pid:06d}")
+        part_name = f"part-{pid:06d}"
         n_written = 0
-        with open(part_path, "wb") as f:
+        with store.open_write(part_name) as f:
             for pdf in batches:
                 n = len(pdf)
                 if n == 0:
@@ -317,7 +330,7 @@ def write_segy(
                 f.write(block.tobytes())
                 n_written += n
         if n_written == 0:
-            os.remove(part_path)
+            store.delete(part_name)
         yield pd.DataFrame({"partition": [pid], "n_traces": [n_written]})
 
     counts = ordered.mapInPandas(
@@ -341,7 +354,5 @@ def write_segy(
         if write_spec.raw_extended_headers:
             assert len(write_spec.raw_extended_headers) % codec.TEXT_HEADER_BYTES == 0
             out.write(write_spec.raw_extended_headers)
-        for name in sorted(os.listdir(tmp_dir)):
-            with open(os.path.join(tmp_dir, name), "rb") as part:
-                shutil.copyfileobj(part, out, length=64 << 20)
-    shutil.rmtree(tmp_dir)
+        staging_mod.concat_parts(store, out)
+    store.remove_all()
