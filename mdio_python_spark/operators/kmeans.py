@@ -43,25 +43,42 @@ def assign_clusters(
     centroids: Sequence[tuple[int, Sequence[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Add a ``cluster`` column: argmax cosine against the literal
+    """Add a ``cluster`` column: argmax cosine (or argmin squared-L2 with
+    ``metric="l2"`` — the PQ-codebook convention) against the literal
     centroids, ties to the lowest centroid id. Pure projection — the
     corpus is not shuffled, joined, or collected."""
-    structs = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col(vec_col), _lit_vec(cvec))
-                    / (norm(F.col(vec_col)) * F.lit(_cent_norm(cvec)))
-                ).alias("cos"),
-                F.lit(-cid).cast("long").alias("ncid"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    return vectors.select(
-        id_col, vec_col, (-F.array_max(structs)["ncid"]).alias("cluster")
-    )
+    if metric == "cosine":
+        structs = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col(vec_col), _lit_vec(cvec))
+                        / (norm(F.col(vec_col)) * F.lit(_cent_norm(cvec)))
+                    ).alias("cos"),
+                    F.lit(-cid).cast("long").alias("ncid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        cluster = -F.array_max(structs)["ncid"]
+    elif metric == "l2":
+        from mdio_python_spark.operators.similarity import l2sq
+
+        structs = F.array(
+            *[
+                F.struct(
+                    l2sq(F.col(vec_col), _lit_vec(cvec)).alias("d"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        cluster = F.array_min(structs)["cid"]
+    else:
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    return vectors.select(id_col, vec_col, cluster.alias("cluster"))
 
 
 def lloyd_step(
@@ -69,6 +86,7 @@ def lloyd_step(
     centroids: Sequence[tuple[int, Sequence[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """One Lloyd refinement: assign, then per-(cluster, dim) exact mean.
 
@@ -76,7 +94,7 @@ def lloyd_step(
     (k x dim rows — tiny); empty clusters simply have no rows. Long
     format keeps the declared-query output free of array columns and the
     groupBy map-side combinable."""
-    assigned = assign_clusters(vectors, centroids, id_col, vec_col)
+    assigned = assign_clusters(vectors, centroids, id_col, vec_col, metric)
     exploded = assigned.select(
         "cluster", F.posexplode(vec_col).alias("dim", "val")
     )
@@ -95,22 +113,27 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> list[tuple[int, list[float]]]:
     """Fit k centroids with ``iters`` Lloyd iterations.
 
-    Deterministic init: the k lowest-id vectors (the same convention as
-    ``ivf_topk``'s stand-in centroids, now actually refined). A cluster
-    that loses every member keeps its previous centroid. Collects only
-    k x dim floats per iteration."""
+    Deterministic init: the k LOWEST-id vectors present (on an unfiltered
+    table with ids 0..n that is ids 0..k-1 — the same convention as
+    ``ivf_topk``'s stand-in centroids, now actually refined; on a sampled
+    table it is the sample's k lowest survivors). Centroid ids are
+    renumbered 0..k-1 in init order. A cluster that loses every member
+    keeps its previous centroid. Collects only k x dim floats per
+    iteration."""
+    init = (
+        vectors.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"need >= {k} vectors to init k-means, got {len(init)}")
     cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in sorted(
-            vectors.where(F.col(id_col) < k).select(id_col, vec_col).collect(),
-            key=lambda r: r[0],
-        )
+        (cid, [float(x) for x in r[1]]) for cid, r in enumerate(init)
     ]
     for _ in range(iters):
-        rows = lloyd_step(vectors, cents, id_col, vec_col).collect()
+        rows = lloyd_step(vectors, cents, id_col, vec_col, metric).collect()
         by_cluster: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(

@@ -211,6 +211,37 @@ def _lit_vec(values) -> Column:
     return F.array(*[F.lit(float(x)) for x in values])
 
 
+def hash_sample(df: DataFrame, mod: int, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic ~1/mod sample by id hash — the distributed,
+    RNG-free sampling the training paths use (same recipe as
+    ``curation.stratified_sample``: a salted-hash threshold, no sort,
+    identical members on every run/engine)."""
+    if mod <= 1:
+        return df
+    return df.where(F.pmod(F.hash(F.col(id_col)), F.lit(mod)) == 0)
+
+
+def ivf_fit_centroids(
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Production IVF training path: Lloyd k-means (cosine assignment, the
+    same metric ``ivf_topk`` partitions by) on a deterministic hash sample
+    of the corpus. Returns centroid literals for ``ivf_topk(centroids=)``.
+    Driver traffic is ``iters`` round-trips of k x dim floats; the sample
+    never leaves the cluster (``lloyd_step`` aggregates distributed)."""
+    from mdio_python_spark.operators.kmeans import kmeans_fit
+
+    sample = hash_sample(candidates, sample_mod or 1, id_col)
+    return kmeans_fit(
+        sample, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -219,6 +250,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into ``n_centroids`` Voronoi
     cells, probe the ``nprobe`` nearest cells per query, exact-rank inside.
@@ -226,10 +258,11 @@ def ivf_topk(
     The classic inverted-file index (Jegou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011 — the IVF part, without PQ
     compression), data-dependent where the sign-bucket/multiband variants
-    are data-oblivious. Centroids here are the deterministic id-prefix of
-    the corpus (oracle-expressible stand-in for a sampled k-means — at
-    real scale you'd fit centroids on a driver-side sample and broadcast
-    them; the plan shape is identical).
+    are data-oblivious. ``centroids`` is the production path: pass the
+    output of :func:`ivf_fit_centroids` (sampled Lloyd k-means). When
+    omitted, the deterministic id-prefix of the corpus stands in — a
+    TEST/ORACLE convention only (it is SQL-expressible so DuckDB can
+    cross-check the full plan), not a quality index.
 
     Scale design: the centroid set is tiny by construction, so cell
     assignment is a **pure projection** — centroid vectors are baked in as
@@ -240,11 +273,15 @@ def ivf_topk(
     per-query top-k window. At 100 TB the cell id doubles as the storage
     partition key, so a probe touches ``nprobe/n_centroids`` of the data.
     """
-    cents = sorted(
-        (int(r[0]), list(r[1]))
-        for r in candidates.where(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
+    cents = (
+        sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+        if centroids is not None
+        else sorted(
+            (int(r[0]), list(r[1]))
+            for r in candidates.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
     )
     cnorms = {cid: _lfold_norm(vec) for cid, vec in cents}
 
@@ -425,6 +462,42 @@ def pq_codebooks(
         [vec[m * sub : (m + 1) * sub] for _, vec in rows]
         for m in range(n_subspaces)
     ]
+    return books, sub
+
+
+def fit_pq_codebooks(
+    candidates: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[list[float]]], int]:
+    """Production PQ training path (vs :func:`pq_codebooks`' id-prefix
+    test stand-in): per-subspace Lloyd k-means with **squared-L2**
+    assignment — the metric PQ encode/ADC scoring use — on a deterministic
+    hash sample. Each subspace fit is independent (Jegou et al. §III.A);
+    driver traffic is ``n_subspaces * iters`` round-trips of
+    k x sub_dim floats."""
+    from mdio_python_spark.operators.kmeans import kmeans_fit
+
+    dim_row = candidates.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    sample = hash_sample(candidates, sample_mod or 1, id_col)
+    books = []
+    for m in range(n_subspaces):
+        sliced = sample.select(
+            F.col(id_col), F.slice(F.col(vec_col), m * sub + 1, sub).alias(vec_col)
+        )
+        cents = kmeans_fit(
+            sliced, k=n_codes, iters=iters, id_col=id_col, vec_col=vec_col,
+            metric="l2",
+        )
+        books.append([vec for _cid, vec in cents])
     return books, sub
 
 

@@ -1518,3 +1518,54 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"code_{m}" for m in range(_PQ_M)],
         pq_adc_distance(codes, q_vec, books, sub).alias("adc_dist"),
     )
+
+
+@register(
+    "embedding_ivf_fitted",
+    "local:tests/test_similarity_fitted.py::test_ivf_fitted_query_exact",
+)
+def q_embedding_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with PRODUCTION-path centroids: Lloyd k-means (cosine)
+    fitted on a deterministic hash sample of the corpus, broadcast as
+    literals into the same shuffle-free assignment projection the
+    id-prefix variant uses. The iterative fit is not SQL-expressible, so
+    the exact gate is the named local test (pure-Python mirror of the
+    fold-exact fit + probe + rank)."""
+    from mdio_python_spark.operators.similarity import (
+        ivf_fit_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_fit_centroids(emb, n_centroids=8, iters=2, sample_mod=2)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 50), emb, k=3, nprobe=3, centroids=cents
+    )
+
+
+@register(
+    "embedding_pq_fitted",
+    "local:tests/test_similarity_fitted.py::test_pq_fitted_query_exact",
+)
+def q_embedding_pq_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC with PRODUCTION-path codebooks: per-subspace
+    squared-L2 Lloyd k-means on a hash sample (Jegou et al. §III.A), then
+    the same pure-projection encode and literal-table ADC scoring as
+    ``embedding_pq_adc``. Local exact gate (iterative fit, no SQL)."""
+    from mdio_python_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_adc_distance,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books, sub = fit_pq_codebooks(
+        emb, n_subspaces=_PQ_M, n_codes=_PQ_K, iters=2, sample_mod=2
+    )
+    q_vec = [x for m in range(_PQ_M) for x in books[m][0]]
+    codes = pq_encode(emb, books, sub)
+    return codes.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(_PQ_M)],
+        pq_adc_distance(codes, q_vec, books, sub).alias("adc_dist"),
+    )
