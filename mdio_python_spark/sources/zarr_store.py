@@ -19,12 +19,14 @@ and first-class ``dimension_names``). This module implements both
 so an engine user can read existing MDIO/Zarr cubes and write cubes
 that zarr/xarray readers open, without zarr installed.
 
-Compressors: ``null``/``zlib``/``gzip`` (stdlib). Blosc/zstd-compressed
-stores (the reference's default v2 codec is blosc-zstd clevel 5,
-``builder/schemas/compressors.py:24-25``) need codecs not in this
-container — such chunks are rejected with an explicit error naming the
-missing codec rather than misparsed; the codec hook (`_decode_chunk` /
-`_encode_chunk`) is the single place a real deployment plugs blosc in.
+Compressors: ``null``/``zlib``/``gzip`` (stdlib), ``zstd``/``lz4``
+(pyarrow codecs), and **blosc1 containers** — the reference's DEFAULT
+codec (blosc-zstd clevel 5, ``builder/schemas/compressors.py:20-29``) —
+via the pure-Python chunk-format parser in ``sources/blosc1.py``
+(inner streams: zstd/lz4/snappy/zlib). Only blosclz streams and the
+bit-shuffle filter remain unsupported, rejected with an explicit error
+naming the feature rather than misparsed; ``_decode_chunk`` /
+``_encode_chunk`` stay the single plug-in point.
 
 Scale shape: reading is one Spark task per *spatial chunk column* (all
 vertical chunks of one spatial chunk tuple), each task touching only its
@@ -55,7 +57,11 @@ class UnsupportedCodecError(ValueError):
 # --- chunk codecs -----------------------------------------------------------
 
 
-def _decode_chunk(raw: bytes, compressor: dict | None) -> bytes:
+def _decode_chunk(
+    raw: bytes, compressor: dict | None, out_size: int | None = None
+) -> bytes:
+    """``out_size`` (chunk nbytes) feeds the codecs that can't derive it
+    from the stream (lz4-block, some zstd frames)."""
     if compressor is None:
         return raw
     cid = compressor.get("id")
@@ -63,9 +69,32 @@ def _decode_chunk(raw: bytes, compressor: dict | None) -> bytes:
         return zlib.decompress(raw)
     if cid == "gzip":  # zarr v3 stdlib codec; wbits=31 selects gzip framing
         return zlib.decompress(raw, 31)
+    if cid == "blosc":
+        # the reference's DEFAULT compressor (blosc-zstd clevel 5,
+        # builder/schemas/compressors.py:20-29): public c-blosc chunk
+        # format parsed directly, inner streams via pyarrow codecs
+        from mdio_python_spark.sources import blosc1
+
+        try:
+            return blosc1.decompress(raw)
+        except blosc1.UnsupportedBloscError as exc:
+            raise UnsupportedCodecError(str(exc)) from exc
+    if cid == "zstd":
+        import pyarrow as pa
+
+        buf = pa.Codec("zstd").decompress(raw, out_size)
+        return buf.to_pybytes()
+    if cid == "lz4":
+        # numcodecs LZ4 framing: int32-LE original size + LZ4 block data
+        import struct as _struct
+
+        import pyarrow as pa
+
+        (n,) = _struct.unpack_from("<i", raw, 0)
+        return pa.Codec("lz4_raw").decompress(raw[4:], n).to_pybytes()
     raise UnsupportedCodecError(
         f"chunk compressor {cid!r} unsupported (container has no {cid} codec); "
-        "re-write the store with compressor null, zlib, or gzip"
+        "supported: null, zlib, gzip, zstd, lz4, blosc[zstd/lz4/snappy/zlib]"
     )
 
 
@@ -80,6 +109,36 @@ def _encode_chunk(raw: bytes, compressor: dict | None) -> bytes:
 
         # mtime=0 keeps the gzip header byte-deterministic across runs
         return gzip.compress(raw, compresslevel=compressor.get("level", 1), mtime=0)
+    if cid == "blosc":
+        from mdio_python_spark.sources import blosc1
+
+        shuf = compressor.get("shuffle", 1)
+        if shuf == 2:
+            raise UnsupportedCodecError("blosc bit-shuffle write unsupported")
+        try:
+            return blosc1.compress(
+                raw,
+                typesize=int(compressor.get("typesize") or 4),
+                cname=compressor.get("cname", "zstd"),
+                clevel=int(compressor.get("clevel", 5)),
+                shuffle=shuf != 0,
+                blocksize=int(compressor.get("blocksize") or 0),
+            )
+        except blosc1.UnsupportedBloscError as exc:
+            raise UnsupportedCodecError(str(exc)) from exc
+    if cid == "zstd":
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd", compression_level=compressor.get("level", 5))
+        return codec.compress(raw).to_pybytes()
+    if cid == "lz4":
+        import struct as _struct
+
+        import pyarrow as pa
+
+        return _struct.pack("<i", len(raw)) + pa.Codec("lz4_raw").compress(
+            raw
+        ).to_pybytes()
     raise UnsupportedCodecError(f"cannot encode with compressor {cid!r}")
 
 
@@ -170,12 +229,24 @@ def _v3_codecs(codecs: list | None, name: str) -> tuple[dict | None, str]:
     comp: dict | None = None
     endian = "little"
     unsupported: dict | None = None
+    shuffle_codes = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}
     for c in codecs or []:
         cname, cfg = c.get("name"), (c.get("configuration") or {})
         if cname == "bytes":
             endian = cfg.get("endian", "little")
         elif cname in ("gzip", "zlib"):
             comp = {"id": cname, "level": cfg.get("level", 1)}
+        elif cname == "zstd":
+            comp = {"id": "zstd", "level": cfg.get("level", 5)}
+        elif cname == "blosc":
+            comp = {
+                "id": "blosc",
+                "cname": cfg.get("cname", "zstd"),
+                "clevel": cfg.get("clevel", 5),
+                "shuffle": shuffle_codes.get(cfg.get("shuffle", "noshuffle"), 0),
+                "typesize": cfg.get("typesize"),
+                "blocksize": cfg.get("blocksize", 0),
+            }
         elif cname == "sharding_indexed":
             raise UnsupportedCodecError(
                 f"{name}: v3 sharding_indexed layout unsupported"
@@ -323,8 +394,9 @@ def read_region(arr: ZarrArray, region: tuple[slice, ...]) -> np.ndarray:
             dst.append(slice(a - region[d].start, b - region[d].start))
         if not os.path.exists(cpath):
             continue  # already fill
+        nbytes = int(np.prod(arr.chunks)) * arr.dtype.itemsize
         with open(cpath, "rb") as f:
-            raw = _decode_chunk(f.read(), arr.compressor)
+            raw = _decode_chunk(f.read(), arr.compressor, nbytes)
         chunk = np.frombuffer(raw, dtype=arr.dtype).reshape(arr.chunks)
         out[tuple(dst)] = chunk[tuple(src)]
     return out
@@ -350,14 +422,39 @@ def _v3_compressor(compressor: dict | None) -> dict | None:
     if compressor is None:
         return None
     cid = compressor.get("id")
-    if cid == "gzip":
+    if cid in ("gzip", "zstd", "blosc"):
         return compressor
     if cid == "zlib":
         return {"id": "gzip", "level": compressor.get("level", 1)}
     raise UnsupportedCodecError(
         f"compressor {cid!r} is not a supported zarr v3 codec here "
-        "(use gzip, zlib [auto-mapped to gzip], or null)"
+        "(use gzip, zstd, blosc, zlib [auto-mapped to gzip], or null)"
     )
+
+
+def _v3_codec_entry(comp: dict) -> dict:
+    """Metadata entry for a (already _v3_compressor-translated) codec."""
+    cid = comp["id"]
+    if cid == "gzip":
+        return {"name": "gzip", "configuration": {"level": comp.get("level", 1)}}
+    if cid == "zstd":
+        return {
+            "name": "zstd",
+            "configuration": {"level": comp.get("level", 5), "checksum": False},
+        }
+    if cid == "blosc":
+        shuffle_names = {0: "noshuffle", 1: "shuffle", 2: "bitshuffle"}
+        return {
+            "name": "blosc",
+            "configuration": {
+                "cname": comp.get("cname", "zstd"),
+                "clevel": comp.get("clevel", 5),
+                "shuffle": shuffle_names.get(comp.get("shuffle", 1), "shuffle"),
+                "typesize": int(comp.get("typesize") or 4),
+                "blocksize": int(comp.get("blocksize") or 0),
+            },
+        }
+    raise UnsupportedCodecError(f"no v3 metadata form for codec {cid!r}")
 
 
 def _json_fill(fill_value, dtype: np.dtype):
@@ -394,16 +491,13 @@ def write_array_meta(
     os.makedirs(d, exist_ok=True)
     if zarr_format == 3:
         v3_comp = _v3_compressor(compressor)
+        if v3_comp and v3_comp.get("id") == "blosc" and not v3_comp.get("typesize"):
+            v3_comp = {**v3_comp, "typesize": np.dtype(dtype).itemsize}
         codecs: list[dict] = [
             {"name": "bytes", "configuration": {"endian": "little"}}
         ]
         if v3_comp is not None:
-            codecs.append(
-                {
-                    "name": v3_comp["id"],
-                    "configuration": {"level": v3_comp.get("level", 1)},
-                }
-            )
+            codecs.append(_v3_codec_entry(v3_comp))
         meta = {
             "zarr_format": 3,
             "node_type": "array",
@@ -463,6 +557,9 @@ def write_chunk(
         # metadata and bytes must agree: the same zlib->gzip translation
         # write_array_meta applies
         compressor = _v3_compressor(compressor)
+    if compressor and compressor.get("id") == "blosc" and not compressor.get("typesize"):
+        # numcodecs convention: blosc typesize defaults to the array itemsize
+        compressor = {**compressor, "typesize": data.dtype.itemsize}
     raw = _encode_chunk(np.ascontiguousarray(data).tobytes(), compressor)
     if zarr_format == 3:  # default v3 key encoding: c/i/j nested dirs
         path = os.path.join(root, name, "c", *[str(i) for i in chunk_idx])

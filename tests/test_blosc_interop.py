@@ -1,0 +1,260 @@
+"""blosc1 chunk-format interop (VERDICT r4 item 5 — the reference's
+default compressor is blosc-zstd clevel 5).
+
+The fixtures here are INDEPENDENTLY hand-constructed from the public
+c-blosc chunk format (README_CHUNK_FORMAT.rst byte layout) — header,
+bstarts, per-stream size prefixes, shuffle transpose — with spec-valid
+inner streams produced by pyarrow's zstd/lz4 codecs. The decoder under
+test never sees its own encoder's output in those tests, so a format
+misunderstanding cannot cancel out.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mdio_python_spark.sources import blosc1
+from mdio_python_spark.sources import zarr_store as zs
+
+
+def _zstd(data: bytes, level: int = 5) -> bytes:
+    return pa.Codec("zstd", compression_level=level).compress(data).to_pybytes()
+
+
+def _lz4(data: bytes) -> bytes:
+    return pa.Codec("lz4_raw").compress(data).to_pybytes()
+
+
+def _header(flags, typesize, nbytes, blocksize, cbytes):
+    return struct.pack("<BBBB iii", 2, 1, flags, typesize, nbytes, blocksize, cbytes)
+
+
+def _build_chunk(flags, typesize, nbytes, blocksize, blocks):
+    """blocks: list of lists of (already compressed-or-raw) stream payloads
+    WITH their neblock (so raw streams can be marked by size)."""
+    body = b""
+    bstarts = []
+    nblocks = len(blocks)
+    offset = 16 + 4 * nblocks
+    for streams in blocks:
+        bstarts.append(offset)
+        for payload in streams:
+            body += struct.pack("<i", len(payload)) + payload
+            offset += 4 + len(payload)
+    payload = struct.pack(f"<{nblocks}i", *bstarts) + body
+    return _header(flags, typesize, nbytes, blocksize, 16 + len(payload)) + payload
+
+
+def test_decode_handmade_zstd_noshuffle_multiblock():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 255, 1000, dtype=np.uint8).tobytes()
+    blocksize = 256
+    flags = blosc1.FLAG_DONT_SPLIT | (blosc1.CODEC_ZSTD << 5)
+    blocks = [
+        [_zstd(data[i : i + blocksize])] for i in range(0, len(data), blocksize)
+    ]
+    chunk = _build_chunk(flags, 1, len(data), blocksize, blocks)
+    assert blosc1.decompress(chunk) == data
+
+
+def test_decode_handmade_zstd_byteshuffle():
+    arr = (np.arange(300, dtype="<i4") * 7).tobytes()  # 1200 bytes
+    typesize, blocksize = 4, 400
+    flags = blosc1.FLAG_SHUFFLE | blosc1.FLAG_DONT_SPLIT | (blosc1.CODEC_ZSTD << 5)
+    blocks = []
+    for i in range(0, len(arr), blocksize):
+        block = arr[i : i + blocksize]
+        elems = len(block) // typesize
+        shuffled = (
+            np.frombuffer(block, dtype=np.uint8)
+            .reshape(elems, typesize)
+            .T.tobytes()
+        )
+        blocks.append([_zstd(shuffled)])
+    chunk = _build_chunk(flags, typesize, len(arr), blocksize, blocks)
+    assert blosc1.decompress(chunk) == arr
+
+
+def test_decode_handmade_lz4_split_mode():
+    """Split mode (dont-split flag CLEAR): each full block carries
+    ``typesize`` streams of blocksize/typesize bytes; the leftover block
+    carries one."""
+    typesize, blocksize = 4, 64
+    arr = (np.arange(40, dtype="<i4") + 5).tobytes()  # 160 = 2 full + 32
+    flags = blosc1.FLAG_SHUFFLE | (blosc1.CODEC_LZ4 << 5)
+    blocks = []
+    for i in range(0, len(arr), blocksize):
+        block = arr[i : i + blocksize]
+        elems = len(block) // typesize
+        shuffled = (
+            np.frombuffer(block, dtype=np.uint8).reshape(elems, typesize).T.tobytes()
+        )
+        if len(block) == blocksize:  # full block: typesize streams
+            neblock = blocksize // typesize
+            streams = [
+                _lz4(shuffled[s * neblock : (s + 1) * neblock])
+                for s in range(typesize)
+            ]
+            # expansion guard: any stream >= neblock must be stored raw
+            streams = [
+                s if len(s) < neblock else shuffled[i2 * neblock : (i2 + 1) * neblock]
+                for i2, s in enumerate(streams)
+            ]
+        else:  # leftover block: single stream
+            comp = _lz4(shuffled)
+            streams = [comp if len(comp) < len(block) else shuffled]
+        blocks.append(streams)
+    chunk = _build_chunk(flags, typesize, len(arr), blocksize, blocks)
+    assert blosc1.decompress(chunk) == arr
+
+
+def test_decode_raw_stream_expansion_guard():
+    data = bytes(range(128))  # incompressible-ish; store raw
+    flags = blosc1.FLAG_DONT_SPLIT | (blosc1.CODEC_ZSTD << 5)
+    chunk = _build_chunk(flags, 1, len(data), len(data), [[data]])
+    assert blosc1.decompress(chunk) == data
+
+
+def test_decode_memcpyed():
+    data = b"\x01\x02" * 50
+    flags = blosc1.FLAG_MEMCPYED | (blosc1.CODEC_ZSTD << 5)
+    chunk = _header(flags, 1, len(data), len(data), 16 + len(data)) + data
+    assert blosc1.decompress(chunk) == data
+
+
+def test_rejects_bitshuffle_and_blosclz():
+    data = b"x" * 32
+    bit = _build_chunk(
+        blosc1.FLAG_BITSHUFFLE | (blosc1.CODEC_ZSTD << 5), 4, 32, 32, [[data]]
+    )
+    with pytest.raises(blosc1.UnsupportedBloscError, match="bit-shuffle"):
+        blosc1.decompress(bit)
+    lz = _build_chunk(
+        blosc1.FLAG_DONT_SPLIT | (blosc1.CODEC_BLOSCLZ << 5), 1, 32, 32, [[b"y" * 16]]
+    )
+    with pytest.raises(blosc1.UnsupportedBloscError, match="blosclz"):
+        blosc1.decompress(lz)
+
+
+def test_truncated_chunk_rejected():
+    data = b"z" * 64
+    flags = blosc1.FLAG_DONT_SPLIT | (blosc1.CODEC_ZSTD << 5)
+    chunk = _build_chunk(flags, 1, 64, 64, [[_zstd(data)]])
+    with pytest.raises(ValueError, match="truncated"):
+        blosc1.decompress(chunk[:-3])
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+@pytest.mark.parametrize("cname", ["zstd", "lz4", "zlib", "snappy"])
+def test_own_encoder_roundtrip(cname, shuffle):
+    rng = np.random.default_rng(11)
+    arr = rng.integers(-1000, 1000, 5000, dtype="<i4").tobytes()
+    chunk = blosc1.compress(arr, typesize=4, cname=cname, shuffle=shuffle)
+    assert blosc1.decompress(chunk) == arr
+    # header sanity: a c-blosc reader sees consistent sizes + flags
+    _v, _vlz, flags, typesize = struct.unpack_from("<BBBB", chunk, 0)
+    nbytes, _bs, cbytes = struct.unpack_from("<iii", chunk, 4)
+    assert (nbytes, cbytes, typesize) == (len(arr), len(chunk), 4)
+    assert bool(flags & blosc1.FLAG_SHUFFLE) == shuffle
+    assert flags & blosc1.FLAG_DONT_SPLIT
+
+
+def test_own_encoder_multiblock():
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 50, 3 << 20, dtype=np.uint8).tobytes()  # 3 MiB
+    chunk = blosc1.compress(arr, typesize=8, cname="zstd", blocksize=1 << 20)
+    assert len(chunk) < len(arr)
+    assert blosc1.decompress(chunk) == arr
+
+
+# --- zarr integration -------------------------------------------------------
+
+
+def test_zarr_v2_blosc_chunk_roundtrip(tmp_path):
+    """A v2 array declared with the reference's default compressor
+    (blosc-zstd clevel 5 + byte shuffle) writes chunks our own reader —
+    and any spec-conformant blosc reader — decodes."""
+    import os
+
+    from tests.zarr_factory import write_group_meta
+
+    root = str(tmp_path / "b.zarr")
+    os.makedirs(root)
+    write_group_meta(root)
+    comp = {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1}
+    data = np.arange(48, dtype="<f4").reshape(6, 8)
+    zs.write_array_meta(root, "a", (6, 8), (3, 8), np.dtype("<f4"), ["x", "y"], comp)
+    zs.write_chunk(root, "a", (0, 0), data[:3], (3, 8), comp)
+    zs.write_chunk(root, "a", (1, 0), data[3:], (3, 8), comp)
+    grp = zs.open_group(root)
+    got = zs.read_array(grp.arrays["a"])
+    np.testing.assert_array_equal(got, data)
+    # chunk on disk is a real blosc1 container with the zstd code + shuffle
+    raw = open(os.path.join(root, "a", "0.0"), "rb").read()
+    flags = raw[2]
+    assert flags >> 5 == blosc1.CODEC_ZSTD
+    assert flags & blosc1.FLAG_SHUFFLE
+    assert raw[3] == 4  # typesize = float32 itemsize
+
+
+def test_zarr_v2_handmade_blosc_chunk_reads(tmp_path):
+    """Independent-writer path: chunk bytes hand-built per the c-blosc
+    spec (not by our encoder) under numcodecs-style metadata."""
+    import json
+    import os
+
+    root = str(tmp_path / "h.zarr")
+    os.makedirs(os.path.join(root, "a"))
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    data = np.arange(24, dtype="<i8")
+    shuffled = data.tobytes()
+    comp_meta = {
+        "id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 0, "blocksize": 0,
+    }
+    meta = {
+        "zarr_format": 2, "shape": [24], "chunks": [24], "dtype": "<i8",
+        "compressor": comp_meta, "fill_value": 0, "order": "C",
+        "filters": None, "dimension_separator": ".",
+    }
+    with open(os.path.join(root, "a", ".zarray"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(root, "a", ".zattrs"), "w") as f:
+        json.dump({"_ARRAY_DIMENSIONS": ["x"]}, f)
+    flags = blosc1.FLAG_DONT_SPLIT | (blosc1.CODEC_ZSTD << 5)
+    chunk = _build_chunk(flags, 8, len(shuffled), len(shuffled), [[_zstd(shuffled)]])
+    with open(os.path.join(root, "a", "0"), "wb") as f:
+        f.write(chunk)
+    grp = zs.open_group(root)
+    np.testing.assert_array_equal(zs.read_array(grp.arrays["a"]), data)
+
+
+def test_zarr_v3_zstd_and_blosc_codecs(tmp_path):
+    import os
+
+    from tests.zarr_factory import write_group_meta_v3
+
+    for comp in (
+        {"id": "zstd", "level": 3},
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+    ):
+        root = str(tmp_path / f"v3_{comp['id']}.zarr")
+        os.makedirs(root)
+        write_group_meta_v3(root)
+        data = np.linspace(0, 1, 60, dtype="<f8").reshape(6, 10)
+        zs.write_array_meta(
+            root, "a", (6, 10), (6, 10), np.dtype("<f8"), ["x", "y"], comp,
+            zarr_format=3,
+        )
+        zs.write_chunk(root, "a", (0, 0), data, (6, 10), comp, zarr_format=3)
+        grp = zs.open_group(root)
+        np.testing.assert_array_equal(zs.read_array(grp.arrays["a"]), data)
+        import json
+
+        meta = json.load(open(os.path.join(root, "a", "zarr.json")))
+        names = [c["name"] for c in meta["codecs"]]
+        assert comp["id"] in names

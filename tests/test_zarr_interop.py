@@ -90,7 +90,7 @@ def test_unsupported_codec_rejected(tmp_path):
             "shape": [2],
             "chunks": [2],
             "dtype": "<f4",
-            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5},
+            "compressor": {"id": "lzma", "preset": 1},
             "fill_value": 0,
             "order": "C",
             "filters": None,
@@ -100,7 +100,7 @@ def test_unsupported_codec_rejected(tmp_path):
     with open(os.path.join(root, "a", "0"), "wb") as f:
         f.write(b"\x02\x01\x21\x04")
     g = zs.open_group(root)
-    with pytest.raises(zs.UnsupportedCodecError, match="blosc"):
+    with pytest.raises(zs.UnsupportedCodecError, match="lzma"):
         zs.read_array(g.arrays["a"])
 
 
@@ -255,7 +255,7 @@ def test_v3_unsupported_codec_rejected(tmp_path):
             "fill_value": 0.0,
             "codecs": [
                 {"name": "bytes", "configuration": {"endian": "little"}},
-                {"name": "zstd", "configuration": {"level": 5}},
+                {"name": "lzma", "configuration": {"preset": 5}},
             ],
             "attributes": {},
             "dimension_names": ["x"],
@@ -265,7 +265,7 @@ def test_v3_unsupported_codec_rejected(tmp_path):
     with open(os.path.join(root, "a", "c", "0"), "wb") as f:
         f.write(b"\x28\xb5\x2f\xfd")
     g = zs.open_group(root)
-    with pytest.raises(zs.UnsupportedCodecError, match="zstd"):
+    with pytest.raises(zs.UnsupportedCodecError, match="lzma"):
         zs.read_array(g.arrays["a"])
 
 
@@ -465,10 +465,10 @@ def test_v3_write_translates_zlib_to_gzip(tmp_path):
 def test_v3_write_rejects_unknown_codec(tmp_path):
     root = str(tmp_path / "v3bad.zarr")
     os.makedirs(root)
-    with pytest.raises(zs.UnsupportedCodecError, match="blosc"):
+    with pytest.raises(zs.UnsupportedCodecError, match="lzma"):
         zs.write_array_meta(
             root, "a", (2,), (2,), np.dtype("<f4"), ["x"],
-            {"id": "blosc", "cname": "zstd"}, zarr_format=3,
+            {"id": "lzma", "preset": 1}, zarr_format=3,
         )
 
 
