@@ -146,6 +146,21 @@ def _encode_chunk(raw: bytes, compressor: dict | None) -> bytes:
 
 
 @dataclass
+class ShardingSpec:
+    """zarr v3 ``sharding_indexed`` layout: each chunk file is a SHARD of
+    inner chunks plus a binary index (public spec: codecs/sharding-indexed).
+    Index = C-order ``(grid..., 2)`` uint64 LE ``[offset, nbytes]`` pairs
+    (``2^64-1`` marking absent inner chunks), at the start or end of the
+    shard, optionally followed by a crc32c of the index."""
+
+    inner_chunks: tuple[int, ...]
+    compressor: dict | None  # inner chunk compressor
+    endian: str
+    index_location: str  # "start" | "end"
+    index_crc: bool
+
+
+@dataclass
 class ZarrArray:
     """Driver-side view of one ``.zarray`` node."""
 
@@ -160,6 +175,7 @@ class ZarrArray:
     dim_sep: str
     attrs: dict = field(default_factory=dict)
     key_prefix: str = ""  # "" (v2 / v3 "v2" encoding) or "c" (v3 default)
+    sharding: ShardingSpec | None = None  # chunks are shards when set
 
     @property
     def dims(self) -> list[str]:
@@ -249,11 +265,37 @@ def _v3_codecs(codecs: list | None, name: str) -> tuple[dict | None, str]:
             }
         elif cname == "sharding_indexed":
             raise UnsupportedCodecError(
-                f"{name}: v3 sharding_indexed layout unsupported"
+                f"{name}: sharding_indexed must be the sole outer codec"
             )
         elif unsupported is None:
             unsupported = {"id": cname, **cfg}
     return (unsupported if unsupported is not None else comp), endian
+
+
+def _v3_chunk_pipeline(
+    codecs: list | None, name: str
+) -> tuple[dict | None, str, ShardingSpec | None]:
+    """Full v3 chunk pipeline: either a plain codec chain, or a single
+    ``sharding_indexed`` whose configuration nests the inner chain."""
+    codecs = codecs or []
+    if len(codecs) == 1 and codecs[0].get("name") == "sharding_indexed":
+        cfg = codecs[0].get("configuration") or {}
+        inner = tuple(int(x) for x in cfg["chunk_shape"])
+        comp, endian = _v3_codecs(cfg.get("codecs"), f"{name}[inner]")
+        idx_crc = False
+        for ic in cfg.get("index_codecs") or []:
+            icn = ic.get("name")
+            if icn == "crc32c":
+                idx_crc = True
+            elif icn != "bytes":
+                raise UnsupportedCodecError(
+                    f"{name}: shard index codec {icn!r} unsupported"
+                )
+        loc = cfg.get("index_location", "end")
+        if loc not in ("start", "end"):
+            raise ValueError(f"{name}: bad index_location {loc!r}")
+        return comp, endian, ShardingSpec(inner, comp, endian, loc, idx_crc)
+    return (*_v3_codecs(codecs, name), None)
 
 
 def _read_json(p: str) -> dict:
@@ -334,7 +376,7 @@ def _open_group_v3(path: str) -> ZarrGroup:
         grid = meta["chunk_grid"]
         if grid.get("name") != "regular":
             raise ValueError(f"{name}: only regular chunk grids supported")
-        comp, endian = _v3_codecs(meta.get("codecs"), name)
+        comp, endian, sharding = _v3_chunk_pipeline(meta.get("codecs"), name)
         dtype = np.dtype(_V3_DTYPES[dt])
         if endian == "big":
             dtype = dtype.newbyteorder(">")
@@ -360,6 +402,7 @@ def _open_group_v3(path: str) -> ZarrGroup:
             dim_sep=sep,
             attrs=attrs,
             key_prefix="c" if enc == "default" else "",
+            sharding=sharding,
         )
     return ZarrGroup(
         path=path, attrs=root_meta.get("attributes", {}), arrays=arrays
@@ -394,11 +437,79 @@ def read_region(arr: ZarrArray, region: tuple[slice, ...]) -> np.ndarray:
             dst.append(slice(a - region[d].start, b - region[d].start))
         if not os.path.exists(cpath):
             continue  # already fill
-        nbytes = int(np.prod(arr.chunks)) * arr.dtype.itemsize
-        with open(cpath, "rb") as f:
-            raw = _decode_chunk(f.read(), arr.compressor, nbytes)
-        chunk = np.frombuffer(raw, dtype=arr.dtype).reshape(arr.chunks)
+        chunk = _load_chunk(arr, cpath)
         out[tuple(dst)] = chunk[tuple(src)]
+    return out
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — table-driven, for shard index verification."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_CRC32C_TABLE: list[int] | None = None
+
+_SHARD_ABSENT = (1 << 64) - 1
+
+
+def _load_chunk(arr: ZarrArray, cpath: str) -> np.ndarray:
+    """Materialize one full chunk (or shard) file as an ndarray of shape
+    ``arr.chunks``; absent inner chunks of a shard appear as fill."""
+    with open(cpath, "rb") as f:
+        raw = f.read()
+    if arr.sharding is None:
+        nbytes = int(np.prod(arr.chunks)) * arr.dtype.itemsize
+        data = _decode_chunk(raw, arr.compressor, nbytes)
+        return np.frombuffer(data, dtype=arr.dtype).reshape(arr.chunks)
+    sh = arr.sharding
+    grid = tuple(
+        -(-c // i) for c, i in zip(arr.chunks, sh.inner_chunks)
+    )
+    n_inner = int(np.prod(grid))
+    idx_size = n_inner * 16 + (4 if sh.index_crc else 0)
+    if len(raw) < idx_size:
+        raise ValueError(f"{cpath}: shard smaller than its index ({len(raw)})")
+    idx_bytes = raw[:idx_size] if sh.index_location == "start" else raw[-idx_size:]
+    table = idx_bytes[: n_inner * 16]
+    if sh.index_crc:
+        stored = int.from_bytes(idx_bytes[n_inner * 16 :], "little")
+        actual = _crc32c(table)
+        if stored != actual:
+            raise ValueError(
+                f"{cpath}: shard index crc32c mismatch "
+                f"({stored:#010x} != {actual:#010x})"
+            )
+    pairs = np.frombuffer(table, dtype="<u8").reshape(n_inner, 2)
+    out = np.full(arr.chunks, arr.fill_value, dtype=arr.dtype)
+    inner_nbytes = int(np.prod(sh.inner_chunks)) * arr.dtype.itemsize
+    for flat in range(n_inner):
+        off, nb = int(pairs[flat, 0]), int(pairs[flat, 1])
+        if off == _SHARD_ABSENT and nb == _SHARD_ABSENT:
+            continue
+        if off + nb > len(raw):
+            raise ValueError(f"{cpath}: inner chunk {flat} out of bounds")
+        data = _decode_chunk(raw[off : off + nb], sh.compressor, inner_nbytes)
+        inner = np.frombuffer(data, dtype=arr.dtype).reshape(sh.inner_chunks)
+        cidx = np.unravel_index(flat, grid)
+        sl = tuple(
+            slice(ci * ic, min((ci + 1) * ic, c))
+            for ci, ic, c in zip(cidx, sh.inner_chunks, arr.chunks)
+        )
+        trim = tuple(slice(0, s.stop - s.start) for s in sl)
+        out[sl] = inner[trim]
     return out
 
 

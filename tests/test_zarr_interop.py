@@ -519,3 +519,155 @@ def test_zarr_roundtrip_query_exact(spark):
     assert row["count"] == n == 480
     assert row["mean"] == mean
     assert row["std"] == std
+
+
+def _shard_bytes(inner_blocks, grid, index_location="end", crc=True, comp=None):
+    """Independently construct one v3 shard per the public spec: inner
+    chunk payloads + uint64-LE (offset, nbytes) index (+crc32c)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    n = 1
+    for g in grid:
+        n *= g
+    payloads = {}
+    for flat, block in inner_blocks.items():
+        raw = block.tobytes()
+        payloads[flat] = _zlib.compress(raw, 1) if comp == "zlib" else (
+            __import__("gzip").compress(raw, 1, mtime=0) if comp == "gzip" else raw
+        )
+    index = []
+    body = b""
+    idx_size = n * 16 + (4 if crc else 0)
+    offset = idx_size if index_location == "start" else 0
+    for flat in range(n):
+        if flat in payloads:
+            index.append((offset, len(payloads[flat])))
+            body += payloads[flat]
+            offset += len(payloads[flat])
+        else:
+            index.append(((1 << 64) - 1, (1 << 64) - 1))
+    table = b"".join(_struct.pack("<QQ", o, s) for o, s in index)
+    if crc:
+        from mdio_python_spark.sources.zarr_store import _crc32c
+
+        table += _struct.pack("<I", _crc32c(table))
+    return (table + body) if index_location == "start" else (body + table)
+
+
+@pytest.mark.parametrize("index_location,crc", [("end", True), ("start", False)])
+def test_v3_sharding_indexed_read(tmp_path, index_location, crc):
+    """Read an independently-constructed sharded v3 array: 8x6 array,
+    4x6 shards, 2x3 inner chunks (gzip), one ABSENT inner chunk that must
+    materialize as fill."""
+    import json
+
+    root = str(tmp_path / f"shard_{index_location}.zarr")
+    os.makedirs(os.path.join(root, "a", "c", "0"))
+    os.makedirs(os.path.join(root, "a", "c", "1"))
+    json.dump(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}},
+        open(os.path.join(root, "zarr.json"), "w"),
+    )
+    index_codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if crc:
+        index_codecs.append({"name": "crc32c"})
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [8, 6],
+        "data_type": "float32",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 6]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": -1.0,
+        "codecs": [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [2, 3],
+                    "codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "gzip", "configuration": {"level": 1}},
+                    ],
+                    "index_codecs": index_codecs,
+                    "index_location": index_location,
+                },
+            }
+        ],
+        "attributes": {},
+        "dimension_names": ["x", "y"],
+    }
+    json.dump(meta, open(os.path.join(root, "a", "zarr.json"), "w"))
+
+    data = np.arange(48, dtype="<f4").reshape(8, 6)
+    # shard (0,0): rows 0-3; shard (1,0): rows 4-7. inner grid (2,2).
+    for srow, missing in ((0, None), (1, 3)):  # shard 1 drops inner chunk 3
+        shard_data = data[srow * 4 : (srow + 1) * 4]
+        inner_blocks = {}
+        for flat in range(4):
+            if flat == missing:
+                continue
+            ci, cj = divmod(flat, 2)
+            inner_blocks[flat] = shard_data[ci * 2 : (ci + 1) * 2, cj * 3 : (cj + 1) * 3]
+        raw = _shard_bytes(
+            inner_blocks, (2, 2), index_location=index_location, crc=crc, comp="gzip"
+        )
+        with open(os.path.join(root, "a", "c", str(srow), "0"), "wb") as f:
+            f.write(raw)
+
+    grp = zs.open_group(root)
+    arr = grp.arrays["a"]
+    assert arr.sharding is not None
+    assert arr.sharding.inner_chunks == (2, 3)
+    got = zs.read_array(arr)
+    expect = data.copy()
+    expect[6:8, 3:6] = -1.0  # the absent inner chunk -> fill
+    np.testing.assert_array_equal(got, expect)
+    # region read crossing shard boundaries
+    sub = zs.read_region(arr, (slice(3, 7), slice(2, 6)))
+    np.testing.assert_array_equal(sub, expect[3:7, 2:6])
+
+
+def test_v3_shard_index_crc_mismatch_rejected(tmp_path):
+    import json
+
+    root = str(tmp_path / "shardbad.zarr")
+    os.makedirs(os.path.join(root, "a", "c", "0"))
+    json.dump(
+        {"zarr_format": 3, "node_type": "group", "attributes": {}},
+        open(os.path.join(root, "zarr.json"), "w"),
+    )
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [2, 3],
+        "data_type": "int64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [2, 3],
+                    "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ],
+        "attributes": {},
+        "dimension_names": ["x", "y"],
+    }
+    json.dump(meta, open(os.path.join(root, "a", "zarr.json"), "w"))
+    block = np.arange(6, dtype="<i8").reshape(2, 3)
+    raw = bytearray(_shard_bytes({0: block}, (1, 1), crc=True))
+    raw[-1] ^= 0xFF  # corrupt the crc
+    with open(os.path.join(root, "a", "c", "0", "0"), "wb") as f:
+        f.write(bytes(raw))
+    grp = zs.open_group(root)
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        zs.read_array(grp.arrays["a"])
