@@ -43,6 +43,7 @@ def asof_join(
     left_us: str = "us",
     right_us: str = "us",
     payload_cols: Sequence[str] = (),
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """Inclusive as-of join: latest right row per key with ``right_us <=
     left_us``; left rows with no predecessor keep null payloads.
@@ -55,10 +56,19 @@ def asof_join(
     row with the greatest payload struct — supply a unique id in
     ``payload_cols`` for determinism.
 
-    One exchange: the union shuffles once on ``keys``; the running
-    ``last(ignorenulls)`` window keeps O(1) state per key. At 1000
-    executors a hot key serializes its own window only — salt upstream if
-    one key owns a material fraction of the corpus.
+    Default plan (``bucket_us=None``) — one exchange: the union shuffles
+    once on ``keys``; the running ``last(ignorenulls)`` window keeps O(1)
+    state per key. At 1000 executors a hot key serializes its own window.
+
+    Skew-guarded plan (``bucket_us=<width>``) — the window partitions by
+    ``(keys, floor(us / bucket_us))`` so a hot key spreads across its
+    time buckets; predecessors in earlier buckets arrive via a carry
+    table (latest right payload per (key, bucket), rolled forward with a
+    per-key prefix window over the TINY bucket summary — the same
+    two-level prefix shape as ``packing.global_running_sum``). Cost: one
+    extra equi-join on ``(keys, bucket)`` against the summary (AQE
+    broadcasts it when small). Pick ``bucket_us`` so one bucket of the
+    hottest key fits a task — e.g. 1 hour for event streams.
     """
     payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
     r = right.select(
@@ -74,16 +84,58 @@ def asof_join(
         F.lit(None).cast(r.schema["_asof_payload"].dataType).alias("_asof_payload"),
     )
     unioned = r.unionByName(l, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
-        # _side 0 < 1 makes a right row at ts T visible to a left row at T;
-        # _asof_payload last for identical right timestamps (documented).
-        .orderBy("_us", "_side", "_asof_payload")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn(
-        "_match", F.last("_asof_payload", ignorenulls=True).over(w)
-    )
+    if bucket_us is None:
+        w = (
+            Window.partitionBy(*keys)
+            # _side 0 < 1 makes a right row at ts T visible to a left row at
+            # T; _asof_payload last for identical right ts (documented).
+            .orderBy("_us", "_side", "_asof_payload")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = unioned.withColumn(
+            "_match", F.last("_asof_payload", ignorenulls=True).over(w)
+        )
+    else:
+        if bucket_us <= 0:
+            raise ValueError("bucket_us must be positive")
+        unioned = unioned.withColumn(
+            "_bkt", F.floor(F.col("_us") / F.lit(bucket_us))
+        )
+        w_in = (
+            Window.partitionBy(*keys, "_bkt")
+            .orderBy("_us", "_side", "_asof_payload")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        within = unioned.withColumn(
+            "_match_in", F.last("_asof_payload", ignorenulls=True).over(w_in)
+        )
+        # Carry: latest right payload strictly before each bucket's start.
+        # max(struct(_us, payload)) reproduces the main ordering's tie rule
+        # (greatest payload wins identical timestamps). The summary has one
+        # row per (key, active bucket) — post-aggregate small — and the
+        # per-key prefix window over it touches #buckets rows per key, not
+        # corpus rows, so the hot key no longer serializes its own data.
+        bucket_last = (
+            unioned.where(F.col("_side") == 0)
+            .groupBy(*keys, "_bkt")
+            .agg(F.max(F.struct("_us", "_asof_payload")).alias("_mx"))
+        )
+        all_buckets = unioned.select(*keys, "_bkt").distinct()
+        w_carry = (
+            Window.partitionBy(*keys)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = (
+            all_buckets.join(bucket_last, [*keys, "_bkt"], "left")
+            .withColumn("_carry", F.max("_mx").over(w_carry))
+            .select(*keys, "_bkt", F.col("_carry._asof_payload").alias("_cp"))
+        )
+        matched = (
+            within.join(carries, [*keys, "_bkt"], "left")
+            .withColumn("_match", F.coalesce("_match_in", "_cp"))
+            .drop("_bkt", "_match_in", "_cp")
+        )
     out = matched.where(F.col("_side") == 1)
     for c in payload_cols:
         out = out.withColumn(c, F.col(f"_match.{c}"))

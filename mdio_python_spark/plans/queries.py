@@ -848,6 +848,56 @@ def q_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_view_attribution_bucketed",
+    f"""
+    WITH e AS ({_EVENTS_US}),
+    p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, event_id AS view_event_id, us AS view_us
+          FROM e WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, v.view_event_id,
+           p.us - v.view_us AS lag_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.us >= v.view_us
+    """,
+)
+def q_asof_view_attribution_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-guarded as-of join (same attribution semantics and oracle as
+    ``asof_view_attribution``): the running window partitions by
+    (user_id, 1-hour bucket) instead of user_id alone, with cross-bucket
+    predecessors carried via a per-(key, bucket) summary — so a hot user
+    owning a material fraction of the corpus spreads across its time
+    buckets instead of serializing one task. The identical DuckDB oracle
+    proves the salted plan is output-equivalent."""
+    from mdio_python_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("us").alias("view_us"),
+    )
+    return asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_us="us",
+        right_us="view_us",
+        payload_cols=["view_event_id", "view_us"],
+        bucket_us=3_600_000_000,
+    ).select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (F.col("us") - F.col("view_us")).alias("lag_us"),
+    )
+
+
+@register(
     "error_click_correlation",
     f"""
     WITH e AS ({_EVENTS_US}),

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) for round-4 operators.
+
+The skew-guard property demanded by VERDICT r3 item 6: on a heavily
+skewed events table (~90% of rows on ONE key), the bucketed as-of join
+must produce exactly the default plan's output while its corpus window
+partitions by (key, bucket) — spreading the hot key across time buckets
+instead of serializing one task.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mdio_python_spark.operators.temporal import asof_join
+
+SPARK_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _skewed_events(draw_rows, hot_key=7):
+    """90% of rows pinned to one hot key, unique ids for determinism."""
+    left, right = [], []
+    for i, (is_left, us, cold) in enumerate(draw_rows):
+        k = hot_key if i % 10 != 9 else 100 + cold
+        (left if is_left else right).append((k, i, us))
+    return left, right
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.integers(0, 1000), st.integers(0, 4)),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_bucketed_asof_equals_default_on_skewed_input(spark, rows):
+    left_rows, right_rows = _skewed_events(rows)
+    if not left_rows:
+        left_rows = [(7, 999_999, 500)]
+    if not right_rows:
+        right_rows = [(7, 999_998, 100)]
+    left = spark.createDataFrame(left_rows, "k long, lid long, us long")
+    right = spark.createDataFrame(right_rows, "k long, rid long, rus long")
+    kw = dict(keys=["k"], left_us="us", right_us="rus", payload_cols=["rid", "rus"])
+    # bucket width 100 over us in [0, 1000] -> hot key spans many buckets
+    got = asof_join(left, right, bucket_us=100, **kw).collect()
+    want = asof_join(left, right, **kw).collect()
+    key = lambda r: (r.k, r.lid)  # noqa: E731 — lid unique per left row
+    assert sorted((key(r), r.rid, r.rus) for r in got) == sorted(
+        (key(r), r.rid, r.rus) for r in want
+    )
+
+
+def test_hot_key_spreads_across_window_partitions(spark):
+    """Bound the max window-partition share: with 90% of rows on one key
+    spread over time, no (key, bucket) group may hold more than a bounded
+    fraction of the corpus (the default plan would put 90% in ONE group)."""
+    n = 5000
+    events = spark.range(n).select(
+        F.when(F.col("id") % 10 != 9, F.lit(7))
+        .otherwise(F.col("id") % 97)
+        .alias("k"),
+        (F.col("id") * 20 % 100_000).alias("us"),
+    )
+    bucket_us = 10_000  # 10 buckets over the us range
+    groups = (
+        events.groupBy("k", F.floor(F.col("us") / bucket_us).alias("b"))
+        .count()
+        .collect()
+    )
+    max_share = max(r["count"] for r in groups) / n
+    assert max_share < 0.2  # hot key's 90% now split ~10 ways

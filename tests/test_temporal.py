@@ -124,3 +124,68 @@ def test_gap_fill_densifies_missing_cells(spark):
     assert got[(t1, "a")] == 0 and got[(t1, "b")] == 0
     assert got[(t2, "b")] == 0
     assert got[(t0, "a")] == 5 and got[(t2, "a")] == 7
+
+
+# ---------------------------------------------------------------------------
+# asof_join skew guard (bucket_us)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_bucketed_cross_bucket_carry(spark):
+    # bucket width 100: right at us=20 (bucket 0) must reach left rows in
+    # buckets 2 and 5 via the carry table; a later right at us=350 (bucket
+    # 3) overrides for the bucket-5 left row.
+    left = _df(
+        spark, [(1, 100, 250), (1, 101, 550)], "k long, lid long, us long"
+    )
+    right = _df(
+        spark, [(1, 200, 20), (1, 201, 350)], "k long, rid long, rus long"
+    )
+    out = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, ["k"], "us", "rus", ["rid"], bucket_us=100
+        ).collect()
+    }
+    assert out == {100: 200, 101: 201}
+
+
+def test_asof_bucketed_no_predecessor_stays_null(spark):
+    left = _df(spark, [(1, 100, 250)], "k long, lid long, us long")
+    right = _df(spark, [(1, 200, 900)], "k long, rid long, rus long")
+    [r] = asof_join(
+        left, right, ["k"], "us", "rus", ["rid"], bucket_us=100
+    ).collect()
+    assert r.rid is None
+
+
+def test_asof_bucketed_duplicate_ts_tie_matches_default(spark):
+    left = _df(spark, [(1, 100, 50)], "k long, lid long, us long")
+    right = _df(
+        spark, [(1, 200, 40), (1, 205, 40)], "k long, rid long, rus long"
+    )
+    [r] = asof_join(
+        left, right, ["k"], "us", "rus", ["rid"], bucket_us=10
+    ).collect()
+    assert r.rid == 205  # same greatest-payload rule as the default plan
+
+
+def test_asof_bucketed_window_partitions_by_bucket(spark):
+    """The skew guard's point: the corpus-sized running window must key on
+    (k, _bkt), not k alone — pin it in the optimized plan."""
+    left = _df(spark, [(1, 100, 50)], "k long, lid long, us long")
+    right = _df(spark, [(1, 200, 40)], "k long, rid long, rus long")
+    out = asof_join(left, right, ["k"], "us", "rus", ["rid"], bucket_us=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(k#" in plan and "_bkt#" in plan
+    first_spec = plan.index("windowspecdefinition(k#")
+    assert "_bkt#" in plan[first_spec : first_spec + 200]
+
+
+def test_asof_bucketed_rejects_nonpositive_width(spark):
+    left = _df(spark, [(1, 100, 50)], "k long, lid long, us long")
+    right = _df(spark, [(1, 200, 40)], "k long, rid long, rus long")
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_us"):
+        asof_join(left, right, ["k"], "us", "rus", ["rid"], bucket_us=0)
