@@ -21,6 +21,88 @@ from mdio_python_spark.plans.registry import registry  # noqa: E402
 from mdio_python_spark.session import get_spark  # noqa: E402
 
 
+# Scale-critical set for --stress: the costliest queries plus every shape
+# with a known nonlinear failure mode (LSH/band fan-out, funnel exchange
+# reuse, global ordering, windowed sessions, bucketed ANN).
+STRESS_QUERIES = (
+    "corpus_curation_funnel",
+    "near_dup_jaccard",
+    "simhash_hamming_pairs",
+    "minhash_lsh_pairs",
+    "bm25_topk",
+    "embedding_ivf_ann",
+    "events_sessions",
+    "asof_view_attribution_bucketed",
+    "ordered_export",
+    "geometry_line_gun_analysis",
+)
+
+
+def _timed(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return best
+
+
+def run_stress(scale: int, out_name: str) -> None:
+    """Opt-in sf-scaling stress row (VERDICT r3 item 8): time the
+    scale-critical queries at base sf0.1 and at a derived ``scale``-times
+    dataset; flag anything scaling worse than ~linear in rows."""
+    from mdio_python_spark.pipelines.stress import build_scaled_dir
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("mdio-spark-stress")
+    scaled_dir = build_scaled_dir(
+        spark, base_dir, f"/tmp/mdio_stress_x{scale}", scale
+    )
+    regs = registry()
+    report: dict[str, dict[str, float]] = {}
+    superlinear: list[str] = []
+    for name in STRESS_QUERIES:
+        spec = regs[name]
+        spec.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm codegen
+        base_s = _timed(spark, spec.fn, base_dir)
+        scaled_s = _timed(spark, spec.fn, scaled_dir)
+        ratio = scaled_s / max(base_s, 1e-6)
+        report[name] = {
+            "base_s": round(base_s, 3),
+            "scaled_s": round(scaled_s, 3),
+            "ratio": round(ratio, 2),
+        }
+        # linear in rows = ratio ~ scale; allow 1.6x slack for shuffle
+        # constants before calling a plan superlinear
+        if ratio > scale * 1.6:
+            superlinear.append(name)
+        print(f"  {name}: {base_s:.2f}s -> {scaled_s:.2f}s ({ratio:.1f}x)",
+              file=sys.stderr)
+    out = {
+        "metric": "stress_scale_ratio",
+        "scale": scale,
+        "base_dir": base_dir,
+        "timing": "best_of_2_gc_isolated",
+        "queries": report,
+        "superlinear": superlinear,
+    }
+    path = Path(__file__).resolve().parent / out_name
+    path.write_text(json.dumps(out, indent=1))
+    print(json.dumps({
+        "metric": "stress_scale_ratio",
+        "scale": scale,
+        "n_queries": len(report),
+        "superlinear": superlinear,
+        "detail": out_name,
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -115,4 +197,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stress", type=int, default=0, metavar="SCALE",
+                    help="run the scale-stress row at SCALE x the base SF "
+                         "instead of the standard bench")
+    ap.add_argument("--stress-out", default="BENCH_sf1_r04.json")
+    ns = ap.parse_args()
+    if ns.stress:
+        run_stress(ns.stress, ns.stress_out)
+    else:
+        main()

@@ -463,3 +463,47 @@ def connected_components(
         .select(id_col, F.col(id_col).alias("cluster_id"))
     )
     return members.union(roots).distinct()
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    seg_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document segment-level dedup signal (the "duplicate line
+    fraction" quality filter of web-corpus pipelines, adapted to flat
+    text as fixed ``seg_tokens``-word segments).
+
+    Per document: total segments, segments whose exact content appears in
+    MORE THAN ONE distinct document, and the duplicated fraction —
+    documents that are mostly boilerplate shared with other pages score
+    high and get dropped by the curation filter.
+
+    Scale shape: segments cross as 8-byte hashes (``chunk_documents``
+    emits no chunk text); the frequency table is a combinable
+    two-phase distinct-count on the hash; the join back is hash-on-hash
+    co-partitioned and the final per-doc rollup is combinable. Three
+    bounded exchanges, no corpus broadcast, no window.
+    """
+    from mdio_python_spark.operators.text import chunk_documents
+
+    segs = chunk_documents(
+        df, chunk_tokens=seg_tokens, overlap=0, id_col=id_col, text_col=text_col
+    ).select(id_col, "chunk_hash")
+    freq = segs.groupBy("chunk_hash").agg(
+        F.countDistinct(id_col).alias("_n_docs")
+    )
+    return (
+        segs.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("_n_docs") > 1).cast("long")).alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_segments").cast("double")
+            / F.col("n_segments").cast("double"),
+        )
+    )

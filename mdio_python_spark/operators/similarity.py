@@ -551,3 +551,137 @@ def pq_adc_distance(
         )
         total = term if total is None else total + term
     return total
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: tuple[list[list[list[float]]], int] | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN (Jegou et al. TPAMI 2011, the full system): coarse
+    Voronoi cells bound WHICH candidates a query scores, PQ codes bound
+    WHAT crosses the join — the shape billion-vector search actually
+    deploys, composed from :func:`ivf_topk`'s assignment and
+    :func:`pq_encode`/ADC.
+
+    Scale design: the candidate side carries (id, cell, M codes) — the
+    raw vector never crosses the probe join, so the shuffled bytes per
+    candidate drop from dim x 4 to ~M+12. Cell assignment and PQ encode
+    are both literal-table projections (no shuffle); each query row
+    precomputes its M x K ADC lookup tables ONCE (query side is tiny and
+    broadcast), so scoring a candidate is M ``element_at`` adds. The one
+    shuffle is the final per-query top-k. Distances are left-fold doubles
+    end-to-end — bit-equal to the DuckDB oracle's ``list_reduce`` folds.
+
+    ``centroids``/``codebooks`` take the production fitted literals
+    (:func:`ivf_fit_centroids` / :func:`fit_pq_codebooks`); defaults are
+    the deterministic id-prefix stand-ins so the full plan stays
+    SQL-expressible for the oracle.
+    """
+    if codebooks is None:
+        books, sub = pq_codebooks(candidates, n_subspaces, n_codes, id_col, vec_col)
+    else:
+        books, sub = codebooks
+    cents = (
+        sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+        if centroids is not None
+        else sorted(
+            (int(r[0]), list(r[1]))
+            for r in candidates.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+    )
+    cnorms = {cid: _lfold_norm(vec) for cid, vec in cents}
+
+    def cell_structs(vnorm: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col(vec_col), _lit_vec(cvec))
+                        / (vnorm * F.lit(cnorms[cid]))
+                    ).alias("cos"),
+                    F.lit(-cid).cast("long").alias("ncid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+
+    # argmax via array_max over (cos, -cid) structs, as in ivf_topk
+    c = (
+        candidates.select(
+            F.col(id_col).alias("candidate_id"),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("_n"),
+        )
+        .withColumn("_cells", cell_structs(F.col("_n")))
+        .withColumn("cell", -F.array_max("_cells")["ncid"])
+        .drop("_cells", "_n")
+    )
+    c = pq_encode(c, books, sub, id_col="candidate_id", vec_col=vec_col).select(
+        "candidate_id", "cell", *[f"code_{m}" for m in range(len(books))]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_q_vec"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+        .withColumn(
+            "_cells",
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            dot(F.col("_q_vec"), _lit_vec(cvec))
+                            / (F.col("_qn") * F.lit(cnorms[cid]))
+                        ).alias("cos"),
+                        F.lit(-cid).cast("long").alias("ncid"),
+                    )
+                    for cid, cvec in cents
+                ]
+            ),
+        )
+        .select(
+            "query_id",
+            "_q_vec",
+            F.explode(
+                F.slice(F.sort_array("_cells", asc=False), 1, nprobe)
+            ).alias("_p"),
+        )
+        .select("query_id", "_q_vec", (-F.col("_p")["ncid"]).alias("cell"))
+    )
+    # per-query ADC tables: K distances per subspace, computed once per
+    # query row (the query side is tiny), then M lookups per candidate
+    for m, cb in enumerate(books):
+        q_sub = F.slice(F.col("_q_vec"), m * sub + 1, sub)
+        q = q.withColumn(
+            f"_tab_{m}", F.array(*[l2sq(q_sub, _lit_vec(cw)) for cw in cb])
+        )
+    q = q.drop("_q_vec")
+    adc = None
+    for m in range(len(books)):
+        term = F.element_at(
+            F.col(f"_tab_{m}"), (F.col(f"code_{m}") + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "candidate_id", "cell", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "candidate_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cell", "adc_dist", "rank")
+    )

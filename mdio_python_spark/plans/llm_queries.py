@@ -1435,6 +1435,47 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "segment_dedup_stats",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id,
+             unnest(generate_series(0, greatest(len(tk) - 1, 0), 32)) AS s,
+             tk
+      FROM toked
+    ),
+    segs AS (
+      SELECT doc_id,
+             {sql_hash64("array_to_string(list_slice(tk, s + 1, s + 32), ' ')")}
+               AS chunk_hash
+      FROM exploded
+    ),
+    freq AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM segs GROUP BY chunk_hash
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+    FROM segs s JOIN freq f USING (chunk_hash)
+    GROUP BY s.doc_id
+    """,
+)
+def q_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-segment fraction (the web-pipeline
+    "duplicate line fraction" filter over flat 32-word segments):
+    segments cross as 8-byte hashes, frequency is a combinable distinct
+    count, join back is hash-co-partitioned — no corpus broadcast
+    (operators/dedup.py:segment_dedup_stats)."""
+    return dedup.segment_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Product quantization: encode + ADC (the embedding-compression scale path)
 # ---------------------------------------------------------------------------
@@ -1517,6 +1558,99 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[f"code_{m}" for m in range(_PQ_M)],
         pq_adc_distance(codes, q_vec, books, sub).alias("adc_dist"),
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF cell bound x PQ-code ADC scoring, composed from the verified
+    `_IVF_ORACLE` and `_pq_oracle` fragments: per-pair ADC terms are the
+    SAME left fold the Spark side precomputes into per-query lookup
+    tables, so literal-lookup and SQL-computed sums are bit-equal."""
+    subs, terms, joins = [], [], []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        d_ec = _L2SQ.format(
+            a=f"list_slice(e.embedding, {lo}, {hi})",
+            b=f"list_slice(c.embedding, {lo}, {hi})",
+        )
+        subs.append(
+            f"""sub{m} AS (
+      SELECT e.vec_id, CAST(c.code_pos AS BIGINT) AS code_{m}
+      FROM embeddings e, cb c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id ORDER BY {d_ec}, c.code_pos) = 1
+    )"""
+        )
+        terms.append(
+            _L2SQ.format(
+                a=f"list_slice(p.q_vec, {lo}, {hi})",
+                b=f"list_slice(cb{m}.embedding, {lo}, {hi})",
+            )
+        )
+        joins.append(f"JOIN cb cb{m} ON cb{m}.code_pos = a.code_{m}")
+    code_joins = " ".join(
+        f"JOIN sub{m} USING (vec_id)" for m in range(1, _PQ_M)
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
+    ),
+    cb AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_pos, embedding
+      FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS cell
+      FROM embeddings, cent
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+    ),
+    {", ".join(subs)},
+    codes AS (
+      SELECT vec_id, cell, {", ".join(f"code_{m}" for m in range(_PQ_M))}
+      FROM assign JOIN sub0 USING (vec_id) {code_joins}
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_vec, CAST(cid AS BIGINT) AS cell
+      FROM embeddings q, cent
+      WHERE q.vec_id < 50
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_IVF_COS.format(a="q.embedding", b="cent_vec")} DESC, cid) <= 4
+    ),
+    scored AS (
+      SELECT query_id, a.vec_id AS candidate_id, a.cell,
+             {" + ".join(terms)} AS adc_dist
+      FROM codes a JOIN probes p ON a.cell = p.cell
+      {" ".join(joins)}
+      WHERE query_id <> a.vec_id
+    )
+    SELECT query_id, candidate_id, cell, adc_dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_dist, candidate_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@register("embedding_ivfpq_adc", _ivfpq_oracle())
+def q_embedding_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full Jegou et al. system, composed: Voronoi cells
+    bound which candidates each query scores (4-probe of 16 cells), PQ
+    codes bound what crosses the probe join (4 codes instead of the
+    64-dim vector), and ADC scores each candidate with 4 lookup-adds
+    against per-query literal tables. This is the deployed shape of
+    billion-vector ANN at 100 TB: shuffled bytes per candidate drop
+    ~20x and every distance stays a left-fold double
+    (operators/similarity.py:ivfpq_topk)."""
+    from mdio_python_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.where(F.col("vec_id") < 50), emb,
+        k=3, n_centroids=16, nprobe=4,
+        n_subspaces=_PQ_M, n_codes=_PQ_K,
     )
 
 

@@ -173,3 +173,42 @@ def test_connected_components_handles_reversed_and_duplicate_edges(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert got == {(1, 1), (3, 1), (5, 1), (7, 7), (9, 7)}
+
+
+def test_segment_dedup_stats_planted(spark):
+    from mdio_python_spark.operators.dedup import segment_dedup_stats
+
+    seg_a = " ".join(f"a{i}" for i in range(32))   # shared boilerplate
+    seg_b = " ".join(f"b{i}" for i in range(32))
+    seg_c = " ".join(f"c{i}" for i in range(32))
+    seg_d = " ".join(f"d{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),   # 2 segments, 1 shared
+            (2, f"{seg_a} {seg_c}"),   # 2 segments, 1 shared
+            (3, seg_d),                # unique
+            (4, f"{seg_d} {seg_d}"),   # repeats a segment doc 3 also has
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup_segments, r.dup_ratio)
+        for r in segment_dedup_stats(docs, seg_tokens=32).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    # seg_d appears in docs 3 AND 4 -> cross-doc duplicate for both
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (2, 2, 1.0)
+
+
+def test_segment_dedup_within_doc_repeat_not_counted(spark):
+    from mdio_python_spark.operators.dedup import segment_dedup_stats
+
+    seg = " ".join(f"x{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, f"{seg} {seg}")], "doc_id long, text string"
+    )
+    [r] = segment_dedup_stats(docs, seg_tokens=32).collect()
+    # repeated only within ONE doc -> not a cross-doc duplicate
+    assert (r.n_segments, r.n_dup_segments, r.dup_ratio) == (2, 0, 0.0)

@@ -164,3 +164,65 @@ def test_pq_adc_approximates_true_distance(spark):
     assert self_row["adc"] == 0.0
     # quantization error bounded on this data (loose sanity bound)
     assert np.median(errs) < 2.0
+
+
+def test_ivfpq_adc_matches_per_pair_recompute(spark, emb):
+    """ADC via per-query literal lookup tables must equal recomputing
+    each (query, candidate) term directly from codes + codebooks."""
+    books, sub = sim.pq_codebooks(emb, n_subspaces=4, n_codes=8)
+    out = sim.ivfpq_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=3, n_centroids=16, nprobe=4
+    ).collect()
+    assert len(out) > 0
+    codes = {
+        int(r["candidate_id"]): [int(r[f"code_{m}"]) for m in range(4)]
+        for r in sim.pq_encode(
+            emb.select(F.col("vec_id").alias("candidate_id"), "embedding"),
+            books,
+            sub,
+        ).collect()
+    }
+    qvecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < 10).collect()
+    }
+    for r in out:
+        q = qvecs[r["query_id"]]
+        want = 0.0
+        for m in range(4):
+            q_sub = q[m * sub : (m + 1) * sub]
+            want += sim._py_l2sq(q_sub, books[m][codes[r["candidate_id"]][m]])
+        assert r["adc_dist"] == want
+        assert 1 <= r["rank"] <= 3
+        assert r["query_id"] != r["candidate_id"]
+
+
+def test_ivfpq_fitted_path_runs_and_ranks(spark, emb):
+    cents = sim.ivf_fit_centroids(emb, n_centroids=8, iters=2, sample_mod=2)
+    books = sim.fit_pq_codebooks(emb, n_subspaces=4, n_codes=8, iters=2, sample_mod=2)
+    out = sim.ivfpq_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=3, nprobe=3,
+        centroids=cents, codebooks=books,
+    )
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)  # ranks follow ADC order
+        assert len(rs) <= 3
+
+
+def test_ivfpq_candidate_vector_never_crosses_probe_join(spark, emb):
+    """The point of PQ at scale: the corpus embedding column must be
+    pruned before the cell join — only (id, cell, codes) shuffle."""
+    out = sim.ivfpq_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=3, n_centroids=16, nprobe=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_at = plan.find("BroadcastHashJoin")
+    assert join_at != -1
+    # above the join (output side) no embedding attribute may remain
+    assert "embedding#" not in plan[:join_at]
