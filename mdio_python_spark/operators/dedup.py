@@ -273,8 +273,11 @@ def simhash(
     df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash over the token multiset: per-bit ±1 votes summed per doc,
-    sign of each vote becomes the bit. ``bits`` kept small so the expression
-    stays a flat aggregate (still one shuffle of `bits` longs per doc)."""
+    sign of each vote becomes the bit. One combinable groupBy shuffling
+    ``bits`` longs per doc. ``bits`` caps at 60 — the shared ``hash64``
+    is a 60-bit hash, so higher bit positions would vote constantly."""
+    if bits > 60:
+        raise ValueError("bits must be <= 60 (hash64 is a 60-bit hash)")
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     ).select(id_col, hash64(F.col("token")).alias("h"))
@@ -300,6 +303,7 @@ def simhash_band_pairs(
     num_bands: int = 4,
     max_hamming: int = 3,
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the signature, bucket-join, verify
     Hamming distance.
@@ -310,8 +314,16 @@ def simhash_band_pairs(
     scan. The signature rides along through the bucket groupBy, so the
     verify (one bit_count(xor) per candidate) needs NO join back against
     the corpus — the signature subtree is computed exactly once and
-    nothing corpus-sized is broadcast. At 100 TB you would widen to
-    64-bit signatures with 8-bit bands; the plan shape is unchanged.
+    nothing corpus-sized is broadcast.
+
+    Scale: candidate count is ~``num_bands * n^2 / 2^band_bits`` —
+    BAND ENTROPY, not corpus size, must bound the buckets. The r4 stress
+    row measured the cliff: 8-bit bands went 85x superlinear on a 10x
+    corpus (n^2/64 candidates); 15-bit bands restored ~linear. Size
+    ``bits/num_bands`` so ``2^band_bits >> n/sqrt(pairs budget)``, and
+    set ``max_bucket`` (sorted-prefix cap, like the LSH pair cap) as the
+    backstop for degenerate mass-duplicate data — exact dedup upstream
+    catches what the cap skips.
     """
     if max_hamming >= num_bands:
         raise ValueError(
@@ -337,13 +349,14 @@ def simhash_band_pairs(
     banded = sim.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
     ).select(id_col, "simhash", "b.band_id", "b.val")
+    items = F.sort_array(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+    )
+    if max_bucket is not None:
+        items = F.slice(items, 1, max_bucket)
     buckets = (
         banded.groupBy("band_id", "val")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
-            ).alias("items")
-        )
+        .agg(items.alias("items"))
         .where(F.size("items") >= 2)
     )
     combos = F.flatten(

@@ -248,9 +248,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_hamming_pairs",
     f"""
-    WITH {_simhash_cte(32)},
+    WITH {_simhash_cte(60)},
     bands AS (
-      SELECT doc_id, band_id, (simhash >> (8 * band_id)) & 255 AS val
+      SELECT doc_id, band_id, (simhash >> (15 * band_id)) & 32767 AS val
       FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_id)
     ),
     cand AS (
@@ -267,13 +267,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 8-bit bands bucket the 32-bit signature
+    """SimHash near-dup pairs: 15-bit bands bucket the 60-bit signature
     (pigeonhole: hamming<=3 over 4 bands forces an exact band match, so
     the bucket join loses no qualifying pair), then one bit_count(xor)
-    verify per candidate. 8-bit bands keep bucket occupancy ~corpus/256
-    per band — band entropy, not corpus size, bounds the candidate count."""
-    sim = dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
-    return dedup.simhash_band_pairs(sim, bits=32, num_bands=4, max_hamming=3)
+    verify per candidate. Band entropy, not corpus size, bounds the
+    candidate count (~4 n^2 / 32768): the r4 stress row caught the
+    previous 32-bit/8-bit config going 85x superlinear on a 10x corpus —
+    widening the bands restored ~linear scaling and cut random-collision
+    noise pairs (P[hamming<=3] drops from 1.3e-6 to ~3e-13)."""
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"), bits=60)
+    return dedup.simhash_band_pairs(sim, bits=60, num_bands=4, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

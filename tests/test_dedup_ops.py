@@ -212,3 +212,30 @@ def test_segment_dedup_within_doc_repeat_not_counted(spark):
     [r] = segment_dedup_stats(docs, seg_tokens=32).collect()
     # repeated only within ONE doc -> not a cross-doc duplicate
     assert (r.n_segments, r.n_dup_segments, r.dup_ratio) == (2, 0, 0.0)
+
+
+def test_simhash_band_pairs_bucket_cap(spark):
+    from mdio_python_spark.operators.dedup import simhash_band_pairs
+
+    # 40 identical signatures -> every band bucket degenerate
+    sim = spark.createDataFrame(
+        [(i, 0b101) for i in range(40)], "doc_id long, simhash long"
+    )
+    uncapped = simhash_band_pairs(sim, bits=16, num_bands=4, max_hamming=3)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = simhash_band_pairs(
+        sim, bits=16, num_bands=4, max_hamming=3, max_bucket=8
+    )
+    # sorted-prefix cap: only the first 8 ids per bucket pair up
+    assert capped.count() == 8 * 7 // 2
+    assert capped.agg(F.max("doc_a")).first()[0] < 8
+
+
+def test_simhash_rejects_bits_beyond_hash_width(spark):
+    import pytest
+
+    from mdio_python_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="60"):
+        simhash(docs, bits=64)
