@@ -520,3 +520,120 @@ def segment_dedup_stats(
             / F.col("n_segments").cast("double"),
         )
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    existing_shingles: DataFrame | None = None,
+    existing_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the shape production
+    ingestion actually runs: the corpus is never re-deduped, only the
+    delta is cleaned, both exactly and near-dup (MinHash/LSH + Jaccard
+    verify), against itself and the index.
+
+    Priority: existing docs always outrank new ones (the corpus is
+    immutable); among new docs, the smaller id wins. A new doc drops if
+    it exact-matches any existing doc (or a smaller-id new doc), or if a
+    verified candidate pair links it to any existing doc or smaller-id
+    new doc with Jaccard >= threshold (greedy drop-doc_b semantics, the
+    same convention as the batch funnel). Ids must be unique across both
+    inputs.
+
+    Scale: pass ``existing_shingles``/``existing_signatures`` to reuse a
+    precomputed index — then the per-batch cost is shingling the DELTA
+    plus one bucket join whose buckets only contain colliding docs; the
+    full corpus is scanned zero times. Cross-side pairs are generated
+    in-bucket from a sorted (side, id) struct array with the standard
+    hot-bucket cap, so a degenerate batch cannot go quadratic.
+    """
+    text_hash = F.md5(F.col(text_col))
+    ex_hashes = existing_docs.select(text_hash.alias("_th")).distinct()
+    new1 = (
+        new_docs.withColumn("_th", text_hash)
+        .join(ex_hashes, "_th", "left_anti")
+        .drop("_th")
+    )
+    new2 = exact_dedup(new1, text_col, id_col)
+
+    sh_new = shingle_hashes(new2, n, text_col, id_col)
+    sh_old = (
+        existing_shingles
+        if existing_shingles is not None
+        else shingle_hashes(existing_docs, n, text_col, id_col)
+    )
+    sig_new = minhash_signatures(sh_new, num_hashes, id_col)
+    sig_old = (
+        existing_signatures
+        if existing_signatures is not None
+        else minhash_signatures(sh_old, num_hashes, id_col)
+    )
+
+    def banded(sig: DataFrame, flag: int) -> DataFrame:
+        bands = []
+        for band in range(num_hashes // rows_per_band):
+            cols = [
+                F.col(f"mh_{band * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ]
+            bands.append(
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    hash64(F.concat_ws("_", *cols)).alias("band_hash"),
+                )
+            )
+        return sig.select(
+            F.col(id_col), F.lit(flag).alias("_side"), F.explode(F.array(*bands)).alias("b")
+        ).select(id_col, "_side", "b.band_id", "b.band_hash")
+
+    all_banded = banded(sig_old, 0).unionByName(banded(sig_new, 1))
+    # sorted (side, id) puts every existing doc before every new doc;
+    # in-bucket combos where the LATER element is new give exactly the
+    # (better, new) candidate pairs — cap per bucket_pairs' guard
+    items = F.sort_array(
+        F.collect_list(F.struct(F.col("_side").alias("s"), F.col(id_col).alias("id")))
+    )
+    if max_bucket_size is not None:
+        items = F.slice(items, 1, max_bucket_size)
+    buckets = (
+        all_banded.groupBy("band_id", "band_hash")
+        .agg(items.alias("items"))
+        .where(F.size("items") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda y: F.struct(
+                        x.getField("id").alias("doc_a"),
+                        y.getField("id").alias("doc_b"),
+                        y.getField("s").alias("b_side"),
+                    ),
+                ),
+                lambda p: p.getField("b_side") == 1,
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    shingle_sets = sh_old.distinct().unionByName(sh_new.distinct())
+    drops = (
+        jaccard_pairs(pairs, shingle_sets, id_col)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return new2.join(drops, id_col, "left_anti")

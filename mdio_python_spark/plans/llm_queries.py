@@ -218,6 +218,101 @@ def q_dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def _shingles_from(src: str, alias: str) -> str:
+    """Shingle CTE over an arbitrary source relation (same 3-gram set
+    semantics as `_SHINGLES_CTE`)."""
+    return f"""{alias} AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len({_TOKS}) >= 3
+                  THEN list_transform(
+                         generate_series(1, len({_TOKS}) - 2),
+                         i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))
+                  ELSE [] END) AS shingle
+    FROM {src}
+  )"""
+
+
+def _bands_from(sig: str, alias: str) -> str:
+    parts = []
+    for band in range(4):
+        h = sql_hash64(
+            f"concat(CAST(mh_{2 * band} AS VARCHAR), '_', "
+            f"CAST(mh_{2 * band + 1} AS VARCHAR))"
+        )
+        parts.append(
+            f"SELECT doc_id, {band} AS band_id, {h} AS band_hash FROM {sig}"
+        )
+    return f"{alias} AS ({' UNION ALL '.join(parts)})"
+
+
+@register(
+    "incremental_dedup_kept",
+    f"""
+    WITH olddocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    newdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    new1 AS (
+      SELECT * FROM newdocs
+      WHERE md5(text) NOT IN (SELECT md5(text) FROM olddocs)
+    ),
+    new2 AS (
+      SELECT * FROM new1
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM new1 GROUP BY md5(text))
+    ),
+    {_shingles_from("olddocs", "sh_old")},
+    {_shingles_from("new2", "sh_new")},
+    sig_old AS (SELECT doc_id, {_MH} FROM sh_old shingled GROUP BY doc_id),
+    sig_new AS (SELECT doc_id, {_MH} FROM sh_new shingled GROUP BY doc_id),
+    {_bands_from("sig_old", "bands_old")},
+    {_bands_from("sig_new", "bands_new")},
+    allb AS (
+      SELECT doc_id, 0 AS side, band_id, band_hash FROM bands_old
+      UNION ALL
+      SELECT doc_id, 1, band_id, band_hash FROM bands_new
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM allb l JOIN allb r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND r.side = 1 AND (l.side = 0 OR l.doc_id < r.doc_id)
+    ),
+    all_sh AS (
+      SELECT * FROM sh_old UNION ALL SELECT * FROM sh_new
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM all_sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM cand p
+      JOIN all_sh a ON a.doc_id = p.doc_a
+      JOIN all_sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    drops AS (
+      SELECT DISTINCT i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE)
+              / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, lang, source, n_chars FROM new2
+    WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+    """,
+)
+def q_incremental_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the odd-id half of the corpus plays
+    the NEW batch, the even-id half the EXISTING corpus — new docs
+    surviving exact (vs corpus + within batch) AND near-dup (MinHash/LSH
+    + Jaccard>=0.5 vs corpus + smaller-id batch peers). At scale the
+    corpus side is a precomputed signature/shingle index
+    (operators/dedup.py:incremental_dedup's existing_* params) and each
+    batch costs shingling the delta plus one capped bucket join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _simhash_cte(bits: int) -> str:
     return f"""
   tok AS (

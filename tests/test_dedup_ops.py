@@ -239,3 +239,57 @@ def test_simhash_rejects_bits_beyond_hash_width(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="60"):
         simhash(docs, bits=64)
+
+
+def _mkdoc(words):
+    return " ".join(words)
+
+
+def test_incremental_dedup_planted_scenarios(spark):
+    from mdio_python_spark.operators.dedup import incremental_dedup
+
+    base = [f"w{i}" for i in range(40)]
+    near = base[:38] + ["zz", "yy"]          # high jaccard vs base
+    other = [f"q{i}" for i in range(40)]     # unrelated
+    existing = spark.createDataFrame(
+        [(0, _mkdoc(base)), (2, _mkdoc(other))], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, _mkdoc(base)),      # exact match vs corpus -> drop
+            (3, _mkdoc(near)),      # near-dup vs corpus -> drop
+            (5, _mkdoc(["a"] * 45)),  # unique -> keep
+            (7, _mkdoc(["a"] * 45)),  # exact dup of 5 within batch -> drop
+            (9, _mkdoc(["a"] * 44 + ["b"])),  # near-dup of kept 5 -> drop
+            (11, _mkdoc([f"u{i}" for i in range(40)])),  # unique -> keep
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_dedup(new, existing).collect()
+    )
+    assert kept == [5, 11]
+
+
+def test_incremental_dedup_precomputed_index_matches_inline(spark):
+    from mdio_python_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from mdio_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    inline = incremental_dedup(new, old).select("doc_id")
+    sh_old = shingle_hashes(old, 3)
+    idx = incremental_dedup(
+        new,
+        old,
+        existing_shingles=sh_old,
+        existing_signatures=minhash_signatures(sh_old, 8),
+    ).select("doc_id")
+    a = sorted(r.doc_id for r in inline.collect())
+    b = sorted(r.doc_id for r in idx.collect())
+    assert a == b and len(a) > 0
