@@ -597,9 +597,17 @@ def write_array_meta(
     fill_value=0,
     extra_attrs: dict | None = None,
     zarr_format: int = 2,
+    shard_chunks: tuple[int, ...] | None = None,
 ) -> None:
+    """``shard_chunks`` (v3 only) switches the array to the
+    ``sharding_indexed`` layout: each chunk FILE is a shard of
+    ``shard_chunks`` elements holding inner chunks of ``chunks`` elements
+    (which must divide it), indexed by a trailing uint64 [offset, nbytes]
+    table + crc32c. Write shard files with :func:`write_shard`."""
     d = os.path.join(root, name)
     os.makedirs(d, exist_ok=True)
+    if shard_chunks is not None and zarr_format != 3:
+        raise ValueError("sharding_indexed is a zarr v3 layout")
     if zarr_format == 3:
         v3_comp = _v3_compressor(compressor)
         if v3_comp and v3_comp.get("id") == "blosc" and not v3_comp.get("typesize"):
@@ -609,6 +617,28 @@ def write_array_meta(
         ]
         if v3_comp is not None:
             codecs.append(_v3_codec_entry(v3_comp))
+        grid_chunks = chunks
+        if shard_chunks is not None:
+            if any(s % c for s, c in zip(shard_chunks, chunks)):
+                raise ValueError(
+                    f"shard_chunks {shard_chunks} must be an integer multiple "
+                    f"of inner chunks {chunks} in every dimension"
+                )
+            grid_chunks = shard_chunks
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(chunks),
+                        "codecs": codecs,
+                        "index_codecs": [
+                            {"name": "bytes", "configuration": {"endian": "little"}},
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
         meta = {
             "zarr_format": 3,
             "node_type": "array",
@@ -616,7 +646,7 @@ def write_array_meta(
             "data_type": _V3_DTYPE_NAMES[np.dtype(dtype)],
             "chunk_grid": {
                 "name": "regular",
-                "configuration": {"chunk_shape": list(chunks)},
+                "configuration": {"chunk_shape": list(grid_chunks)},
             },
             "chunk_key_encoding": {
                 "name": "default",
@@ -679,6 +709,58 @@ def write_chunk(
         path = os.path.join(root, name, ".".join(str(i) for i in chunk_idx))
     with open(path, "wb") as f:
         f.write(raw)
+
+
+def write_shard(
+    root: str,
+    name: str,
+    shard_idx: tuple[int, ...],
+    data: np.ndarray,
+    shard_chunks: tuple[int, ...],
+    inner_chunks: tuple[int, ...],
+    compressor: dict | None,
+    fill_value=0,
+    zarr_format: int = 3,
+) -> None:
+    """Write one ``sharding_indexed`` shard file (v3): inner chunks
+    encoded back-to-back, then the C-order uint64 LE [offset, nbytes]
+    index + crc32c at the END (matching :func:`write_array_meta`'s
+    ``shard_chunks`` metadata). Inner chunks that are entirely
+    ``fill_value`` are OMITTED (absent markers 2^64-1) — the sparse-shard
+    form that keeps dead regions free on disk, exactly like absent chunk
+    files in the unsharded layout. ``data`` may be an edge remainder."""
+    if zarr_format != 3:
+        raise ValueError("sharding_indexed is a zarr v3 layout")
+    if tuple(data.shape) != tuple(shard_chunks):
+        full = np.full(shard_chunks, fill_value, dtype=data.dtype)
+        full[tuple(slice(0, s) for s in data.shape)] = data
+        data = full
+    compressor = _v3_compressor(compressor)
+    if compressor and compressor.get("id") == "blosc" and not compressor.get("typesize"):
+        compressor = {**compressor, "typesize": data.dtype.itemsize}
+    grid = tuple(s // c for s, c in zip(shard_chunks, inner_chunks))
+    n_inner = int(np.prod(grid))
+    pairs = np.full((n_inner, 2), _SHARD_ABSENT, dtype="<u8")
+    body = bytearray()
+    for flat, cidx in enumerate(np.ndindex(*grid)):
+        sel = tuple(
+            slice(i * c, (i + 1) * c) for i, c in zip(cidx, inner_chunks)
+        )
+        inner = data[sel]
+        fill_block = np.full(inner_chunks, fill_value, dtype=data.dtype)
+        if np.array_equal(
+            inner, fill_block, equal_nan=data.dtype.kind in "fc"
+        ):
+            continue  # absent inner chunk
+        raw = _encode_chunk(np.ascontiguousarray(inner).tobytes(), compressor)
+        pairs[flat] = (len(body), len(raw))
+        body.extend(raw)
+    table = pairs.tobytes()
+    blob = bytes(body) + table + _crc32c(table).to_bytes(4, "little")
+    path = os.path.join(root, name, "c", *[str(i) for i in shard_idx])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
 
 
 def consolidate(root: str) -> None:

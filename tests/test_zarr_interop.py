@@ -671,3 +671,123 @@ def test_v3_shard_index_crc_mismatch_rejected(tmp_path):
     grp = zs.open_group(root)
     with pytest.raises(ValueError, match="crc32c mismatch"):
         zs.read_array(grp.arrays["a"])
+
+
+def _independent_read_sharded_v3(root: str, name: str) -> np.ndarray:
+    """Spec-level independent reader for our sharded WRITER's output:
+    parses zarr.json + each shard's trailing uint64 index + crc32c and
+    gunzips inner chunks, sharing no code with zarr_store."""
+    import gzip
+    import json
+    import math
+    import zlib
+
+    d = os.path.join(root, name)
+    meta = json.load(open(os.path.join(d, "zarr.json")))
+    [outer] = [c for c in meta["codecs"] if c["name"] == "sharding_indexed"]
+    cfg = outer["configuration"]
+    assert cfg["index_location"] == "end"
+    assert [c["name"] for c in cfg["index_codecs"]] == ["bytes", "crc32c"]
+    inner_chunks = tuple(cfg["chunk_shape"])
+    gz = any(c["name"] == "gzip" for c in cfg["codecs"])
+    shard_chunks = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
+    shape = tuple(meta["shape"])
+    dtype = np.dtype({"int32": "<i4", "float32": "<f4"}[meta["data_type"]])
+    fill = meta["fill_value"]
+    out = np.full(shape, fill, dtype=dtype)
+    sgrid = [math.ceil(s / c) for s, c in zip(shape, shard_chunks)]
+    igrid = tuple(s // c for s, c in zip(shard_chunks, inner_chunks))
+    n_inner = int(np.prod(igrid))
+    for sidx in np.ndindex(*sgrid):
+        p = os.path.join(d, "c", *map(str, sidx))
+        if not os.path.exists(p):
+            continue
+        raw = open(p, "rb").read()
+        idx = raw[-(n_inner * 16 + 4):]
+        table, crc = idx[:-4], idx[-4:]
+        # crc32c != zlib.crc32; recompute with the bit-reflected 0x1EDC6F41
+        def crc32c(bs):
+            c = 0xFFFFFFFF
+            for b in bs:
+                c ^= b
+                for _ in range(8):
+                    c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+            return c ^ 0xFFFFFFFF
+        assert int.from_bytes(crc, "little") == crc32c(table)
+        pairs = np.frombuffer(table, dtype="<u8").reshape(n_inner, 2)
+        for flat, cidx in enumerate(np.ndindex(*igrid)):
+            off, nb = int(pairs[flat, 0]), int(pairs[flat, 1])
+            if off == 2**64 - 1:
+                continue
+            buf = raw[off:off + nb]
+            if gz:
+                buf = gzip.decompress(buf)
+            inner = np.frombuffer(buf, dtype=dtype).reshape(inner_chunks)
+            base = [si * sc + ci * ic for si, sc, ci, ic in
+                    zip(sidx, shard_chunks, cidx, inner_chunks)]
+            sel = tuple(
+                slice(b, min(b + ic, s))
+                for b, ic, s in zip(base, inner_chunks, shape)
+            )
+            out[sel] = inner[tuple(slice(0, x.stop - x.start) for x in sel)]
+    del zlib
+    return out
+
+
+def test_v3_sharded_write_roundtrip_and_independent_read(tmp_path):
+    """Write a sharded v3 array with write_array_meta + write_shard; read
+    it back with our reader AND an independent spec-level parser."""
+    root = str(tmp_path / "shardw.zarr")
+    write_group_meta_v3(root)
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 1000, size=(10, 9), dtype=np.int32)
+    # plant an all-fill inner-chunk region: shard (0,0)'s inner chunk (1,1)
+    data[2:4, 3:6] = 0
+    shard_chunks, inner = (4, 6), (2, 3)
+    zs.write_array_meta(
+        root, "v", data.shape, inner, np.dtype("<i4"), ["i", "j"],
+        {"id": "gzip", "level": 1}, fill_value=0, zarr_format=3,
+        shard_chunks=shard_chunks,
+    )
+    import math as _math
+    sgrid = [
+        _math.ceil(s / c) for s, c in zip(data.shape, shard_chunks)
+    ]
+    for sidx in np.ndindex(*sgrid):
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(sidx, shard_chunks, data.shape)
+        )
+        zs.write_shard(
+            root, "v", sidx, data[sel], shard_chunks, inner,
+            {"id": "gzip", "level": 1}, fill_value=0,
+        )
+    # our reader
+    g = zs.open_group(root)
+    arr = g.arrays["v"]
+    assert arr.sharding is not None and arr.sharding.inner_chunks == inner
+    np.testing.assert_array_equal(zs.read_array(arr), data)
+    # independent spec-level parser
+    np.testing.assert_array_equal(
+        _independent_read_sharded_v3(root, "v"), data
+    )
+    # the planted fill inner chunk must be ABSENT in shard (0,0)'s index
+    raw = open(os.path.join(root, "v", "c", "0", "0"), "rb").read()
+    n_inner = 4  # (4,6) shard over (2,3) inner -> 2x2
+    table = raw[-(n_inner * 16 + 4):-4]
+    pairs = np.frombuffer(table, dtype="<u8").reshape(n_inner, 2)
+    assert pairs[3, 0] == 2**64 - 1 and pairs[3, 1] == 2**64 - 1
+
+
+def test_v3_sharded_meta_rejects_non_multiple_and_v2(tmp_path):
+    root = str(tmp_path / "bad.zarr")
+    with pytest.raises(ValueError, match="multiple"):
+        zs.write_array_meta(
+            root, "v", (8, 8), (3, 3), np.dtype("<i4"), ["i", "j"], None,
+            zarr_format=3, shard_chunks=(4, 4),
+        )
+    with pytest.raises(ValueError, match="v3"):
+        zs.write_array_meta(
+            root, "v", (8, 8), (2, 2), np.dtype("<i4"), ["i", "j"], None,
+            zarr_format=2, shard_chunks=(4, 4),
+        )
