@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
         default=2,
         help="storage spec version (the reference's global format toggle)",
     )
+    p_zex.add_argument(
+        "--shard-factor",
+        type=int,
+        default=None,
+        help="v3 only: sharding_indexed with N^ndim store chunks per shard "
+        "file (cuts object-store file count; read granularity unchanged)",
+    )
 
     p_zim = sub.add_parser(
         "import-zarr", help="MDIO-shaped zarr v2 cube -> store-format trace parquet"
@@ -113,7 +120,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export-zarr":
         from mdio_python_spark.sources.zarr_store import store_to_zarr
 
-        n = store_to_zarr(spark, args.store, args.zarr, zarr_format=args.zarr_format)
+        n = store_to_zarr(
+            spark, args.store, args.zarr,
+            zarr_format=args.zarr_format, shard_factor=args.shard_factor,
+        )
         print(f"exported {n} traces -> {args.zarr} (zarr v{args.zarr_format})")
     elif args.cmd == "import-zarr":
         from mdio_python_spark.sources.zarr_store import zarr_cube_to_df

@@ -860,6 +860,7 @@ def store_to_zarr(
     zarr_path: str,
     compressor: dict | None = None,
     zarr_format: int = 2,
+    shard_factor: int | None = None,
 ) -> int:
     """Export the engine's parquet store to an xarray-convention zarr
     group (v2 or v3 — the reference's global format toggle,
@@ -870,11 +871,25 @@ def store_to_zarr(
     ``applyInPandas`` over the store's existing partition layout — each
     group materializes its dense block and writes its chunk files.
     Returns the number of traces written.
+
+    ``shard_factor`` (v3 only) switches the cube arrays to the
+    ``sharding_indexed`` layout: each shard file covers
+    ``shard_factor``^ndim store chunks (the store chunk stays the inner
+    chunk, so read granularity is unchanged while file count drops
+    ``shard_factor``^ndim-fold — the object-store listing/IOPS fix
+    sharding exists for). The write groups by SHARD key instead of chunk
+    key: still one ``applyInPandas`` pass over one exchange, each task
+    holding one shard block in memory — size the factor so
+    chunk_bytes * factor^ndim fits the executor.
     """
     from mdio_python_spark.sources.store import open_store
 
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format!r}")
+    if shard_factor is not None and zarr_format != 3:
+        raise ValueError("shard_factor requires zarr_format=3")
+    if shard_factor is not None and shard_factor < 1:
+        raise ValueError("shard_factor must be >= 1")
     # zlib is a v2 numcodecs id; gzip is the v3 stdlib codec name
     compressor = compressor or (
         {"id": "zlib", "level": 1} if zarr_format == 2 else {"id": "gzip", "level": 1}
@@ -946,6 +961,10 @@ def store_to_zarr(
         zarr_format=zarr_format,
     )
 
+    sf_ = shard_factor
+    spatial_shard = (
+        tuple(c * sf_ for c in spatial_chunks) if sf_ is not None else None
+    )
     write_array_meta(
         zarr_path,
         var_name,
@@ -956,6 +975,7 @@ def store_to_zarr(
         compressor,
         fill_value=0,
         zarr_format=zarr_format,
+        shard_chunks=(*spatial_shard, ns) if sf_ is not None else None,
     )
     write_array_meta(
         zarr_path,
@@ -967,6 +987,7 @@ def store_to_zarr(
         compressor,
         fill_value=False,
         zarr_format=zarr_format,
+        shard_chunks=spatial_shard,
     )
     # physical coordinates (cdp_x etc.) as dim-shaped float64 arrays —
     # what a real MDIO consumer expects beside the amplitude cube
@@ -986,6 +1007,7 @@ def store_to_zarr(
             compressor,
             fill_value=0,
             zarr_format=zarr_format,
+            shard_chunks=spatial_shard,
         )
 
     chunk_cols = [f"{d}_chunk" for d in spatial]
@@ -993,12 +1015,18 @@ def store_to_zarr(
     traces = st.traces.select(*chunk_cols, *idx_cols, *coord_names, "samples")
     n_spatial = len(spatial)
     var_chunks = (*spatial_chunks, ns)
+    # sharded: group by shard key (chunk // factor) — same single exchange,
+    # each task materializes one shard block instead of one chunk block
+    group_spatial = spatial_shard if sf_ is not None else spatial_chunks
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        cidx = tuple(int(pdf[c].iloc[0]) for c in chunk_cols)
-        lo = [i * c for i, c in zip(cidx, spatial_chunks)]
+        if sf_ is not None:
+            cidx = tuple(int(pdf[c].iloc[0]) // sf_ for c in chunk_cols)
+        else:
+            cidx = tuple(int(pdf[c].iloc[0]) for c in chunk_cols)
+        lo = [i * c for i, c in zip(cidx, group_spatial)]
         block_shape = tuple(
-            min(c, s - l) for c, s, l in zip(spatial_chunks, shape, lo)
+            min(c, s - l) for c, s, l in zip(group_spatial, shape, lo)
         )
         block = np.zeros((*block_shape, ns), dtype=np.float32)
         live = np.zeros(block_shape, dtype=bool)
@@ -1010,26 +1038,48 @@ def store_to_zarr(
         )
         block[local] = samples
         live[local] = True
-        write_chunk(
-            zarr_path, var_name, (*cidx, 0), block, var_chunks, compressor, 0,
-            zarr_format=zarr_format,
-        )
-        write_chunk(
-            zarr_path, "trace_mask", cidx, live, spatial_chunks, compressor,
-            False, zarr_format=zarr_format,
-        )
+        if sf_ is not None:
+            write_shard(
+                zarr_path, var_name, (*cidx, 0), block,
+                (*spatial_shard, ns), var_chunks, compressor, 0,
+            )
+            write_shard(
+                zarr_path, "trace_mask", cidx, live,
+                spatial_shard, spatial_chunks, compressor, False,
+            )
+        else:
+            write_chunk(
+                zarr_path, var_name, (*cidx, 0), block, var_chunks,
+                compressor, 0, zarr_format=zarr_format,
+            )
+            write_chunk(
+                zarr_path, "trace_mask", cidx, live, spatial_chunks,
+                compressor, False, zarr_format=zarr_format,
+            )
         for cname in coord_names:
             cblock = np.zeros(block_shape, dtype=np.float64)
             cblock[local] = pdf[cname].to_numpy(dtype=np.float64)
-            write_chunk(
-                zarr_path, cname, cidx, cblock, spatial_chunks, compressor, 0,
-                zarr_format=zarr_format,
-            )
+            if sf_ is not None:
+                write_shard(
+                    zarr_path, cname, cidx, cblock, spatial_shard,
+                    spatial_chunks, compressor, 0,
+                )
+            else:
+                write_chunk(
+                    zarr_path, cname, cidx, cblock, spatial_chunks,
+                    compressor, 0, zarr_format=zarr_format,
+                )
         return pd.DataFrame({"n": [len(pdf)]})
 
+    if sf_ is not None:
+        group_keys = [
+            F.floor(F.col(c) / F.lit(sf_)).alias(f"_s_{c}") for c in chunk_cols
+        ]
+        grouped = traces.groupBy(*group_keys)
+    else:
+        grouped = traces.groupBy(*chunk_cols)
     counts = (
-        traces.groupBy(*chunk_cols)
-        .applyInPandas(write_group, schema="n long")
+        grouped.applyInPandas(write_group, schema="n long")
         .agg(F.sum("n").alias("n"))
         .collect()[0]["n"]
     )

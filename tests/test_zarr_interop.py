@@ -791,3 +791,47 @@ def test_v3_sharded_meta_rejects_non_multiple_and_v2(tmp_path):
             root, "v", (8, 8), (2, 2), np.dtype("<i4"), ["i", "j"], None,
             zarr_format=2, shard_chunks=(4, 4),
         )
+
+
+def test_store_to_zarr_sharded_output_equals_unsharded(tmp_path, spark):
+    """shard_factor changes the FILE layout only: the sharded v3 export
+    must read back identical to the unsharded one, with fewer chunk
+    files on disk."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+
+    sgy = str(tmp_path / "c.sgy")
+    make_poststack_3d(sgy, n_inline=6, n_crossline=5, n_samples=4)
+    store = str(tmp_path / "store")
+    template = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": [], "chunks": [2, 2, 4]}
+    )
+    segy_to_store(spark, sgy, store, template)
+    plain, sharded = str(tmp_path / "p.zarr"), str(tmp_path / "s.zarr")
+    n1 = zs.store_to_zarr(spark, store, plain, zarr_format=3)
+    n2 = zs.store_to_zarr(
+        spark, store, sharded, zarr_format=3, shard_factor=2
+    )
+    assert n1 == n2 == 30
+    a = zs.zarr_cube_to_df(spark, plain).orderBy("inline", "crossline").collect()
+    b = zs.zarr_cube_to_df(spark, sharded).orderBy("inline", "crossline").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    g = zs.open_group(sharded)
+    assert g.arrays["amplitude"].sharding is not None
+
+    def n_files(root, name):
+        tot = 0
+        for r, _d, fs in os.walk(os.path.join(root, name, "c")):
+            tot += len(fs)
+        return tot
+
+    assert n_files(sharded, "amplitude") < n_files(plain, "amplitude")
+
+
+def test_store_to_zarr_shard_factor_validation(tmp_path, spark):
+    with pytest.raises(ValueError, match="zarr_format=3"):
+        zs.store_to_zarr(spark, "x", "y", zarr_format=2, shard_factor=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        zs.store_to_zarr(spark, "x", "y", zarr_format=3, shard_factor=0)
