@@ -204,3 +204,37 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         hash64(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
+
+
+def token_rarity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-derived token-commonness score per document: the document
+    frequency (how many docs contain the token) of each of the doc's
+    DISTINCT tokens, rolled up as count / sum / min / mean. Low mean_df
+    flags jargon/noise pages; min_df = 1 flags docs carrying
+    corpus-unique tokens (OCR junk, serial numbers). The df table is the
+    same vocabulary index lexical retrieval reuses.
+
+    Scale shape: one (doc, token) distinct exchange; the df count is
+    map-side combinable; the join back is token-co-partitioned; the
+    per-doc rollup is combinable. Nothing corpus-sized is broadcast.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("token")
+    ).distinct()
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(dfreq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("df").alias("sum_df"),
+            F.min("df").alias("min_df"),
+        )
+        .withColumn(
+            "mean_df",
+            F.col("sum_df").cast("double")
+            / F.col("n_distinct_tokens").cast("double"),
+        )
+    )

@@ -843,6 +843,31 @@ def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_rarity_score",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token)
+    SELECT t.doc_id,
+           COUNT(*) AS n_distinct_tokens,
+           CAST(SUM(f.df) AS BIGINT) AS sum_df,
+           CAST(MIN(f.df) AS BIGINT) AS min_df,
+           CAST(SUM(f.df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df
+    FROM tok t JOIN dfreq f USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def q_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived commonness score: document frequency of each doc's
+    distinct tokens rolled up per doc — low mean flags jargon/noise,
+    min_df=1 flags corpus-unique junk. One (doc, token) distinct
+    exchange + combinable df count + token-co-partitioned join back
+    (operators/text.py:token_rarity)."""
+    return text.token_rarity(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "token_count_by_lang",
     f"""
     SELECT lang,
