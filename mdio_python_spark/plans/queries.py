@@ -800,6 +800,119 @@ _EVENTS_US = "SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us F
 
 
 @register(
+    "user_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cweek
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aweek
+      FROM events
+    )
+    SELECT CAST(datediff('day', DATE '1970-01-01', f.cweek) AS BIGINT)
+             AS cohort_day,
+           CAST(floor(datediff('day', f.cweek, a.aweek) / 7) AS BIGINT)
+             AS weeks_since,
+           COUNT(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-activity ISO week, one
+    row per (cohort, weeks-since) with the count still active. The
+    corpus-sized work is two combinable aggregates (per-user min, distinct
+    user-week); the join runs on the per-user table, not raw events.
+    Weeks cross as integer epoch-day offsets — no raw timestamps in the
+    output (driver-hash convention)."""
+    ev = _t(spark, sf_dir, "events")
+    wk = lambda c: F.to_date(F.date_trunc("week", c))  # noqa: E731
+    first = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cweek"))
+    act = ev.select("user_id", wk(F.col("ts")).alias("aweek")).distinct()
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.datediff(F.col("cweek"), epoch).cast("long").alias("cohort_day"),
+            F.floor(F.datediff(F.col("aweek"), F.col("cweek")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    f"""
+    WITH e AS ({_EVENTS_US}),
+    v AS (SELECT user_id, MIN(us) AS v_us FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_converted,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS click_rate,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS conversion_rate
+    """,
+)
+def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view -> first later click -> first later
+    purchase per user, rolled to corpus counts + rates. Three stage
+    aggregates, each consuming the PREVIOUS stage's per-user table (never
+    events x events); stage tables are user-level so the joins AQE to
+    broadcast at any corpus size; final combine is three 1-row frames."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewers",
+            "n_click_after_view",
+            "n_converted",
+            (
+                F.col("n_click_after_view").cast("double")
+                / F.col("n_viewers").cast("double")
+            ).alias("click_rate"),
+            (
+                F.col("n_converted").cast("double")
+                / F.col("n_viewers").cast("double")
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
     "asof_view_attribution",
     f"""
     WITH e AS ({_EVENTS_US}),
