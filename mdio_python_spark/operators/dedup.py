@@ -524,7 +524,7 @@ def segment_dedup_stats(
 
 def incremental_dedup(
     new_docs: DataFrame,
-    existing_docs: DataFrame,
+    existing_docs: DataFrame | None,
     n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
@@ -534,6 +534,7 @@ def incremental_dedup(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     existing_shingles: DataFrame | None = None,
     existing_signatures: DataFrame | None = None,
+    existing_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the shape production
     ingestion actually runs: the corpus is never re-deduped, only the
@@ -555,8 +556,21 @@ def incremental_dedup(
     in-bucket from a sorted (side, id) struct array with the standard
     hot-bucket cap, so a degenerate batch cannot go quadratic.
     """
+    if existing_docs is None and (
+        existing_hashes is None
+        or existing_shingles is None
+        or existing_signatures is None
+    ):
+        raise ValueError(
+            "existing_docs=None requires all of existing_hashes / "
+            "existing_shingles / existing_signatures (a full index)"
+        )
     text_hash = F.md5(F.col(text_col))
-    ex_hashes = existing_docs.select(text_hash.alias("_th")).distinct()
+    ex_hashes = (
+        existing_hashes.select(F.col("text_hash").alias("_th")).distinct()
+        if existing_hashes is not None
+        else existing_docs.select(text_hash.alias("_th")).distinct()
+    )
     new1 = (
         new_docs.withColumn("_th", text_hash)
         .join(ex_hashes, "_th", "left_anti")

@@ -229,6 +229,26 @@ def q_streaming_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_error_click_pairs", "local:tests/test_streaming.py::test_streaming_interval_join_equals_batch_pairs", bench=False)
+def q_streaming_error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a declared query: error events
+    joined to the same user's clicks within 5 minutes after, both sides
+    watermarked so the join state stays bounded by rate x horizon. The
+    batch twin is ``bucketed_range_join``'s matched pairs (the
+    ``error_click_correlation`` building block); the local gate asserts
+    full-frame equality between the two. Rows-only (streams have no SQL
+    oracle)."""
+    from mdio_python_spark.streaming import events as ev
+
+    stream = ev.stream_events(spark, sf_dir)
+    errors = stream.where(F.col("event_type") == "error")
+    clicks = stream.where(F.col("event_type") == "click")
+    pairs = ev.interval_joined(errors, clicks, horizon="5 minutes")
+    return ev.run_to_memory(
+        pairs, "streaming_error_click_pairs_q", output_mode="append"
+    )
+
+
 @register("multimodal_audio_features", "local:tests/test_media_codecs.py::test_audio_features_query_exact", bench=False)
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio surface as a declared query (rows-only): synthesizes a valid

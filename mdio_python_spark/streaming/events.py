@@ -174,3 +174,43 @@ def run_to_memory(
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def interval_joined(
+    left: DataFrame,
+    right: DataFrame,
+    horizon: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: for each left event, right events by
+    the same user strictly after it and within ``horizon`` — the
+    streaming twin of the batch ``bucketed_range_join`` (matched pairs).
+
+    Both sides carry watermarks so Spark can BOUND the join state: a
+    buffered left row is droppable once the right watermark passes
+    ``l_ts + horizon``, a right row once the left watermark passes its
+    own timestamp — state is (rate x (watermark + horizon)), not stream
+    length. This is the one streaming join class the other operators
+    here don't cover (stream-static `enriched` has no state at all).
+    """
+    l = left.select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id",
+        "l_id",
+        "r_id",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )

@@ -293,3 +293,33 @@ def test_incremental_dedup_precomputed_index_matches_inline(spark):
     a = sorted(r.doc_id for r in inline.collect())
     b = sorted(r.doc_id for r in idx.collect())
     assert a == b and len(a) > 0
+
+
+def test_dedup_index_lifecycle(spark, tmp_path):
+    """build -> dedup_against_index equals inline -> extend -> the next
+    batch is cleaned against the extended corpus."""
+    from mdio_python_spark.operators.dedup import incremental_dedup
+    from mdio_python_spark.pipelines.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+    )
+    from mdio_python_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "dedup_index")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    build_dedup_index(old, idx)
+
+    kept_idx = dedup_against_index(spark, new, idx).select("doc_id")
+    kept_inline = incremental_dedup(new, old).select("doc_id")
+    a = sorted(r.doc_id for r in kept_idx.collect())
+    b = sorted(r.doc_id for r in kept_inline.collect())
+    assert a == b and len(a) > 0
+
+    # accept the batch, then replay the SAME batch: everything must drop
+    kept_docs = new.join(kept_idx, "doc_id", "left_semi")
+    extend_dedup_index(kept_docs, idx)
+    replay = dedup_against_index(spark, kept_docs, idx)
+    assert replay.count() == 0

@@ -218,3 +218,52 @@ def test_streaming_dedup_exact_cardinality(spark):
         .toPandas()
     )
     _frames_equal(got, batch, ["event_type"])
+
+
+def test_streaming_interval_join_equals_batch_pairs(spark):
+    """Exact gate for streaming_error_click_pairs: the stream-stream
+    interval join's pair set must equal the batch bucketed_range_join's
+    matched pairs, frame-for-frame."""
+    from mdio_python_spark.operators.temporal import bucketed_range_join
+    from mdio_python_spark.plans.registry import registry
+
+    got = (
+        registry()["streaming_error_click_pairs"]
+        .fn(spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "l_id", "r_id"], ignore_index=True)
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("us").alias("l_us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("r_id"),
+        F.col("us").alias("r_us"),
+    )
+    pairs = bucketed_range_join(
+        errors,
+        clicks.withColumnRenamed("c_user", "user_id"),
+        ["user_id"],
+        horizon_us=300_000_000,
+        left_us="l_us",
+        right_us="r_us",
+        dedup_unmatched=False,
+    )
+    expect = (
+        pairs.where(F.col("r_id").isNotNull())
+        .select(
+            "user_id", "l_id", "r_id",
+            (F.col("r_us") - F.col("l_us")).alias("lag_us"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "l_id", "r_id"], ignore_index=True)
+    )
+    assert len(got) == len(expect) > 0
+    assert got[["user_id", "l_id", "r_id", "lag_us"]].equals(
+        expect[["user_id", "l_id", "r_id", "lag_us"]]
+    )
