@@ -182,3 +182,46 @@ def term_stats(
     return agg.select(F.explode(rows).alias("r")).select(
         "r.term", "r.collection_freq", "r.doc_freq"
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_a_col: str = "rank_lex",
+    rank_b_col: str = "rank_vec",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009):
+    ``score = sum 1/(c + rank)`` over the lists an id appears in, top-k
+    by fused score. The standard hybrid-search combiner — rank-based, so
+    BM25 and cosine scores never need calibration against each other.
+
+    Scale shape: the inputs are top-N lists (N ~ tens), so the full
+    outer join and the final sort are broadcast-trivial regardless of
+    corpus size — all corpus-sized work happened inside the upstream
+    retrievers. Pure rational arithmetic (1/(c+rank)), bit-stable
+    cross-engine.
+    """
+    a = ranked_a.select(id_col, F.col("rank").alias(rank_a_col))
+    b = ranked_b.select(id_col, F.col("rank").alias(rank_b_col))
+    one = F.lit(1.0)
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                one / (F.lit(c) + F.col(rank_a_col)).cast("double"), F.lit(0.0)
+            )
+            + F.coalesce(
+                one / (F.lit(c) + F.col(rank_b_col)).cast("double"), F.lit(0.0)
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, rank_a_col, rank_b_col, "rrf_score", "rank")
+    )

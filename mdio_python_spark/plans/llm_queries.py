@@ -1316,7 +1316,10 @@ _BM25_TERMS = ["hash", "spark", "stream", "vector"]
 _BM25_K = 15
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = _BM25_K, final_select: bool = True) -> str:
+    """BM25 oracle; ``final_select=False`` returns only the CTE chain
+    (ending in a ``lex`` top-k relation) for composition into the hybrid
+    fusion oracle."""
     from mdio_python_spark.operators.retrieval import B, K1
 
     tf_cols = ",\n             ".join(
@@ -1348,8 +1351,7 @@ def _bm25_oracle() -> str:
             f"(CASE WHEN tf{i} > 0 THEN {idf} * {tf_part} ELSE 0.0 END)"
         )
     score = " + ".join(terms)
-    return f"""
-    WITH per_doc AS (
+    ctes = f"""per_doc AS (
       SELECT doc_id, len({_TOKS}) AS dl,
              {tf_cols}
       FROM documents
@@ -1359,14 +1361,21 @@ def _bm25_oracle() -> str:
              {df_cols}
       FROM per_doc
     ),
-    scored AS (
+    bm_scored AS (
       SELECT doc_id, {score} AS score FROM per_doc, stats
-    )
-    SELECT doc_id, score, rank FROM (
-      SELECT doc_id, score,
-             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-      FROM scored WHERE score > 0
-    ) WHERE rank <= {_BM25_K}
+    ),
+    lex AS (
+      SELECT doc_id, score, rank FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm_scored WHERE score > 0
+      ) WHERE rank <= {k}
+    )"""
+    if not final_select:
+        return ctes
+    return f"""
+    WITH {ctes}
+    SELECT doc_id, score, rank FROM lex
     """
 
 
@@ -1382,6 +1391,81 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K)
+
+
+def _hybrid_oracle() -> str:
+    cos = _IVF_COS.format(a="embedding", b="q_vec")
+    term = "COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + {r} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+    return f"""
+    WITH {_bm25_oracle(k=20, final_select=False)},
+    q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    vec_scored AS (
+      SELECT vec_id AS doc_id, {cos} AS cos
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM vec_scored
+      ) WHERE rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.rank AS rank_lex, v.rank AS rank_vec,
+             {term.format(r="l.rank")} + {term.format(r="v.rank")} AS rrf_score
+      FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """
+
+
+@register("hybrid_search_rrf", _hybrid_oracle())
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (fixed 4-term query) fused with
+    cosine top-20 against a fixed query vector by reciprocal-rank fusion
+    (1/(60+rank), Cormack et al. 2009) — the standard lexical+vector
+    combiner, rank-based so the two score scales never need calibration.
+    The corpus-sized work lives in the two retrievers (both shuffle-free
+    on the corpus side); the fusion joins two top-20 lists. Embeddings
+    link to documents by vec_id == doc_id."""
+    from mdio_python_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from mdio_python_spark.operators.similarity import (
+        _lfold_norm,
+        _lit_vec,
+        dot,
+        norm,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    scored = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            dot(F.col("embedding"), _lit_vec(qv))
+            / (norm(F.col("embedding")) * F.lit(_lfold_norm(qv)))
+        ).alias("cos"),
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    vec = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "rank")
+    )
+    out = rrf_fuse(lex.select("doc_id", "rank"), vec, k=10)
+    return out.select(
+        "doc_id",
+        F.col("rank_lex").cast("long").alias("rank_lex"),
+        F.col("rank_vec").cast("long").alias("rank_vec"),
+        "rrf_score",
+        "rank",
+    )
 
 
 def _term_stats_oracle() -> str:
