@@ -238,3 +238,79 @@ def token_rarity(
             / F.col("n_distinct_tokens").cast("double"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary: the ``vocab_size`` most frequent tokens,
+    id = rank (0 = most frequent; ties break lexically). The counting is
+    a combinable corpus aggregate; the ranking window runs on the tiny
+    aggregated vocab table only."""
+    freq = (
+        df.select(F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        freq.withColumn("token_id", F.row_number().over(w) - 1)
+        .where(F.col("token_id") < vocab_size)
+        .select("token", F.col("token_id").cast("long").alias("token_id"), "n")
+    )
+
+
+def tokenize_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    oov_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map every document to its token-id sequence under ``vocab``
+    (out-of-vocabulary -> ``oov_id``) — the tokenization pass that feeds
+    sequence packing. Output: (id, n_tokens, n_oov, ids_hash) where
+    ids_hash is the shared 60-bit hash of the space-joined id sequence,
+    so the full sequence never crosses to the driver or the oracle
+    comparison.
+
+    Scale shape: posexplode -> BROADCAST vocab join (the vocab is
+    vocab_size rows by construction) -> one (doc) combinable aggregate
+    rebuilding order via sort_array(struct(pos, id)). One corpus
+    exchange on the doc id; the join adds none.
+    """
+    from mdio_python_spark.functions.scalars import hash64
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.trim(F.col(text_col))))).alias(
+            "pos", "token"
+        ),
+    )
+    mapped = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(oov_id))
+    return (
+        mapped.select(id_col, "pos", tid.alias("tid"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s.getField("tid").cast("string"),
+                ),
+                " ",
+            ).alias("_ids"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            hash64(F.col("_ids")).alias("ids_hash"),
+        )
+    )

@@ -843,6 +843,45 @@ def q_binary_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenized_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token,
+             generate_subscripts({_TOKS}, 1) - 1 AS pos
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token, token_id FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        FROM freq
+      ) WHERE token_id < 256
+    ),
+    mapped AS (
+      SELECT t.doc_id, t.pos, COALESCE(v.token_id, 256) AS tid
+      FROM tok t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           {sql_hash64("array_to_string(list(tid ORDER BY pos), ' ')")}
+             AS ids_hash
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def q_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary tokenization — the pass that feeds sequence packing:
+    top-256 frequency vocab (rank = id, built by a combinable corpus
+    count + a window over the tiny vocab table), then posexplode ->
+    BROADCAST vocab join -> order-preserving per-doc rebuild. The id
+    sequence crosses as a 60-bit hash, never as an array
+    (operators/text.py:build_vocab/tokenize_ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = text.build_vocab(docs, vocab_size=256)
+    return text.tokenize_ids(docs, vocab, oov_id=256)
+
+
+@register(
     "token_rarity_score",
     f"""
     WITH tok AS (

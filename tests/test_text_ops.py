@@ -73,3 +73,37 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_build_vocab_rank_and_tokenize_ids(spark):
+    from mdio_python_spark.operators.text import build_vocab, tokenize_ids
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b zzz")], "doc_id long, text string"
+    )
+    vocab = {r.token: r.token_id for r in build_vocab(docs, vocab_size=2).collect()}
+    # a(3) -> 0, b(2) -> 1; c/zzz out of vocab
+    assert vocab == {"a": 0, "b": 1}
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov)
+        for r in tokenize_ids(
+            docs, build_vocab(docs, vocab_size=2), oov_id=2
+        ).collect()
+    }
+    assert out == {1: (4, 1), 2: (3, 1)}
+
+
+def test_tokenize_ids_hash_is_order_sensitive(spark):
+    from mdio_python_spark.functions.scalars import hash64
+    from mdio_python_spark.operators.text import build_vocab, tokenize_ids
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a")], "doc_id long, text string"
+    )
+    v = build_vocab(docs, vocab_size=2)
+    rows = {r.doc_id: r.ids_hash for r in tokenize_ids(docs, v, 2).collect()}
+    assert rows[1] != rows[2]  # same multiset, different order
+    expect = spark.range(1).select(hash64(F.lit("0 1")).alias("h")).head()["h"]
+    # "a b" with a->0 (freq ties broken lexically at equal counts): a=0, b=1
+    assert rows[1] == expect
