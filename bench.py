@@ -65,9 +65,14 @@ def run_stress(scale: int, out_name: str) -> None:
     regs = registry()
     report: dict[str, dict[str, float]] = {}
     superlinear: list[str] = []
+    # warm codegen at the smallest available SF; fall back to the base
+    # dir so a machine without /root/testdata still runs
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = base_dir
     for name in STRESS_QUERIES:
         spec = regs[name]
-        spec.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        spec.fn(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()  # warm codegen
         base_s = _timed(spark, spec.fn, base_dir)
@@ -113,6 +118,8 @@ def main() -> None:
     # measure the plan, not JVM codegen/classloading for each operator's
     # expression tree (md5/conv/regexp/window codegen dominates cold runs).
     warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     for name, spec in sorted(registry().items()):
         if not spec.bench:
             continue

@@ -37,3 +37,23 @@ def release_cached(df: DataFrame, blocking: bool = False) -> None:
     for handle in getattr(df, CACHE_ATTR, []):
         handle.unpersist(blocking)
     setattr(df, CACHE_ATTR, [])
+
+
+_SCOPED_PREV: dict[str, list[DataFrame]] = {}
+
+
+def rotate_scoped(scope: str, *cached: DataFrame) -> None:
+    """Self-limiting fallback for callers that never call
+    :func:`release_cached` (e.g. a declared query run repeatedly by a
+    correctness harness): each operator invocation unpersists the
+    PREVIOUS invocation's persisted stages under the same ``scope``, so
+    a long-lived session holds at most ONE generation per operator
+    instead of one per call. Unpersist is always semantics-preserving —
+    if some caller still holds an unexecuted plan over the previous
+    stage it recomputes, it never breaks — so rotation trades worst-case
+    recompute for a bounded memory/disk footprint. Explicit
+    ``release_cached`` remains the precise path (double unpersist is a
+    no-op)."""
+    for handle in _SCOPED_PREV.get(scope, []):
+        handle.unpersist(False)
+    _SCOPED_PREV[scope] = list(cached)

@@ -611,12 +611,22 @@ def incremental_dedup(
     all_banded = banded(sig_old, 0).unionByName(banded(sig_new, 1))
     # sorted (side, id) puts every existing doc before every new doc;
     # in-bucket combos where the LATER element is new give exactly the
-    # (better, new) candidate pairs — cap per bucket_pairs' guard
+    # (better, new) candidate pairs. Hot-bucket cap applies PER SIDE: a
+    # plain prefix slice of the sorted array would keep only existing
+    # docs in a bucket dominated by them — evicting exactly the new docs
+    # the check exists for, so near-dups would pass unverified.
     items = F.sort_array(
         F.collect_list(F.struct(F.col("_side").alias("s"), F.col(id_col).alias("id")))
     )
     if max_bucket_size is not None:
-        items = F.slice(items, 1, max_bucket_size)
+        half = max(max_bucket_size // 2, 1)
+        old_side = F.slice(
+            F.filter(items, lambda x: x.getField("s") == 0), 1, half
+        )
+        new_side = F.slice(
+            F.filter(items, lambda x: x.getField("s") == 1), 1, half
+        )
+        items = F.concat(old_side, new_side)
     buckets = (
         all_banded.groupBy("band_id", "band_hash")
         .agg(items.alias("items"))

@@ -70,14 +70,16 @@ def gun_geometry_analysis(
     # over the already-collapsed (small) triples.
     # Caching contract: the persisted triples stage rides on the returned
     # DataFrame — callers release it with caching.release_cached after
-    # their terminal action (ingest does).
-    from mdio_python_spark.operators.caching import attach_cached
+    # their terminal action (ingest does); repeat callers that never do
+    # are bounded to one generation by rotate_scoped.
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     triples = (
         df.select(line_col, gun_col, shot_col)
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    rotate_scoped("geometry.gun_geometry_analysis", triples)
     line_guns = (
         triples.select(line_col, gun_col)
         .distinct()

@@ -135,12 +135,14 @@ def ordered_export(
 
     Caching contract: the persisted stage rides on the returned DataFrame —
     call ``operators.caching.release_cached(result)`` after the terminal
-    action (CLI/export paths do). Without it a long-lived session
-    accumulates one cached relation per call.
+    action for precise release. Callers that never do (a harness running
+    the declared query in a loop) are bounded by generation rotation:
+    each call unpersists the previous call's stage (``rotate_scoped``),
+    so at most one generation is ever held.
     """
     from pyspark import StorageLevel
 
-    from mdio_python_spark.operators.caching import attach_cached
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     # no explicit partition count unless asked: REPARTITION_BY_NUM pins the
     # stage shape and (measured) costs ~3x wall vs letting AQE size it
@@ -156,6 +158,7 @@ def ordered_export(
         F.shiftright(mid, 33).cast("int").alias("_pid"),
         (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("_local"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    rotate_scoped("grid.ordered_export", local)
 
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # cumulative offsets over the tiny per-partition count table (≤ n

@@ -57,8 +57,23 @@ def salted_join(
             f"input already has a {SALT_COL!r} column; rename it first"
         )
     keys = [on] if isinstance(on, str) else list(on)
+
+    def _has_map(dt) -> bool:
+        # F.hash rejects MapType anywhere in the tree (top-level, inside
+        # arrays, struct fields) — a prefix check on the dtype string
+        # missed nested maps and crashed at plan time
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
     hashable = [
-        c for c, t in left.dtypes if not t.startswith("map<")
+        f.name for f in left.schema.fields if not _has_map(f.dataType)
     ] or keys
     probe = left.withColumn(
         SALT_COL,

@@ -242,6 +242,47 @@ def ivf_fit_centroids(
     )
 
 
+def _resolve_centroids(
+    candidates: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]] | None,
+) -> tuple[list[tuple[int, list[float]]], dict[int, float]]:
+    """Shared by :func:`ivf_topk` / :func:`ivfpq_topk`: the sorted
+    centroid literals (fitted when given, id-prefix stand-in otherwise)
+    plus their plan-build-time left-fold norms."""
+    cents = (
+        sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+        if centroids is not None
+        else sorted(
+            (int(r[0]), list(r[1]))
+            for r in candidates.where(F.col(id_col) < n_centroids)
+            .select(id_col, vec_col)
+            .collect()
+        )
+    )
+    return cents, {cid: _lfold_norm(vec) for cid, vec in cents}
+
+
+def _cell_structs(vec: Column, vnorm: Column, cents, cnorms) -> Column:
+    """(cos, -cid) struct array vs every centroid — ``array_max`` of it
+    is the argmax-cosine cell, ``sort_array`` descending gives probe
+    order. One shared expression tree so the three assignment sites
+    (ivf candidate/query, ivfpq) can never drift apart."""
+    return F.array(
+        *[
+            F.struct(
+                (dot(vec, _lit_vec(cvec)) / (vnorm * F.lit(cnorms[cid]))).alias(
+                    "cos"
+                ),
+                F.lit(-cid).cast("long").alias("ncid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -273,33 +314,14 @@ def ivf_topk(
     per-query top-k window. At 100 TB the cell id doubles as the storage
     partition key, so a probe touches ``nprobe/n_centroids`` of the data.
     """
-    cents = (
-        sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
-        if centroids is not None
-        else sorted(
-            (int(r[0]), list(r[1]))
-            for r in candidates.where(F.col(id_col) < n_centroids)
-            .select(id_col, vec_col)
-            .collect()
-        )
+    cents, cnorms = _resolve_centroids(
+        candidates, n_centroids, id_col, vec_col, centroids
     )
-    cnorms = {cid: _lfold_norm(vec) for cid, vec in cents}
 
     def cell_structs(vnorm: Column) -> Column:
         # cosine vs each centroid: dot / (vec_norm * centroid_norm), the
         # centroid norm folded to a Python double at plan-build time.
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        dot(F.col(vec_col), _lit_vec(cvec))
-                        / (vnorm * F.lit(cnorms[cid]))
-                    ).alias("cos"),
-                    F.lit(-cid).cast("long").alias("ncid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
+        return _cell_structs(F.col(vec_col), vnorm, cents, cnorms)
 
     c = (
         candidates.select(
@@ -590,31 +612,9 @@ def ivfpq_topk(
         books, sub = pq_codebooks(candidates, n_subspaces, n_codes, id_col, vec_col)
     else:
         books, sub = codebooks
-    cents = (
-        sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
-        if centroids is not None
-        else sorted(
-            (int(r[0]), list(r[1]))
-            for r in candidates.where(F.col(id_col) < n_centroids)
-            .select(id_col, vec_col)
-            .collect()
-        )
+    cents, cnorms = _resolve_centroids(
+        candidates, n_centroids, id_col, vec_col, centroids
     )
-    cnorms = {cid: _lfold_norm(vec) for cid, vec in cents}
-
-    def cell_structs(vnorm: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        dot(F.col(vec_col), _lit_vec(cvec))
-                        / (vnorm * F.lit(cnorms[cid]))
-                    ).alias("cos"),
-                    F.lit(-cid).cast("long").alias("ncid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
 
     # argmax via array_max over (cos, -cid) structs, as in ivf_topk
     c = (
@@ -623,51 +623,41 @@ def ivfpq_topk(
             F.col(vec_col),
             norm(F.col(vec_col)).alias("_n"),
         )
-        .withColumn("_cells", cell_structs(F.col("_n")))
+        .withColumn(
+            "_cells", _cell_structs(F.col(vec_col), F.col("_n"), cents, cnorms)
+        )
         .withColumn("cell", -F.array_max("_cells")["ncid"])
         .drop("_cells", "_n")
     )
     c = pq_encode(c, books, sub, id_col="candidate_id", vec_col=vec_col).select(
         "candidate_id", "cell", *[f"code_{m}" for m in range(len(books))]
     )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("_q_vec"),
-            norm(F.col(vec_col)).alias("_qn"),
-        )
-        .withColumn(
-            "_cells",
-            F.array(
-                *[
-                    F.struct(
-                        (
-                            dot(F.col("_q_vec"), _lit_vec(cvec))
-                            / (F.col("_qn") * F.lit(cnorms[cid]))
-                        ).alias("cos"),
-                        F.lit(-cid).cast("long").alias("ncid"),
-                    )
-                    for cid, cvec in cents
-                ]
-            ),
-        )
-        .select(
-            "query_id",
-            "_q_vec",
-            F.explode(
-                F.slice(F.sort_array("_cells", asc=False), 1, nprobe)
-            ).alias("_p"),
-        )
-        .select("query_id", "_q_vec", (-F.col("_p")["ncid"]).alias("cell"))
+    # per-query ADC tables (K distances per subspace) are projected
+    # BEFORE the probe explode so each table is computed once per query
+    # row, not once per probe; scoring a candidate is M element_at adds
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_q_vec"),
+        norm(F.col(vec_col)).alias("_qn"),
+    ).withColumn(
+        "_cells", _cell_structs(F.col("_q_vec"), F.col("_qn"), cents, cnorms)
     )
-    # per-query ADC tables: K distances per subspace, computed once per
-    # query row (the query side is tiny), then M lookups per candidate
     for m, cb in enumerate(books):
         q_sub = F.slice(F.col("_q_vec"), m * sub + 1, sub)
         q = q.withColumn(
             f"_tab_{m}", F.array(*[l2sq(q_sub, _lit_vec(cw)) for cw in cb])
         )
-    q = q.drop("_q_vec")
+    q = (
+        q.select(
+            "query_id",
+            *[f"_tab_{m}" for m in range(len(books))],
+            F.explode(
+                F.slice(F.sort_array("_cells", asc=False), 1, nprobe)
+            ).alias("_p"),
+        )
+        .withColumn("cell", -F.col("_p")["ncid"])
+        .drop("_p")
+    )
     adc = None
     for m in range(len(books)):
         term = F.element_at(

@@ -247,8 +247,12 @@ def build_vocab(
 ) -> DataFrame:
     """Frequency vocabulary: the ``vocab_size`` most frequent tokens,
     id = rank (0 = most frequent; ties break lexically). The counting is
-    a combinable corpus aggregate; the ranking window runs on the tiny
-    aggregated vocab table only."""
+    a combinable corpus aggregate; the top-V cut is a parallel
+    ``orderBy().limit()`` (TakeOrdered — per-partition heaps + a
+    driver-side merge of V-row prefixes, deterministic under the
+    (n desc, token) total order), so even a web-scale distinct-token
+    table never lands on one task; only the V surviving rows see the
+    ranking window."""
     freq = (
         df.select(F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("token"))
         .groupBy("token")
@@ -256,11 +260,12 @@ def build_vocab(
     )
     from pyspark.sql import Window
 
+    top = freq.orderBy(F.col("n").desc(), F.col("token")).limit(vocab_size)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        freq.withColumn("token_id", F.row_number().over(w) - 1)
-        .where(F.col("token_id") < vocab_size)
-        .select("token", F.col("token_id").cast("long").alias("token_id"), "n")
+    return top.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "n",
     )
 
 

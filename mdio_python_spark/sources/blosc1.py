@@ -54,11 +54,6 @@ _NAME_CODES = {
     "blosclz": 0, "lz4": 1, "lz4hc": 1, "snappy": 2, "zlib": 3, "zstd": 4,
 }
 
-# c-blosc split heuristics (blosc.c): splitting caps
-MAX_SPLITS = 16
-MIN_BUFFERSIZE = 128
-
-
 class UnsupportedBloscError(ValueError):
     """Chunk uses a blosc feature with no decoder in this container."""
 
@@ -198,6 +193,12 @@ def compress(
     if codec is None or codec == CODEC_BLOSCLZ:
         raise UnsupportedBloscError(f"cannot encode blosc cname {cname!r}")
     nbytes = len(data)
+    if typesize > 255:
+        # c-blosc clamps typesize > BLOSC_MAX_TYPESIZE to 1 (shuffle
+        # becomes a no-op); mirroring that beats silently shuffling with
+        # one typesize and recording another — which produced chunks
+        # every conformant reader (including ours) un-shuffles wrong
+        typesize = 1
     shuffle = shuffle and typesize > 1
     if blocksize <= 0:
         blocksize = min(max(nbytes, typesize), 1 << 20)
@@ -225,6 +226,6 @@ def compress(
     body = struct.pack(f"<{nblocks}i", *bstarts) + b"".join(streams)
     cbytes = 16 + len(body)
     header = struct.pack(
-        "<BBBBiii", 2, 1, flags, min(typesize, 255), nbytes, blocksize, cbytes
+        "<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, cbytes
     )
     return header + body

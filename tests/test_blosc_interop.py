@@ -258,3 +258,17 @@ def test_zarr_v3_zstd_and_blosc_codecs(tmp_path):
         meta = json.load(open(os.path.join(root, "a", "zarr.json")))
         names = [c["name"] for c in meta["codecs"]]
         assert comp["id"] in names
+
+
+def test_compress_clamps_oversize_typesize_like_cblosc(tmp_path):
+    """Regression (r4 review): typesize > 255 previously shuffled with
+    the true typesize but recorded min(typesize, 255) — corrupt chunks.
+    c-blosc clamps to typesize 1 (shuffle no-op); so do we."""
+    import numpy as np
+
+    from mdio_python_spark.sources import blosc1
+
+    data = np.arange(1024, dtype="<i8").tobytes()
+    blob = blosc1.compress(data, typesize=256, shuffle=True)
+    assert blob[3] == 1  # header typesize clamped
+    assert blosc1.decompress(blob) == data

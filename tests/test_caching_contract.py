@@ -44,3 +44,26 @@ def test_gun_geometry_attaches_and_releases(spark):
 def test_release_is_noop_without_attachment(spark):
     df = spark.range(5)
     release_cached(df)  # must not raise
+
+
+def test_rotation_bounds_repeat_callers_to_one_generation(spark):
+    """Regression (r4 review): a caller that never release_cached()s —
+    the declared-query harness pattern — must not accumulate one
+    persisted relation per call."""
+    from mdio_python_spark.operators.grid import ordered_export
+
+    spark.catalog.clearCache()  # isolate from other tests' cached relations
+    df = spark.range(100).selectExpr("id AS a", "id % 7 AS b")
+    jvm_count = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()  # noqa: E731
+    for _ in range(4):
+        ordered_export(df, ["a", "b"]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    assert jvm_count() <= 1  # only the latest generation survives
+    # explicit release still works on the final generation
+    out = ordered_export(df, ["a", "b"])
+    out.write.format("noop").mode("overwrite").save()
+    from mdio_python_spark.operators.caching import release_cached
+
+    release_cached(out)
+    assert jvm_count() == 0

@@ -323,3 +323,24 @@ def test_dedup_index_lifecycle(spark, tmp_path):
     extend_dedup_index(kept_docs, idx)
     replay = dedup_against_index(spark, kept_docs, idx)
     assert replay.count() == 0
+
+
+def test_incremental_dedup_cap_keeps_new_side_in_degenerate_bucket(spark):
+    """Regression (r4 review): a bucket dominated by EXISTING docs must
+    still check the new docs in it — the cap is per side, not a prefix
+    of the (side, id)-sorted array."""
+    from mdio_python_spark.operators.dedup import incremental_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # many existing near-identical docs (same text -> same bucket)
+    existing = spark.createDataFrame(
+        [(i * 2, base) for i in range(30)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(999, " ".join(["w0", "w1"] + [f"w{i}" for i in range(2, 38)] + ["x", "y"]))],
+        "doc_id long, text string",
+    )
+    # tiny cap (8): prefix-slice would keep 8 existing docs and drop the
+    # new doc from every bucket; per-side cap must still generate pairs
+    kept = incremental_dedup(new, existing, max_bucket_size=8).collect()
+    assert kept == []  # the near-dup IS caught and dropped

@@ -136,3 +136,15 @@ def test_salted_join_rejects_salt_column_collision(spark):
     right = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="_salt"):
         salted_join(left, right, "k")
+
+
+def test_salted_join_tolerates_nested_map_columns(spark):
+    """Regression (r4 review): maps nested in arrays/structs must also be
+    excluded from the salt's content hash, not just top-level maps."""
+    left = spark.createDataFrame(
+        [(1, [{"a": 1}], (2, {"b": 2}))],
+        "k long, am array<map<string,int>>, sm struct<x:int, m:map<string,int>>",
+    )
+    right = spark.createDataFrame([(1, 10)], "k long, w int")
+    [row] = salted_join(left, right, "k", salt=4).collect()
+    assert row.w == 10
