@@ -194,3 +194,28 @@ def temperature_resample(
         .where(bucket < F.col("_keep_below"))
         .drop("_keep_below")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from a salted id hash.
+
+    The split is a pure projection — reproducible across engines, retries
+    and cluster sizes (unlike ``randomSplit``), stable under corpus growth
+    (a document's split never changes when other rows are added), and
+    filter-pushable: reading only the ``train`` partition of a 100 TB
+    corpus is a scan-side predicate, no shuffle. Percent bounds are
+    integers so the bucket comparison is exact in every engine.
+    """
+    bucket = split_hash(F.col(id_col), salt, 100)
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -125,9 +125,13 @@ def attach_payload(
     height: int = 16,
     channels: int = 3,
     sample_rate: int = 8000,
+    n_frames=1,
 ) -> DataFrame:
     """Build a (payload, meta) pair from an existing column — the schema
-    pattern every multimodal table uses: opaque bytes + typed metadata."""
+    pattern every multimodal table uses: opaque bytes + typed metadata.
+    ``n_frames`` may be a Column for video tables whose frame count
+    varies per row."""
+    nf = n_frames if isinstance(n_frames, F.Column) else F.lit(int(n_frames))
     return df.withColumns(
         {
             "payload": F.col(source_col).cast("binary"),
@@ -137,7 +141,7 @@ def attach_payload(
                 F.lit(height).alias("height"),
                 F.lit(channels).alias("channels"),
                 F.lit(sample_rate).alias("sample_rate"),
-                F.lit(1).alias("n_frames"),
+                nf.cast("int").alias("n_frames"),
             ),
         }
     )
@@ -255,18 +259,29 @@ def sample_frames(
     df: DataFrame, every_nth: int, id_col: str = "doc_id"
 ) -> DataFrame:
     """Video frame sampling: one output row per kept frame (explode-shaped
-    mapInPandas). Decode once per video (batched); the frame fan-out is a
-    vectorized repeat over precomputed per-row frame counts."""
+    mapInPandas). Each payload decodes to its full (n_frames, h, w, c)
+    stack — frame counts vary per row, so the container parse is per-row
+    (the same boundary ffmpeg imposes) — and every emitted frame is a
+    zero-copy stride slice of that stack. Output rows carry single frames,
+    so downstream image ops (resize, features) apply unchanged."""
     schema = f"{id_col} long, frame_idx int, payload binary"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             chunks = []
             for mt, w, h, c, idx in _geometry_groups(pdf):
-                imgs = _decode_image_batch(pdf.loc[idx, "payload"], w, h, c, mt)
                 n_frames = np.array(
                     [int(m["n_frames"]) for m in pdf.loc[idx, "meta"]]
                 )
+                # decode each row to its full (n_frames, h, w, c) stack —
+                # frame counts vary per row, so rows decode individually
+                # but every frame slice below is a zero-copy view
+                vids = [
+                    _decode_image_batch([p], w, h, c * int(nf), mt)[0].reshape(
+                        int(nf), h, w, c
+                    )
+                    for p, nf in zip(pdf.loc[idx, "payload"], n_frames)
+                ]
                 counts = -(-n_frames // every_nth)  # ceil division
                 ids = np.repeat(pdf.loc[idx, id_col].to_numpy(), counts)
                 frame_idx = (
@@ -277,8 +292,10 @@ def sample_frames(
                     else np.array([], dtype=np.int32)
                 )
                 payloads: list[bytes] = []
-                for img, k in zip(imgs, counts):
-                    payloads.extend([img.tobytes()] * int(k))
+                for vid in vids:
+                    payloads.extend(
+                        f.tobytes() for f in vid[::every_nth]
+                    )
                 chunks.append(
                     pd.DataFrame(
                         {id_col: ids, "frame_idx": frame_idx, "payload": payloads}

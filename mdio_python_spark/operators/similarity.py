@@ -675,3 +675,77 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cell", "adc_dist", "rank")
     )
+
+
+def rp_signs(out_dim: int, in_dim: int, salt: str = "rp") -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) projection matrix, derived from the
+    same md5-based hash convention as :func:`functions.scalars.hash64` so
+    the matrix is reproducible from its spec alone (no RNG state): entry
+    (j, k) is +1 iff the low bit of md5("{salt}_{j}_{k}") is even."""
+    import hashlib
+
+    def sgn(j: int, k: int) -> float:
+        h = int(hashlib.md5(f"{salt}_{j}_{k}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [[sgn(j, k) for k in range(in_dim)] for j in range(out_dim)]
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    salt: str = "rp",
+    scale: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a literal
+    Rademacher matrix: ``rp_j = (1/sqrt(out_dim)) * sum_k sign[j][k] *
+    vec[k]`` (Achlioptas 2003 database-friendly projections — +/-1
+    entries need no float matrix and preserve pairwise distances in
+    expectation).
+
+    Scale shape: a pure projection — the matrix is ``out_dim x in_dim``
+    plan literals, each output is one left-fold over the input array, no
+    shuffle and no Python. The standard pre-step that makes downstream
+    ANN (sign buckets, IVF cells) cheaper by in_dim/out_dim. The left
+    fold's evaluation order is the cross-engine determinism contract
+    (same as :func:`l2sq`); ``1/sqrt(out_dim)`` is a single exact-input
+    sqrt, correctly rounded identically in the JVM and DuckDB.
+    """
+    signs = rp_signs(out_dim, in_dim, salt)
+    cols = {}
+    for j in range(out_dim):
+        terms = F.zip_with(
+            F.col(vec_col),
+            _lit_vec(signs[j]),
+            lambda x, s: x.cast("double") * s,
+        )
+        acc = F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
+        if scale:
+            acc = acc / F.sqrt(F.lit(float(out_dim)))
+        cols[f"rp_{j}"] = acc
+    return df.withColumns(cols)
+
+
+def sql_random_project(
+    out_dim: int = 8,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    salt: str = "rp",
+    scale: bool = True,
+) -> list[str]:
+    """DuckDB fragments matching :func:`random_project` bit-for-bit: one
+    left-associated chain per output dim (SQL ``+`` parses left-assoc, the
+    same order as the Spark fold), starting from the fold's 0.0 seed."""
+    signs = rp_signs(out_dim, in_dim, salt)
+    frags = []
+    for j in range(out_dim):
+        chain = "0.0"
+        for k in range(in_dim):
+            s = "1.0" if signs[j][k] > 0 else "-1.0"
+            chain += f" + CAST({vec_col}[{k + 1}] AS DOUBLE) * {s}"
+        if scale:
+            chain = f"({chain}) / sqrt({float(out_dim)})"
+        frags.append(chain)
+    return frags

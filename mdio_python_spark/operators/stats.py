@@ -84,3 +84,46 @@ def grid_sparsity(df: DataFrame, dims: list[str]) -> DataFrame:
         cells.alias("grid_cells"),
         (cells.cast("double") / F.col("num_traces")).alias("sparsity_ratio"),
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group discrete quantiles: the element at rank
+    ``ceil(q * n)`` under the total order ``(value, id)``.
+
+    Discrete (lower) quantiles are chosen over interpolating percentiles
+    deliberately: the rank is pure integer arithmetic, so the result is an
+    actual corpus value and bit-identical across engines — interpolation
+    formulas differ subtly between implementations (see
+    ``plans/llm_queries.py::dataset_card_stats`` for the same policy on
+    medians).
+
+    Scale shape: one combinable groupBy for the counts (tiny, broadcast
+    back) and one partitioned window sort per group — the unavoidable
+    cost of an EXACT quantile. At 100 TB swap in ``approx_percentile``
+    for monitoring and keep this form for audit runs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value_col, id_col)
+    ranked = df.select(*keys, value_col, id_col).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    joined = ranked.join(F.broadcast(counts), keys)
+    aggs = [F.max("_n").alias("n_rows")]
+    for q in qs:
+        num, den = q.as_integer_ratio()
+        # ceil(q*n) = (num*n + den - 1) div den, exactly, in integers
+        rank = F.expr(f"({num} * _n + {den} - 1) div {den}")
+        aggs.append(
+            F.max(F.when(F.col("_rn") == rank, F.col(value_col))).alias(
+                f"p{int(q * 100)}"
+            )
+        )
+    return joined.groupBy(*keys).agg(*aggs)

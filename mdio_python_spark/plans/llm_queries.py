@@ -1949,3 +1949,100 @@ def q_embedding_pq_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"code_{m}" for m in range(_PQ_M)],
         pq_adc_distance(codes, q_vec, books, sub).alias("adc_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics & splits (round 4 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_percentile_bands",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn
+      FROM documents
+    ),
+    agg AS (SELECT lang, COUNT(*) AS _n FROM documents GROUP BY lang)
+    SELECT r.lang, MAX(_n) AS n_rows,
+           MAX(CASE WHEN rn = (1 * _n + 3) // 4 THEN n_chars END) AS p25,
+           MAX(CASE WHEN rn = (1 * _n + 1) // 2 THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = (3 * _n + 3) // 4 THEN n_chars END) AS p75
+    FROM ranked r JOIN agg a ON r.lang = a.lang
+    GROUP BY r.lang
+    """,
+)
+def q_quality_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact quartiles of document length — the distribution
+    bands a curation pipeline uses to set length filters per language
+    rather than one global threshold. Discrete rank-``ceil(q*n)``
+    quantiles (see ``operators.stats.exact_group_quantiles``): pure
+    integer rank arithmetic, bit-identical across engines."""
+    from mdio_python_spark.operators.stats import exact_group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_group_quantiles(
+        docs, ["lang"], "n_chars", "doc_id", qs=(0.25, 0.5, 0.75)
+    )
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_chars,
+               {sql_hash64("'split' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment audited per
+    language: the salted-hash split of ``curation.assign_split`` (stable
+    under corpus growth, reproducible across engines and retries — the
+    properties ``randomSplit`` lacks) rolled up to split x lang counts.
+    Scale shape: pure projection + one combinable groupBy."""
+    from mdio_python_spark.operators.curation import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(docs).groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _rp_oracle() -> str:
+    from mdio_python_spark.operators.similarity import sql_random_project
+
+    frags = sql_random_project(out_dim=8, in_dim=64)
+    cols = ",\n           ".join(
+        f"{frag} AS rp_{j}" for j, frag in enumerate(frags)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@register("embedding_random_projection", _rp_oracle())
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction of the 64-dim embeddings to 8 dims
+    by a literal Rademacher matrix (Achlioptas 2003) — the standard
+    pre-step that makes downstream ANN bucketing/IVF cheaper by the
+    dimension ratio. Pure projection: the matrix is plan literals, each
+    output one left-fold over the array (the cross-engine determinism
+    contract of ``similarity.l2sq``); no shuffle, no Python."""
+    from mdio_python_spark.operators.similarity import random_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_project(emb, out_dim=8, in_dim=64).select(
+        "vec_id", *[f"rp_{j}" for j in range(8)]
+    )

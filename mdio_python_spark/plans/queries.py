@@ -1105,3 +1105,72 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n_hours,
+             CAST(SUM(n_events) AS BIGINT) AS s1,
+             CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+      FROM hourly GROUP BY event_type
+    ),
+    scored AS (
+      SELECT h.hour, h.event_type, h.n_events,
+             (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * s1) / n_hours)
+               / (n_hours - 1) AS variance,
+             (CAST(h.n_events AS DOUBLE) - (CAST(s1 AS DOUBLE) / n_hours))
+               / sqrt((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * s1) / n_hours)
+                      / (n_hours - 1)) AS z
+      FROM hourly h JOIN stats s ON h.event_type = s.event_type
+      WHERE n_hours > 1
+    )
+    SELECT hour, event_type, n_events, z
+    FROM scored WHERE variance > 0 AND abs(z) > 2.0
+    """,
+)
+def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: hourly event counts whose z-score
+    against that type's across-time distribution exceeds |2| — the
+    monitoring query every event pipeline runs. Determinism: the moment
+    sums s1/s2 are exact integers (counts of counts), so mean/variance/z
+    derive through an explicit IEEE double formula both engines evaluate
+    identically (policy of ``functions.determinism``); degenerate groups
+    (one hour, zero variance) are excluded by exact predicates.
+
+    Scale shape: the corpus-sized work is one combinable hourly groupBy;
+    the per-type stats table is tiny (|event_type| rows) and broadcast
+    back. No window over raw events, no second corpus shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(st), "event_type").where(F.col("n_hours") > 1)
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    variance = (s2d - (s1d * F.col("s1")) / F.col("n_hours")) / (
+        F.col("n_hours") - 1
+    )
+    z = (F.col("n_events").cast("double") - (s1d / F.col("n_hours"))) / F.sqrt(
+        variance
+    )
+    return (
+        j.withColumn("variance", variance)
+        .withColumn("z", z)
+        .where((F.col("variance") > 0) & (F.abs(F.col("z")) > 2.0))
+        .select("hour", "event_type", "n_events", "z")
+    )

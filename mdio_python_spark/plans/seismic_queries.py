@@ -282,3 +282,39 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_rate=8000,
     )
     return mm.audio_features(media)
+
+
+@register(
+    "multimodal_video_frames",
+    "local:tests/test_media_codecs.py::test_video_frames_query_exact",
+    bench=False,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video surface as a declared query (rows-only): each document gets a
+    deterministic multi-frame ``video/fake`` payload (its text bytes,
+    1 + doc_id % 5 frames of 4x4x3 — the documented stub boundary for
+    compressed video codecs), frame-sampled every 2nd frame through the
+    real explode-shaped ``mapInPandas`` plumbing, and rolled up per doc
+    with a crc32 over the emitted frame bytes so the gate pins exact
+    payload content, not just counts."""
+    from mdio_python_spark.operators import multimodal as mm
+    from mdio_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 240).alias("_clip")
+    )
+    media = mm.attach_payload(
+        docs,
+        "_clip",
+        media_type="video/fake",
+        width=4,
+        height=4,
+        channels=3,
+        n_frames=F.lit(1) + F.pmod(F.col("doc_id"), F.lit(5)),
+    )
+    frames = mm.sample_frames(media, every_nth=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_kept"),
+        F.max("frame_idx").alias("last_frame_idx"),
+        F.sum(F.crc32("payload")).alias("frames_crc"),
+    )

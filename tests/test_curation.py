@@ -81,3 +81,23 @@ def test_eval_split_pred_partitions_corpus(spark):
     n_train = df.where(~pred).count()
     assert n_eval + n_train == 1000
     assert 20 < n_eval < 90  # ~1/20
+
+
+def test_assign_split_partitions_and_stability(spark):
+    import pytest
+
+    from mdio_python_spark.operators.curation import assign_split
+    from mdio_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = assign_split(docs).select("doc_id", "split")
+    counts = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.1)
+    # stability under corpus growth: a doc's split never changes when the
+    # input shrinks/grows (the property randomSplit lacks)
+    sub = assign_split(docs.limit(50)).select("doc_id", "split").collect()
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(full[r["doc_id"]] == r["split"] for r in sub)

@@ -212,3 +212,38 @@ def test_audio_features_query_exact(spark):
         assert int(row.n_samples) == 256
         assert row.rms == rms
         assert int(row.zero_crossings) == int(cross.sum())
+
+
+def test_video_frames_query_exact(spark):
+    """Exact local gate for multimodal_video_frames: re-derive every
+    document's sampled frames with pure Python/numpy (text bytes tiled
+    into 1 + doc_id % 5 frames of 4x4x3, every 2nd frame kept) and pin
+    count, last index, and the crc32 sum over emitted frame bytes."""
+    import zlib
+
+    from mdio_python_spark.plans.registry import registry
+    from mdio_python_spark.sources.tables import load_table
+
+    out = (
+        registry()["multimodal_video_frames"].fn(spark, SF_SMOKE).toPandas()
+    )
+    src = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert sorted(out["doc_id"]) == sorted(src)
+    by_id = out.set_index("doc_id")
+    for i, text in src.items():
+        payload = text[:240].encode("utf-8") or b"\x00"
+        nf = 1 + int(i) % 5
+        n = nf * 4 * 4 * 3
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        tiled = np.tile(buf, -(-n // len(buf)))[:n].reshape(nf, 4, 4, 3)
+        kept = tiled[::2]
+        crc = sum(zlib.crc32(f.tobytes()) for f in kept)
+        row = by_id.loc[i]
+        assert int(row.n_frames_kept) == len(kept)
+        assert int(row.last_frame_idx) == (len(kept) - 1) * 2
+        assert int(row.frames_crc) == crc

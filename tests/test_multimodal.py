@@ -88,3 +88,32 @@ def test_empty_and_null_payloads_do_not_crash(spark):
     assert feats[1].mean_r == 0.0 and feats[2].mean_r == 0.0
     audio = {r.doc_id: r for r in multimodal.audio_features(media).collect()}
     assert audio[1].n_samples == 0 and audio[2].n_samples == 0
+
+
+def test_frame_sampling_slices_true_frames(payloads):
+    """Each emitted frame must be the payload's OWN byte slice for that
+    frame index (not a repeat of frame 0), matching the tiled fake-decode
+    layout: frame f covers bytes [f*h*w*c, (f+1)*h*w*c) of the tiled
+    buffer."""
+    from pyspark.sql import functions as F
+
+    vids = payloads.withColumn(
+        "meta",
+        F.col("meta").withField("n_frames", F.lit(4)).withField(
+            "media_type", F.lit("video/fake")
+        ),
+    )
+    frames = mm.sample_frames(vids, every_nth=1)
+    got = {
+        r["frame_idx"]: bytes(r["payload"])
+        for r in frames.where("doc_id = 0").collect()
+    }
+    src = payloads.where("doc_id = 0").collect()[0]["payload"]
+    n = 4 * 8 * 8 * 3
+    tiled = np.tile(
+        np.frombuffer(bytes(src), dtype=np.uint8), -(-n // len(src))
+    )[:n].reshape(4, 8 * 8 * 3)
+    assert set(got) == {0, 1, 2, 3}
+    for f in range(4):
+        assert got[f] == tiled[f].tobytes()
+    assert len({got[f] for f in range(4)}) > 1  # frames genuinely differ

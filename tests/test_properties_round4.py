@@ -76,3 +76,31 @@ def test_hot_key_spreads_across_window_partitions(spark):
     )
     max_share = max(r["count"] for r in groups) / n
     assert max_share < 0.2  # hot key's 90% now split ~10 ways
+
+
+def test_exact_group_quantiles_matches_sorted_rank(spark):
+    """exact_group_quantiles == element at rank ceil(q*n) of the sorted
+    (value, id) list, recomputed in pure Python per group."""
+    import math
+
+    from mdio_python_spark.operators.stats import exact_group_quantiles
+    from mdio_python_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = {
+        r["lang"]: r
+        for r in exact_group_quantiles(
+            docs, ["lang"], "n_chars", "doc_id"
+        ).collect()
+    }
+    rows = docs.select("lang", "n_chars", "doc_id").collect()
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        groups.setdefault(r["lang"], []).append((r["n_chars"], r["doc_id"]))
+    for lang, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        got = out[lang]
+        assert got["n_rows"] == n
+        for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+            assert got[col] == vals[math.ceil(q * n) - 1][0], (lang, col)

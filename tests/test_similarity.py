@@ -226,3 +226,30 @@ def test_ivfpq_candidate_vector_never_crosses_probe_join(spark, emb):
     assert join_at != -1
     # above the join (output side) no embedding attribute may remain
     assert "embedding#" not in plan[:join_at]
+
+
+def test_random_project_matches_numpy(spark):
+    """random_project == sign-matrix matmul in float64 (left-fold order
+    reproduced with a sequential accumulation)."""
+    import numpy as np
+
+    from mdio_python_spark.operators.similarity import random_project, rp_signs
+    from mdio_python_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(32)
+    out = random_project(emb, out_dim=8, in_dim=64).select(
+        "vec_id", *[f"rp_{j}" for j in range(8)]
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    signs = rp_signs(8, 64)
+    src = emb.select("vec_id", "embedding").collect()
+    for r in src:
+        vec = [float(x) for x in r["embedding"]]
+        for j in range(8):
+            acc = 0.0
+            for k in range(64):
+                acc += vec[k] * signs[j][k]
+            assert rows[r["vec_id"]][f"rp_{j}"] == acc / np.sqrt(8.0)
+    # sanity: the matrix is balanced-ish (not all same sign)
+    flat = [s for row in signs for s in row]
+    assert 0.3 < (sum(1 for s in flat if s > 0) / len(flat)) < 0.7
