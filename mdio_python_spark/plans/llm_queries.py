@@ -2046,3 +2046,83 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     return random_project(emb, out_dim=8, in_dim=64).select(
         "vec_id", *[f"rp_{j}" for j in range(8)]
     )
+
+
+def _rp_bucketed_oracle() -> str:
+    from mdio_python_spark.operators.similarity import sql_random_project
+
+    frags = sql_random_project(out_dim=8, in_dim=64)
+    rp_cols = ", ".join(f"{frag} AS rp_{j}" for j, frag in enumerate(frags))
+    bucket = " + ".join(
+        f"CASE WHEN rp_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(8)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {rp_cols} FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM proj
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, bucket
+      FROM b WHERE vec_id < 50
+    ),
+    c AS (SELECT vec_id AS candidate_id, embedding AS c_vec, bucket FROM b),
+    scored AS (
+      SELECT query_id, candidate_id, c.bucket,
+             {_DOT.format(a="q_vec", b="c_vec")}
+               / (sqrt({_DOT.format(a="q_vec", b="q_vec")})
+                  * sqrt({_DOT.format(a="c_vec", b="c_vec")})) AS cosine
+      FROM c JOIN q USING (bucket) WHERE query_id <> candidate_id
+    )
+    SELECT query_id, candidate_id, bucket, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, candidate_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@register("embedding_rp_bucketed_ann", _rp_bucketed_oracle())
+def q_rp_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-then-bucket ANN — the composed scale path: buckets come from the
+    sign pattern of the 8-dim random projection (a TRUE random-hyperplane
+    LSH, unlike ``sign_bucket``'s axis-aligned planes on raw dims), while
+    the in-bucket score is exact cosine on the ORIGINAL 64-dim vectors.
+    At 100 TB the projection is a free pure-projection pre-step, the
+    bucket id is the partition key, and hyperplane buckets balance better
+    than raw-axis signs on anisotropic embeddings."""
+    from mdio_python_spark.operators.similarity import random_project, sign_bucket
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_project(emb, out_dim=8, in_dim=64).withColumn(
+        "bucket",
+        sign_bucket(F.array(*[F.col(f"rp_{j}") for j in range(8)]), 8),
+    )
+    q = proj.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    c = proj.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_vec"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id", "candidate_id", "bucket",
+            similarity.cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "candidate_id", "bucket", "cosine", "rank")
+    )

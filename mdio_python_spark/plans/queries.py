@@ -1174,3 +1174,55 @@ def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("variance") > 0) & (F.abs(F.col("z")) > 2.0))
         .select("hour", "event_type", "n_events", "z")
     )
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate  > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer (broadcast) ⨝ orders ⨝
+    lineitem with date predicates pushed to both fact scans, then a
+    global top-10 by revenue. The ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — each task keeps its local top-10 and the
+    driver merges 10 rows per task, so there is NO global sort of the
+    aggregate; ties broken by l_orderkey for a total order. Revenue uses
+    the exact-decimal sum (``functions.determinism``), which also makes
+    the top-10 cut deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(dec(disc_price)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

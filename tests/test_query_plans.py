@@ -97,3 +97,38 @@ def test_term_stats_no_corpus_explode(spark):
     assert "SortMergeJoin" not in plan, plan
     # the only exchange is the single-row final aggregation
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_shipping_priority_topk_and_pushdown(spark):
+    """TPC-H Q3 shape: the global top-10 must compile to
+    TakeOrderedAndProject (per-task local top-k, no global sort of the
+    aggregate) and all three predicates must reach their scans."""
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("PushedFilters: [I") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rp_bucketed_ann_is_bucket_equi_join(spark):
+    """JL-bucketed ANN must prune the cross product through the bucket
+    equi-join: broadcast hash join on bucket, never a nested loop."""
+    plan = _plan(spark, "embedding_rp_bucketed_ann")
+    assert "BroadcastHashJoin" in plan, plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_hourly_anomaly_broadcasts_stats(spark):
+    """The per-type stats table (|event_type| rows) must broadcast back
+    onto the hourly aggregate; the corpus shuffles once for the groupBy."""
+    plan = _plan(spark, "events_hourly_anomaly")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_random_projection_is_pure_scan(spark):
+    """The JL projection must stay a pure projection: zero exchanges,
+    zero joins — one scan, one project."""
+    plan = _plan(spark, "embedding_random_projection")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
