@@ -1,0 +1,111 @@
+"""Graph analytics over edge-list DataFrames.
+
+Beyond-reference surface: iterative algorithms expressed as unrolled
+DataFrame plans (fixed iteration counts keep the plan deterministic and
+oracle-expressible as chained CTEs). Connected components (large-star /
+small-star) lives in ``operators/dedup.py``; this module holds rank-style
+propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (for an
+    undirected graph, pass both directions).
+
+    Returns ``(id, r)`` after ``iters`` synchronous updates from a
+    uniform start of 1.0:
+
+        r'(v) = (1 - damping) + damping * sum_{u->v} r(u) / out_deg(u)
+
+    Determinism: each contribution ``r/deg`` is one double divide
+    (identical cross-engine), and the neighbor sum runs in exact
+    decimal(28,15) so partial-agg order cannot change the result — the
+    same policy as ``functions.determinism``. Nodes are the edge-list
+    sources; with both directions present every node has out-degree >= 1,
+    so there is no dangling-mass term.
+
+    Scale shape: per iteration, one shuffle-hash join of edges with the
+    node-sized rank table on ``src`` plus one combinable groupBy on
+    ``dst`` — the minimal exchange pattern for synchronous PageRank.
+    Edges are hash-partitioned on ``src`` once up front so every
+    iteration reuses the same exchange instead of reshuffling the edge
+    list. At real scale, checkpoint/persist the rank table every few
+    iterations to cut the growing lineage; with a fixed small ``iters``
+    the unrolled plan is fine as-is.
+    """
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    # The edge list is referenced 1 + iters times (degrees + every
+    # iteration's join). Identical-subtree exchange reuse does NOT fire
+    # across the unrolled iterations (each join sits under a different
+    # aggregate), so without a persist the upstream edge derivation — for
+    # the similarity graph, the whole shingle->minhash->LSH pipeline —
+    # recomputes per iteration (measured 6.0s -> 0.9s at sf0.01). Edges
+    # are id-pairs (16 bytes/row), far smaller than the corpus that
+    # produced them; cache release follows the caching.py contract.
+    edges = (
+        edges.select(src, dst)
+        .repartition(F.col(src))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = deg.select(F.col(src).alias("id"), F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        contrib = edges.join(
+            ranks, edges[src] == ranks["id"]
+        ).join(deg, src)
+        ranks = contrib.groupBy(F.col(dst).alias("id")).agg(
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * F.sum(
+                    (F.col("r") / F.col("_deg")).cast("decimal(28,15)")
+                ).cast("double")
+            ).alias("r")
+        )
+    rotate_scoped("graph.pagerank", edges)
+    return attach_cached(ranks, edges)
+
+
+def sql_pagerank_ctes(
+    edges_cte: str, iters: int = 3, damping: float = 0.85
+) -> str:
+    """DuckDB CTE chain matching :func:`pagerank` bit-for-bit. The caller
+    provides the name of an ``edges(src, dst)`` CTE; the final CTE is
+    ``pr_{iters}(id, r)``. The VARCHAR hop on the decimal sum mirrors
+    ``determinism.sql_dsum`` (correctly-rounded decimal->double in both
+    engines)."""
+    parts = [
+        f"pr_deg AS (SELECT src, COUNT(*) AS d FROM {edges_cte} GROUP BY src)",
+        "pr_0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM pr_deg)",
+    ]
+    for i in range(1, iters + 1):
+        # float literals go through a VARCHAR cast: DuckDB parses bare
+        # decimal literals as DECIMAL (whose ->DOUBLE cast can double-
+        # round); string->double is correctly rounded in both engines
+        base = f"CAST('{1.0 - damping!r}' AS DOUBLE)"
+        damp = f"CAST('{damping!r}' AS DOUBLE)"
+        parts.append(
+            f"pr_{i} AS ("
+            f"SELECT e.dst AS id, {base} + {damp} * "
+            "CAST(CAST(SUM(CAST(p.r / d.d AS DECIMAL(28,15))) AS VARCHAR)"
+            " AS DOUBLE) AS r "
+            f"FROM {edges_cte} e "
+            f"JOIN pr_{i - 1} p ON p.id = e.src "
+            "JOIN pr_deg d ON d.src = e.src "
+            "GROUP BY e.dst)"
+        )
+    return ", ".join(parts)

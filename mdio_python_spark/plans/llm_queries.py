@@ -2126,3 +2126,41 @@ def q_rp_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "candidate_id", "bucket", "cosine", "rank")
     )
+
+
+def _pagerank_oracle() -> str:
+    from mdio_python_spark.operators.graph import sql_pagerank_ctes
+
+    return f"""
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM candidate_pairs
+      UNION
+      SELECT doc_b, doc_a FROM candidate_pairs
+    ),
+    {sql_pagerank_ctes("edges", iters=3)}
+    SELECT id AS doc_id, r AS pagerank FROM pr_3
+    """
+
+
+@register("similarity_graph_pagerank", _pagerank_oracle())
+def q_similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate similarity graph (LSH candidate
+    pairs, both directions): high-rank documents sit at the center of
+    duplicate clusters — the centrality signal used to pick canonical
+    representatives and to spot template farms. Three synchronous
+    iterations unrolled as DataFrame plans (`operators.graph.pagerank`);
+    neighbor sums run in exact decimal so the chained-CTE oracle matches
+    bit-for-bit. Scale: edges hash-partitioned on src once, each
+    iteration is one edge⨝rank join + one combinable groupBy."""
+    from mdio_python_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_hashes(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select("doc_b", "doc_a"))
+    pr = pagerank(edges, iters=3)
+    return pr.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank"))

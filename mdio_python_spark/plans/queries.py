@@ -1226,3 +1226,132 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "top_session_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000000000 AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, sec,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, sec,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY sec, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 20 most common first-five-event-type
+    sequences across 30-min-gap sessions — the "how do users move through
+    the product" query. Builds on the ``events_sessions`` sessionization
+    (one user_id exchange serves the gap window, the per-session rank,
+    and the path assembly); path order is pinned by sorting the collected
+    (rn, type) structs, not collect_list's arrival order; the global
+    top-20 is TakeOrderedAndProject over the tiny per-path counts."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("sec", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(w2))
+    paths = (
+        ranked.where(F.col("rn") <= 5)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+def _profile_oracle(table: str, cols: list[str]) -> str:
+    selects = [
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM {table}"
+        for c in cols
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "table_profile",
+    _profile_oracle(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table: per-column row,
+    null, and exact distinct counts in ONE corpus pass — Spark plans the
+    multi-column distinct via Expand (rows x n_cols) with partial aggs,
+    so the corpus is scanned once instead of once per column; the wide
+    1-row result is unpivoted driver-side via inline(array(struct...)),
+    which touches only n_cols rows."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = _t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = docs.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.inline(F.array(*structs)))

@@ -132,3 +132,13 @@ def test_random_projection_is_pure_scan(spark):
     plan = _plan(spark, "embedding_random_projection")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_pagerank_caches_edges_no_cartesian(spark):
+    """The similarity-graph edge list must be persisted (the LSH subtree
+    otherwise recomputes once per unrolled iteration) and every
+    iteration join must be an equi-join."""
+    plan = _plan(spark, "similarity_graph_pagerank")
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan
