@@ -1355,3 +1355,39 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.inline(F.array(*structs)))
+
+
+def _hll_oracle() -> str:
+    from mdio_python_spark.operators.stats import sql_hll_distinct
+
+    est = sql_hll_distinct("events", ["event_type"], "user_id")
+    return f"""
+    WITH est AS ({est}),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, x.n_exact, e.hll_estimate
+    FROM est e JOIN exact x ON e.event_type = x.event_type
+    """
+
+
+@register("approx_distinct_hll", _hll_oracle())
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact count side-by-side with a
+    DETERMINISTIC HyperLogLog estimate (``stats.hll_distinct`` — integer
+    register arithmetic end-to-end, so unlike stock HLLs the estimate is
+    bit-identical across engines and partitionings and can sit under the
+    exact-equality oracle gate). The sketch is the 100 TB path: one
+    combinable groupBy to 256 small ints per group, no distinct shuffle;
+    the exact branch here exists to expose the error empirically."""
+    from mdio_python_spark.operators.stats import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "n_exact", "hll_estimate"
+    )

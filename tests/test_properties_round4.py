@@ -104,3 +104,36 @@ def test_exact_group_quantiles_matches_sorted_rank(spark):
         assert got["n_rows"] == n
         for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
             assert got[col] == vals[math.ceil(q * n) - 1][0], (lang, col)
+
+
+def test_hll_distinct_error_bound_and_partition_invariance(spark):
+    """The deterministic HLL estimate must (a) land within ~3x the
+    theoretical 1.04/sqrt(m) standard error of the true cardinality for
+    group sizes spanning the linear-counting and raw regimes, and (b) be
+    bit-identical under different partitionings (register max + integer
+    sums are order-free)."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.stats import HLL_M, hll_distinct
+
+    df = spark.range(0, 12000).select(
+        F.when(F.col("id") < 2000, "small")  # 2000 distinct
+        .when(F.col("id") < 4000, "tiny")    # 40 distinct (mod trick below)
+        .otherwise("large")                   # 8000 distinct
+        .alias("grp"),
+        F.when(
+            F.col("id").between(2000, 3999), (F.col("id") % 40)
+        ).otherwise(F.col("id")).alias("uid"),
+    )
+    truth = {"small": 2000, "tiny": 40, "large": 8000}
+    for parts in (1, 7):
+        out = {
+            r["grp"]: r["hll_estimate"]
+            for r in hll_distinct(df.repartition(parts), ["grp"], "uid").collect()
+        }
+        for g, n in truth.items():
+            rel = abs(out[g] - n) / n
+            assert rel < 3 * 1.04 / (HLL_M ** 0.5), (g, out[g], n)
+        if parts == 1:
+            first = out
+    assert first == out  # bit-identical across partitionings
