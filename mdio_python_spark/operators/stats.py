@@ -247,3 +247,98 @@ def _sql_lc_lookup() -> str:
     correctly-rounded DOUBLE (bare decimal literals parse as DECIMAL)."""
     vals = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in _hll_lc_table())
     return f"list_extract([{vals}], n_zero)"
+
+
+# Count-min sketch: d independent hash rows x w buckets of exact int64
+# counts. Like hll_distinct, engineered so the ESTIMATE is deterministic
+# and oracle-expressible: counts are integers, the estimate is an integer
+# min — no floating point anywhere.
+CMS_D = 4
+CMS_W = 1024
+
+
+def countmin_cells(
+    df: DataFrame, col: str, salt: str = "cms"
+) -> DataFrame:
+    """Build the count-min table: one row per (hash row, bucket) with its
+    exact collision count (Cormode & Muthukrishnan 2005).
+
+    Scale shape: the only corpus-sized work is the d-way posexplode into
+    (r, bucket) pairs feeding ONE combinable groupBy that collapses to at
+    most d*w cells (4096 here) — constant-size output no matter the
+    corpus, the property that makes the sketch mergeable across
+    partitions, days, or clusters by plain cell-wise addition."""
+    from mdio_python_spark.functions.scalars import hash64
+
+    buckets = F.array(
+        *[
+            F.pmod(
+                hash64(F.concat(F.lit(f"{salt}{r}"), F.col(col).cast("string"))),
+                F.lit(CMS_W),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    cells = df.select(F.posexplode(buckets).alias("r", "bucket"))
+    return cells.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
+
+
+def countmin_lookup(
+    items: DataFrame, cells: DataFrame, col: str, salt: str = "cms"
+) -> DataFrame:
+    """Point-query the sketch: estimate = min over the d cells an item
+    hashes to. The cell table is <= d*w rows, so it broadcasts; the
+    estimate is an integer min — never under the true count (one-sided
+    error <= e/w * stream_length with prob 1 - e^-d)."""
+    from mdio_python_spark.functions.scalars import hash64
+
+    buckets = F.array(
+        *[
+            F.pmod(
+                hash64(F.concat(F.lit(f"{salt}{r}"), F.col(col).cast("string"))),
+                F.lit(CMS_W),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    probes = items.select(col, F.posexplode(buckets).alias("r", "bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+
+
+def sql_countmin_ctes(
+    stream_sql: str, items_cte: str, col: str, salt: str = "cms"
+) -> str:
+    """DuckDB CTE chain matching countmin_cells + countmin_lookup.
+    ``stream_sql`` must select a ``{col}`` column (the token stream);
+    ``items_cte`` names a CTE with the items to estimate. Emits CTEs
+    ``cms_cells`` and ``cms_est(col, cms_estimate)``."""
+    from mdio_python_spark.functions.scalars import sql_hash64
+
+    def bucket(r: int, src: str) -> str:
+        expr = f"'{salt}{r}' || CAST({src} AS VARCHAR)"
+        return f"{sql_hash64(expr)} % {CMS_W}"
+
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {col}, {r} AS r, {bucket(r, col)} AS bucket FROM {items_cte}"
+        for r in range(CMS_D)
+    )
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket(r, col)} AS bucket FROM ({stream_sql})"
+        for r in range(CMS_D)
+    )
+    return f"""
+    cms_cells AS (
+      SELECT r, bucket, COUNT(*) AS cell_count
+      FROM ({cell_rows}) GROUP BY r, bucket
+    ),
+    cms_probes AS ({probe_rows}),
+    cms_est AS (
+      SELECT p.{col}, CAST(MIN(c.cell_count) AS BIGINT) AS cms_estimate
+      FROM cms_probes p
+      JOIN cms_cells c ON c.r = p.r AND c.bucket = p.bucket
+      GROUP BY p.{col}
+    )"""

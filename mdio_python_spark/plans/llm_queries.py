@@ -2164,3 +2164,47 @@ def q_similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(pairs.select("doc_b", "doc_a"))
     pr = pagerank(edges, iters=3)
     return pr.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
+def _cms_oracle() -> str:
+    from mdio_python_spark.operators.stats import sql_countmin_ctes
+
+    stream = f"SELECT unnest({_TOKS}) AS token FROM documents"
+    return f"""
+    WITH exact AS (
+      SELECT token, COUNT(*) AS n_exact
+      FROM ({stream}) GROUP BY token
+      ORDER BY n_exact DESC, token LIMIT 20
+    ),
+    {sql_countmin_ctes(stream, "exact", "token")}
+    SELECT e.token, e.n_exact, c.cms_estimate
+    FROM exact e JOIN cms_est c ON c.token = e.token
+    """
+
+
+@register("countmin_heavy_hitters", _cms_oracle())
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min sketch: the 20 most frequent corpus
+    tokens (exact, TakeOrdered) side-by-side with their sketch estimates
+    (``stats.countmin_cells`` / ``countmin_lookup``). All-integer
+    arithmetic makes the sketch estimate itself pass the exact-equality
+    cross-engine gate — the deterministic-sketch family twin of
+    ``approx_distinct_hll``. CMS guarantees estimate >= true count; at
+    100 TB the 4096-cell table is the only state that crosses tasks."""
+    from mdio_python_spark.operators.stats import countmin_cells, countmin_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    cells = countmin_cells(toks, "token")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(20)
+    )
+    est = countmin_lookup(exact.select("token"), cells, "token")
+    return exact.join(F.broadcast(est), "token").select(
+        "token", "n_exact", "cms_estimate"
+    )

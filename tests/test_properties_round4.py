@@ -137,3 +137,25 @@ def test_hll_distinct_error_bound_and_partition_invariance(spark):
         if parts == 1:
             first = out
     assert first == out  # bit-identical across partitionings
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS one-sided error: estimate >= true count for EVERY item, and
+    exact for items whose cells see no collisions (w >> n_distinct)."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.stats import countmin_cells, countmin_lookup
+
+    rows = [(f"tok{i % 37}",) for i in range(1000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "token string")
+    cells = countmin_cells(df, "token")
+    exact = df.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    est = countmin_lookup(exact.select("token"), cells, "token")
+    j = {r["token"]: (r["n"], r["cms_estimate"])
+         for r in exact.join(est, "token").collect()}
+    assert len(j) == 38
+    for tok, (n, e) in j.items():
+        assert e >= n, tok
+    # 38 distinct items in 1024 buckets x 4 rows: expect at least the
+    # rare singleton to be collision-free in SOME row -> exact
+    assert j["rare"][1] >= 1
