@@ -171,6 +171,19 @@ def hll_distinct(
     no distinct, no sort, no window. THE way to count distincts at
     100 TB when exact is too expensive.
     """
+    regs = (
+        df.select(*keys, *hll_register_exprs(col, salt))
+        .groupBy(*keys, "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    return hll_finalize(regs, keys)
+
+
+def hll_register_exprs(col: str, salt: str = "hll") -> tuple[Column, Column]:
+    """The sketch's scan-stage projections: ``(_bucket, _rho)`` for one
+    value. Split out so streaming jobs can run the (keys, bucket) -> max
+    register aggregate incrementally (max is a streaming-safe agg) and
+    finalize with :func:`hll_finalize` on the materialized result."""
     from mdio_python_spark.functions.scalars import hash64
 
     h = hash64(F.concat(F.lit(salt), F.col(col).cast("string")))
@@ -180,11 +193,12 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(w))
     )
-    regs = (
-        df.select(*keys, F.pmod(h, F.lit(HLL_M)).alias("_bucket"), rho.alias("_rho"))
-        .groupBy(*keys, "_bucket")
-        .agg(F.max("_rho").alias("_reg"))
-    )
+    return F.pmod(h, F.lit(HLL_M)).alias("_bucket"), rho.alias("_rho")
+
+
+def hll_finalize(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Estimate from materialized registers ``(keys..., _bucket, _reg)``
+    (output of a batch or streaming max-register aggregate)."""
     per_key = regs.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n_present"),
         # shiftleft with a column bit count only exists as the SQL builtin

@@ -318,3 +318,31 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").alias("last_frame_idx"),
         F.sum(F.crc32("payload")).alias("frames_crc"),
     )
+
+
+@register(
+    "streaming_hourly_distinct_users",
+    "local:tests/test_streaming.py::test_streaming_hll_equals_batch",
+    bench=False,
+)
+def q_streaming_hourly_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming distinct-user estimation: the deterministic HLL's
+    register aggregate runs INSIDE the stream (max per (window, type,
+    bucket) — bounded state, no distinct-user set), the tiny finalize
+    runs on the materialized result. Rows-only (streams have no SQL
+    oracle); the local gate pins bit-equality with the batch
+    ``hll_distinct`` over the same rows."""
+    from mdio_python_spark.operators.stats import hll_finalize
+    from mdio_python_spark.streaming import events as ev
+
+    stream = ev.stream_events(spark, sf_dir)
+    regs = ev.windowed_hll_registers(stream)
+    out = ev.run_to_memory(regs, "streaming_hourly_distinct_users_q")
+    est = hll_finalize(out, ["window_start", "event_type"])
+    return est.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "hll_estimate",
+    )

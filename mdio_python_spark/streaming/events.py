@@ -214,3 +214,30 @@ def interval_joined(
         "r_id",
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming HyperLogLog registers per (window, event_type): distinct
+    users per hour with BOUNDED state — max-register is a streaming-safe
+    aggregate, so state is at most 256 small ints per open window/type
+    instead of a distinct-user set. Finalize the materialized output with
+    ``stats.hll_finalize``; the estimate is bit-identical to the batch
+    ``hll_distinct`` over the same rows (the gate in
+    tests/test_streaming.py asserts full-frame equality)."""
+    from mdio_python_spark.operators.stats import hll_register_exprs
+
+    b, r = hll_register_exprs("user_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", b, r)
+        .groupBy(F.window("ts", window), "event_type", "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "_bucket",
+            "_reg",
+        )
+    )

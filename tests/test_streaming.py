@@ -267,3 +267,37 @@ def test_streaming_interval_join_equals_batch_pairs(spark):
     assert got[["user_id", "l_id", "r_id", "lag_us"]].equals(
         expect[["user_id", "l_id", "r_id", "lag_us"]]
     )
+
+
+def test_streaming_hll_equals_batch(spark):
+    """The streaming register aggregate must finalize to the EXACT same
+    estimates as batch hll_distinct over the same rows (register max is
+    order-free, so incremental vs one-shot aggregation cannot differ)."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.stats import hll_distinct
+    from mdio_python_spark.plans.registry import registry
+    from mdio_python_spark.sources.tables import load_table
+
+    out = (
+        registry()["streaming_hourly_distinct_users"]
+        .fn(spark, SF)
+        .toPandas()
+        .sort_values(["hour", "event_type"], ignore_index=True)
+    )
+    ev = load_table(spark, SF, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+        "user_id",
+    )
+    batch = (
+        hll_distinct(ev, ["hour", "event_type"], "user_id")
+        .toPandas()
+        .sort_values(["hour", "event_type"], ignore_index=True)
+    )
+    assert len(out) == len(batch) > 0
+    assert (out["hour"] == batch["hour"]).all()
+    assert (out["event_type"] == batch["event_type"]).all()
+    assert (out["hll_estimate"].values == batch["hll_estimate"].values).all()
