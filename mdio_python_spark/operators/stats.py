@@ -162,9 +162,9 @@ def hll_distinct(
     ``2^-reg`` is summed as the exact integer ``1 << (53 - reg)`` so
     partial-agg order cannot perturb the double result. Only the final
     ``alpha * m^2 / denom`` runs in floating point — three IEEE ops both
-    engines evaluate identically. (The small/large-range corrections are
-    deliberately omitted: they need ``ln``, whose rounding is not
-    cross-engine reproducible; this is the raw estimator, documented.)
+    engines evaluate identically. The small-range (linear counting)
+    correction applies through a precomputed literal ``ln`` table
+    (:func:`_hll_lc_table`) — transcendentals never evaluate engine-side.
 
     Scale shape: one combinable groupBy (keys, bucket) -> max register
     (the sketch: m small ints per group), then a tiny per-key rollup —
@@ -356,3 +356,53 @@ def sql_countmin_ctes(
       JOIN cms_cells c ON c.r = p.r AND c.bucket = p.bucket
       GROUP BY p.{col}
     )"""
+
+
+def table_digest(
+    df: DataFrame, cols: list[str], n_buckets: int = 64, salt: str = "dig"
+) -> DataFrame:
+    """Bucketed content digest for cheap table reconciliation: rows hash
+    to one of ``n_buckets`` buckets; each bucket reports its row count
+    and the XOR of its row hashes. Two table versions (a replica, a
+    migration output, yesterday's snapshot) compare by diffing
+    ``n_buckets`` tiny rows — mismatched buckets localize WHERE the
+    tables diverge without moving any data, and XOR is order- and
+    partitioning-free (the anti-entropy pattern of Merkle-tree repair,
+    flattened to one level).
+
+    Scale shape: pure projection + one combinable groupBy to a
+    constant-size result; the only caveat is XOR's blindness to
+    duplicate-row pairs, which the per-bucket count covers for the
+    common cases."""
+    from mdio_python_spark.functions.scalars import hash64
+
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+    row_hash = hash64(F.concat_ws("|", F.lit(salt), *parts))
+    return (
+        df.select(
+            F.pmod(row_hash, F.lit(n_buckets)).alias("bucket"),
+            row_hash.alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("xor_digest"),
+        )
+    )
+
+
+def sql_table_digest(
+    table: str, cols: list[str], n_buckets: int = 64, salt: str = "dig"
+) -> str:
+    """DuckDB twin of :func:`table_digest`."""
+    from mdio_python_spark.functions.scalars import sql_hash64
+
+    parts = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in cols
+    )
+    h = sql_hash64(f"concat_ws('|', '{salt}', {parts})")
+    return f"""
+    SELECT {h} % {n_buckets} AS bucket, COUNT(*) AS n_rows,
+           bit_xor({h}) AS xor_digest
+    FROM {table} GROUP BY bucket
+    """

@@ -2208,3 +2208,29 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(est), "token").select(
         "token", "n_exact", "cms_estimate"
     )
+
+
+def _digest_oracle() -> str:
+    from mdio_python_spark.operators.stats import sql_table_digest
+
+    return sql_table_digest(
+        "(SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 "
+        "FROM documents)",
+        ["doc_id", "lang", "source", "n_chars", "text_md5"],
+    )
+
+
+@register("corpus_digest", _digest_oracle())
+def q_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy digest of the documents table: 64 buckets of
+    (count, XOR-of-row-hashes) that reconcile two corpus versions by
+    comparing 64 tiny rows instead of re-reading 100 TB twice
+    (``stats.table_digest``). Text folds in as md5 so row hashing never
+    concatenates full documents."""
+    from mdio_python_spark.operators.stats import table_digest
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+    return table_digest(docs, ["doc_id", "lang", "source", "n_chars", "text_md5"])

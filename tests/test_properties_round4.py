@@ -159,3 +159,32 @@ def test_countmin_never_underestimates(spark):
     # 38 distinct items in 1024 buckets x 4 rows: expect at least the
     # rare singleton to be collision-free in SOME row -> exact
     assert j["rare"][1] >= 1
+
+
+def test_table_digest_localizes_single_row_change(spark):
+    """Changing ONE row must flip exactly that row's bucket digest (count
+    unchanged) and deleting one row must change exactly one bucket's
+    count — the reconciliation property the digest exists for."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.stats import table_digest
+
+    rows = [(i, f"v{i}") for i in range(500)]
+    a = spark.createDataFrame(rows, "id long, val string")
+    changed = [(i, "MUTATED" if i == 123 else f"v{i}") for i in range(500)]
+    b = spark.createDataFrame(changed, "id long, val string")
+
+    da = {r["bucket"]: (r["n_rows"], r["xor_digest"])
+          for r in table_digest(a, ["id", "val"]).collect()}
+    db = {r["bucket"]: (r["n_rows"], r["xor_digest"])
+          for r in table_digest(b, ["id", "val"]).collect()}
+    diff = {k for k in set(da) | set(db) if da.get(k) != db.get(k)}
+    assert 1 <= len(diff) <= 2  # old row left one bucket, new row entered one
+    # counts shift only if the two buckets differ
+    assert sum(n for n, _ in da.values()) == sum(n for n, _ in db.values()) == 500
+
+    dropped = a.where(F.col("id") != 42)
+    dd = {r["bucket"]: (r["n_rows"], r["xor_digest"])
+          for r in table_digest(dropped, ["id", "val"]).collect()}
+    cdiff = {k for k in set(da) | set(dd) if da.get(k) != dd.get(k)}
+    assert len(cdiff) == 1
