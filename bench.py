@@ -35,6 +35,12 @@ STRESS_QUERIES = (
     "asof_view_attribution_bucketed",
     "ordered_export",
     "geometry_line_gun_analysis",
+    # round-4 continuation: iterative graph propagation (edge growth +
+    # per-iteration joins) and the sketch family (must stay flat-ish:
+    # output size is constant in corpus size)
+    "similarity_graph_pagerank",
+    "approx_distinct_hll",
+    "countmin_heavy_hitters",
 )
 
 

@@ -142,3 +142,17 @@ def test_pagerank_caches_edges_no_cartesian(spark):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_sketch_queries_have_no_corpus_sort_or_window(spark):
+    """Sketches exist to AVOID sort/window/distinct over the corpus:
+    their plans must be combinable aggregates (+ broadcast lookups /
+    TakeOrdered for the exact comparison branch) only."""
+    plan = _plan(spark, "approx_distinct_hll")
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan.replace("SortAggregate", "XAggregate"), plan
+    plan = _plan(spark, "countmin_heavy_hitters")
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # exact top-20 branch
+    plan = _plan(spark, "corpus_digest")
+    assert "Window" not in plan and "Join" not in plan, plan
