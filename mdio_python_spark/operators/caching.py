@@ -55,5 +55,23 @@ def rotate_scoped(scope: str, *cached: DataFrame) -> None:
     ``release_cached`` remains the precise path (double unpersist is a
     no-op)."""
     for handle in _SCOPED_PREV.get(scope, []):
+        if any(_same_plan(handle, new) for new in cached):
+            # The new call's persist() deduped onto THIS handle's cache
+            # entry (Spark's CacheManager keys on the semantic plan, and
+            # repeated invocations of the same query build the same
+            # plan — it logs "Asked to cache already cached data").
+            # Unpersisting the old handle would evict the shared entry
+            # and leave the NEW call uncached; keep it instead.
+            continue
         handle.unpersist(False)
     _SCOPED_PREV[scope] = list(cached)
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    """True when two DataFrames share a semantically-equal analyzed plan
+    (the CacheManager's cache key)."""
+    try:
+        pa = a._jdf.queryExecution().analyzed()
+        return bool(pa.sameResult(b._jdf.queryExecution().analyzed()))
+    except Exception:  # noqa: BLE001 — fall back to rotating (safe)
+        return False
