@@ -2234,3 +2234,33 @@ def q_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("text_md5"),
     )
     return table_digest(docs, ["doc_id", "lang", "source", "n_chars", "text_md5"])
+
+
+@register(
+    "length_histogram",
+    """
+    SELECT lang,
+           CAST(least(n_chars // 100, 19) AS BIGINT) AS bucket,
+           CAST(least(n_chars // 100, 19) * 100 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, bucket, bucket_lo
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width document-length histogram per language (100-char
+    buckets, top bucket open-ended): the distribution view behind the
+    quartile bands. Pure integer bucket math + one combinable groupBy —
+    the exact histogram shape statsV1 leaves as a placeholder
+    (reference ``src/mdio/builder/schemas/v1/stats.py``: histogram
+    field), realized as a first-class query."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars div 100"), F.lit(19)).cast("long")
+    return (
+        docs.groupBy(
+            "lang",
+            bucket.alias("bucket"),
+            (bucket * 100).cast("long").alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

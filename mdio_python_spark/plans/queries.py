@@ -1391,3 +1391,53 @@ def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(est), "event_type").select(
         "event_type", "n_exact", "hll_estimate"
     )
+
+
+@register(
+    "events_daily_moving_avg",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT day, event_type, n_events,
+           CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts with a 7-day trailing average — the smoothing
+    window every ops dashboard draws. RANGE frame over an integer day
+    number (not ROWS) so gaps in the calendar shrink the window instead
+    of silently reaching further back; the average is an exact integer
+    sum over an exact integer count, divided once (deterministic
+    cross-engine). Corpus work is one combinable daily groupBy; the
+    window runs over the tiny daily table."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        (
+            F.sum("n_events").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).alias("avg_7d"),
+    )
