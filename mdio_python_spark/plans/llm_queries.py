@@ -2281,3 +2281,160 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "collocation_strength",
+    f"""
+    WITH {_BIGRAMS_CTE},
+    uni AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    uni_counts AS (SELECT token, COUNT(*) AS n_tok FROM uni GROUP BY token),
+    totals AS (
+      SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+             (SELECT COUNT(*) FROM bigrams) AS n_bi
+    ),
+    counted AS (SELECT bigram, COUNT(*) AS n_ab FROM bigrams GROUP BY bigram),
+    top AS (
+      SELECT bigram, n_ab FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_ab DESC, bigram) AS rk
+        FROM counted
+      ) WHERE rk <= 20
+    )
+    SELECT t.bigram, t.n_ab, a.n_tok AS n_left, b.n_tok AS n_right,
+           CAST(t.n_ab AS DOUBLE) * n_uni / a.n_tok * n_uni / b.n_tok / n_bi
+             AS lift
+    FROM top t
+    JOIN uni_counts a ON a.token = split_part(t.bigram, ' ', 1)
+    JOIN uni_counts b ON b.token = split_part(t.bigram, ' ', 2)
+    CROSS JOIN totals
+    """,
+)
+def q_collocation_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: lift = p(ab) / (p(a)p(b)) for the top-20
+    bigrams — the PMI family's ratio form, kept as a ratio so no
+    engine-side log is needed (integer counts, one fixed-order double
+    chain; lift >> 1 = a genuine collocation, ~1 = words that co-occur
+    by chance). Scale shape: two combinable counts over corpus-sized
+    explodes; the lift join probes the unigram table with a broadcast
+    20-row side; totals are 1-row broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    bi = dedup.word_shingles(docs, n=2, distinct=False).withColumnRenamed(
+        "shingle", "bigram"
+    )
+    uni = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    uni_counts = uni.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = uni.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    counted = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_ab").desc(), F.col("bigram"))
+    top = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("bigram", "n_ab")
+    )
+    a = uni_counts.select(
+        F.col("token").alias("_ta"), F.col("n_tok").alias("n_left")
+    )
+    b = uni_counts.select(
+        F.col("token").alias("_tb"), F.col("n_tok").alias("n_right")
+    )
+    # probe the corpus-vocab-sized unigram table twice, each time with
+    # the <=20-row accumulated side broadcast — never the vocab table
+    left_joined = a.join(
+        F.broadcast(top), F.col("_ta") == F.split("bigram", " ")[0]
+    )
+    j = b.join(
+        F.broadcast(left_joined),
+        F.col("_tb") == F.split(F.col("bigram"), " ")[1],
+    ).crossJoin(F.broadcast(totals))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_uni")
+        / F.col("n_left")
+        * F.col("n_uni")
+        / F.col("n_right")
+        / F.col("n_bi")
+    )
+    return j.select("bigram", "n_ab", "n_left", "n_right", lift.alias("lift"))
+
+
+@register(
+    "embedding_centroid_outliers",
+    """
+    WITH dims AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mean_val
+      FROM dims GROUP BY label, dim
+    ),
+    dists AS (
+      SELECT d.vec_id, d.label,
+             CAST(CAST(SUM(CAST((d.val - c.mean_val) * (d.val - c.mean_val)
+                                AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+               AS dist_sq
+      FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+      GROUP BY d.vec_id, d.label
+    )
+    SELECT label, vec_id, dist_sq, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY dist_sq DESC, vec_id) AS INT) AS rank
+      FROM dists
+    ) WHERE rank <= 5
+    """,
+)
+def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: per label, the 5 vectors farthest
+    (squared L2) from their label's exact centroid — the standard
+    mislabeled-sample / contamination sweep over an embedded dataset.
+    Determinism: per-dim centroid means use exact decimal sums; squared
+    deviations are summed in exact decimal too (per-vector adds would
+    otherwise be partial-agg-order dependent). Scale shape: one
+    posexplode feeding a combinable (label, dim) agg — the centroid
+    table is |labels| x dim, broadcast back — and a combinable per-vec
+    rollup; top-5 runs per label over the tiny distance table."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "valf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    diff = F.col("val") - F.col("mean_val")
+    dists = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((diff * diff).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dist_sq")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist_sq").desc(), "vec_id")
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("label", "vec_id", "dist_sq", "rank")
+    )
