@@ -2374,15 +2374,16 @@ def q_collocation_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cent AS (
       SELECT label, dim,
-             CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM(CAST(CAST(val AS VARCHAR) AS DECIMAL(28,20)))
+                       AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS mean_val
       FROM dims GROUP BY label, dim
     ),
     dists AS (
       SELECT d.vec_id, d.label,
-             CAST(CAST(SUM(CAST((d.val - c.mean_val) * (d.val - c.mean_val)
-                                AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
-               AS dist_sq
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((d.val - c.mean_val) * (d.val - c.mean_val)
+                    ORDER BY d.dim)), (x, y) -> x + y) AS dist_sq
       FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
       GROUP BY d.vec_id, d.label
     )
@@ -2397,9 +2398,12 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     """Embedding quality control: per label, the 5 vectors farthest
     (squared L2) from their label's exact centroid — the standard
     mislabeled-sample / contamination sweep over an embedded dataset.
-    Determinism: per-dim centroid means use exact decimal sums; squared
-    deviations are summed in exact decimal too (per-vector adds would
-    otherwise be partial-agg-order dependent). Scale shape: one
+    Determinism: per-dim centroid means use exact decimal sums (the
+    double->decimal cast goes through the value's shortest string in
+    BOTH engines — DuckDB's native cast multiplies in double and lands
+    ulps away from Spark's BigDecimal.valueOf); per-vector squared
+    deviations fold in dim order (the ``l2sq`` left-fold contract —
+    dim-bounded, so the collect is 64 structs/vector). Scale shape: one
     posexplode feeding a combinable (label, dim) agg — the centroid
     table is |labels| x dim, broadcast back — and a combinable per-vec
     rollup; top-5 runs per label over the tiny distance table."""
@@ -2418,18 +2422,24 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cent = dims.groupBy("label", "dim").agg(
         (
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            F.sum(F.col("val").cast("decimal(28,20)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_val")
     )
     diff = F.col("val") - F.col("mean_val")
     dists = (
         dims.join(F.broadcast(cent), ["label", "dim"])
+        .select("vec_id", "label", "dim", (diff * diff).alias("sq"))
         .groupBy("vec_id", "label")
         .agg(
-            F.sum((diff * diff).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("dist_sq")
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "sq"))),
+                    lambda x: x["sq"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist_sq")
         )
     )
     w = Window.partitionBy("label").orderBy(F.col("dist_sq").desc(), "vec_id")
