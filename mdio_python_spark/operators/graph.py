@@ -20,8 +20,13 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
-    """Fixed-iteration PageRank over a directed edge list (for an
-    undirected graph, pass both directions).
+    """Fixed-iteration PageRank over an edge list in which EVERY node
+    has out-degree >= 1 — i.e. an undirected graph passed as both
+    directions, or a directed graph with no source-only nodes. A
+    source-only node (appears as ``src`` but never as ``dst``) receives
+    no rank row after iteration 1, so its outgoing contributions vanish
+    from later iterations; pass both directions (or pre-add self-loops)
+    for graphs that violate the contract.
 
     Returns ``(id, r)`` after ``iters`` synchronous updates from a
     uniform start of 1.0:
@@ -98,11 +103,15 @@ def sql_pagerank_ctes(
         # round); string->double is correctly rounded in both engines
         base = f"CAST('{1.0 - damping!r}' AS DOUBLE)"
         damp = f"CAST('{damping!r}' AS DOUBLE)"
+        # the double->decimal direction ALSO goes through VARCHAR: DuckDB's
+        # native cast multiplies in double and lands ulps away from
+        # Spark's BigDecimal.valueOf (shortest-string) semantics for ~2%
+        # of doubles (same divergence the centroid-outlier oracle hit)
         parts.append(
             f"pr_{i} AS ("
             f"SELECT e.dst AS id, {base} + {damp} * "
-            "CAST(CAST(SUM(CAST(p.r / d.d AS DECIMAL(28,15))) AS VARCHAR)"
-            " AS DOUBLE) AS r "
+            "CAST(CAST(SUM(CAST(CAST(p.r / d.d AS VARCHAR) AS DECIMAL(28,15)))"
+            " AS VARCHAR) AS DOUBLE) AS r "
             f"FROM {edges_cte} e "
             f"JOIN pr_{i - 1} p ON p.id = e.src "
             "JOIN pr_deg d ON d.src = e.src "

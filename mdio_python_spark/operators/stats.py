@@ -116,14 +116,20 @@ def exact_group_quantiles(
     )
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     joined = ranked.join(F.broadcast(counts), keys)
+    from fractions import Fraction
+
     aggs = [F.max("_n").alias("n_rows")]
     for q in qs:
-        num, den = q.as_integer_ratio()
+        # limit_denominator keeps num*n inside int64 for any realistic
+        # group size — a raw float ratio (0.9 -> 8106479329266893/2^53)
+        # would overflow the rank arithmetic at _n >= ~1139
+        frac = Fraction(q).limit_denominator(1_000_000)
+        num, den = frac.numerator, frac.denominator
         # ceil(q*n) = (num*n + den - 1) div den, exactly, in integers
         rank = F.expr(f"({num} * _n + {den} - 1) div {den}")
         aggs.append(
             F.max(F.when(F.col("_rn") == rank, F.col(value_col))).alias(
-                f"p{int(q * 100)}"
+                f"p{round(q * 100)}"
             )
         )
     return joined.groupBy(*keys).agg(*aggs)

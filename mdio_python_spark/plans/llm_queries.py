@@ -1101,8 +1101,9 @@ _BIGRAMS_CTE = f"""
 )
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: bigram occurrence + document frequency, top 20.
-    Map-side combinable count; the final top-k is a single-partition sort of
-    the (tiny) aggregated table, not of the corpus."""
+    Map-side combinable count; the final top-k is TakeOrderedAndProject
+    over the aggregated table — per-task local top-20, never a
+    single-task sort of the vocab-sized counts."""
     docs = _t(spark, sf_dir, "documents")
     bi = dedup.word_shingles(docs, n=2, distinct=False).withColumnRenamed(
         "shingle", "bigram"
@@ -1111,12 +1112,11 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    # TakeOrderedAndProject, not a partitionless row_number window (which
+    # sorts the vocab-sized count table in one task)
     return (
-        counted.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        counted.orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
         .select("bigram", "n", "n_docs")
     )
 
@@ -2214,17 +2214,28 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
     )
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     cells = countmin_cells(toks, "token")
+    # the exact top-20 is 20 rows but its lineage is a corpus-sized
+    # aggregate, and it feeds BOTH the sketch probe and the final join —
+    # persist so that aggregate runs once (AQE identical-subtree reuse is
+    # not reliable; same policy as the curation funnel)
     exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .orderBy(F.col("n_exact").desc(), "token")
         .limit(20)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     est = countmin_lookup(exact.select("token"), cells, "token")
-    return exact.join(F.broadcast(est), "token").select(
+    result = exact.join(F.broadcast(est), "token").select(
         "token", "n_exact", "cms_estimate"
     )
+    rotate_scoped("llm.countmin_heavy_hitters", exact)
+    return attach_cached(result, exact)
 
 
 def _digest_oracle() -> str:
@@ -2329,12 +2340,12 @@ def q_collocation_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.agg(F.count(F.lit(1)).alias("n_bi"))
     )
     counted = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("n_ab").desc(), F.col("bigram"))
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-task local
+    # top-k) — a partitionless row_number window would funnel the whole
+    # vocab-sized count table through one task
     top = (
-        counted.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        counted.orderBy(F.col("n_ab").desc(), "bigram")
+        .limit(20)
         .select("bigram", "n_ab")
     )
     a = uni_counts.select(

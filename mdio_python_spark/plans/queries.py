@@ -1122,17 +1122,20 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly GROUP BY event_type
     ),
     scored AS (
-      SELECT h.hour, h.event_type, h.n_events,
+      SELECT h.hour, h.event_type, h.n_events, CAST(s1 AS DOUBLE) AS s1d,
+             s.n_hours,
              (CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * s1) / n_hours)
-               / (n_hours - 1) AS variance,
-             (CAST(h.n_events AS DOUBLE) - (CAST(s1 AS DOUBLE) / n_hours))
-               / sqrt((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * s1) / n_hours)
-                      / (n_hours - 1)) AS z
+               / (n_hours - 1) AS variance
       FROM hourly h JOIN stats s ON h.event_type = s.event_type
       WHERE n_hours > 1
     )
-    SELECT hour, event_type, n_events, z
-    FROM scored WHERE variance > 0 AND abs(z) > 2.0
+    SELECT hour, event_type, n_events,
+           (CAST(n_events AS DOUBLE) - (s1d / n_hours)) / sqrt(variance) AS z
+    FROM scored
+    WHERE CASE WHEN variance > 0 THEN
+            abs((CAST(n_events AS DOUBLE) - (s1d / n_hours)) / sqrt(variance))
+              > 2.0
+          ELSE FALSE END
     """,
 )
 def q_events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
