@@ -2459,3 +2459,92 @@ def q_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rank") <= 5)
         .select("label", "vec_id", "dist_sq", "rank")
     )
+
+
+@register(
+    "length_mad_outliers",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+               AS rn
+      FROM documents
+    ),
+    counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    med AS (
+      SELECT r.lang, r.n_chars AS median_chars
+      FROM ranked r JOIN counts c ON c.lang = r.lang
+      WHERE r.rn = (c.n + 1) // 2
+    ),
+    dev AS (
+      SELECT d.lang, d.doc_id, abs(d.n_chars - m.median_chars) AS adev,
+             m.median_chars
+      FROM documents d JOIN med m ON m.lang = d.lang
+    ),
+    dev_ranked AS (
+      SELECT lang, adev, median_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY adev, doc_id) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT r.lang, r.median_chars, r.adev AS mad_chars
+      FROM dev_ranked r JOIN counts c ON c.lang = r.lang
+      WHERE r.rn = (c.n + 1) // 2
+    )
+    SELECT d.lang, m.median_chars, m.mad_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN abs(d.n_chars - m.median_chars)
+                              > 3 * m.mad_chars THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM documents d JOIN mad m ON m.lang = d.lang
+    GROUP BY d.lang, m.median_chars, m.mad_chars
+    """,
+)
+def q_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per language: median / MAD (median
+    absolute deviation) of document length and the count of docs beyond
+    3 MADs — the robust-statistics alternative to the z-score (immune to
+    the outliers it hunts). ALL-INTEGER: both medians are exact
+    lower-median ranks, deviations and the 3-MAD threshold are integer
+    arithmetic — nothing floats, so cross-engine equality is structural.
+    Scale shape: two ranked windows over (lang)-partitioned rows plus
+    combinable aggregates; the median/MAD tables are |lang| rows,
+    broadcast back."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    med = (
+        docs.withColumn("rn", F.row_number().over(w1))
+        .join(F.broadcast(counts), "lang")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("lang", F.col("n_chars").alias("median_chars"))
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang",
+        "doc_id",
+        "median_chars",
+        F.abs(F.col("n_chars") - F.col("median_chars")).alias("adev"),
+    )
+    w2 = Window.partitionBy("lang").orderBy("adev", "doc_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .join(F.broadcast(counts), "lang")
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("lang", "median_chars", F.col("adev").alias("mad_chars"))
+    )
+    return (
+        docs.join(F.broadcast(mad), "lang")
+        .groupBy("lang", "median_chars", "mad_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("median_chars"))
+                    > 3 * F.col("mad_chars"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -1444,3 +1444,54 @@ def q_events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").over(w).cast("double") / F.count(F.lit(1)).over(w)
         ).alias("avg_7d"),
     )
+
+
+@register(
+    "customer_value_deciles",
+    f"""
+    WITH spend AS (
+      SELECT c_custkey, {sql_dsum("o_totalprice")} AS total_spend,
+             COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    tiled AS (
+      SELECT *, NTILE(10) OVER (ORDER BY total_spend DESC, c_custkey)
+               AS decile
+      FROM spend
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_dsum("total_spend", 6)} AS decile_spend,
+           CAST(SUM(n_orders) AS BIGINT) AS decile_orders
+    FROM tiled GROUP BY decile
+    """,
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile report: rank every customer by lifetime
+    spend (exact-decimal sum), NTILE into 10 bands under a total order
+    (ties broken by key — NTILE is deterministic only given one), and
+    roll up spend/order mass per band — the classic value-segmentation
+    query. The global NTILE is a single-partition sort of the CUSTOMER
+    table (post-aggregate, ~1% of orders' rows); at 100 TB swap in a
+    two-phase rank (range partitioner + offsets, the ordered_export
+    pattern) — documented trade, the per-decile rollup is combinable
+    either way."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            dsum("o_totalprice").alias("total_spend"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("total_spend", 6).alias("decile_spend"),
+        F.sum("n_orders").alias("decile_orders"),
+    )
