@@ -93,16 +93,16 @@ def sql_pagerank_ctes(
     ``pr_{iters}(id, r)``. The VARCHAR hop on the decimal sum mirrors
     ``determinism.sql_dsum`` (correctly-rounded decimal->double in both
     engines)."""
+    # float literals go through a VARCHAR cast: DuckDB parses bare
+    # decimal literals as DECIMAL (whose ->DOUBLE cast can double-round);
+    # string->double is correctly rounded in both engines
+    base = f"CAST('{1.0 - damping!r}' AS DOUBLE)"
+    damp = f"CAST('{damping!r}' AS DOUBLE)"
     parts = [
         f"pr_deg AS (SELECT src, COUNT(*) AS d FROM {edges_cte} GROUP BY src)",
         "pr_0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM pr_deg)",
     ]
     for i in range(1, iters + 1):
-        # float literals go through a VARCHAR cast: DuckDB parses bare
-        # decimal literals as DECIMAL (whose ->DOUBLE cast can double-
-        # round); string->double is correctly rounded in both engines
-        base = f"CAST('{1.0 - damping!r}' AS DOUBLE)"
-        damp = f"CAST('{damping!r}' AS DOUBLE)"
         # the double->decimal direction ALSO goes through VARCHAR: DuckDB's
         # native cast multiplies in double and lands ulps away from
         # Spark's BigDecimal.valueOf (shortest-string) semantics for ~2%

@@ -108,6 +108,8 @@ def exact_group_quantiles(
     cost of an EXACT quantile. At 100 TB swap in ``approx_percentile``
     for monitoring and keep this form for audit runs.
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy(value_col, id_col)
@@ -116,8 +118,6 @@ def exact_group_quantiles(
     )
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     joined = ranked.join(F.broadcast(counts), keys)
-    from fractions import Fraction
-
     aggs = [F.max("_n").alias("n_rows")]
     for q in qs:
         # limit_denominator keeps num*n inside int64 for any realistic
@@ -277,6 +277,22 @@ CMS_D = 4
 CMS_W = 1024
 
 
+def _cms_buckets(col: str, salt: str):
+    """The d bucket projections an item hashes to (shared by build and
+    lookup so the two sides can never drift)."""
+    from mdio_python_spark.functions.scalars import hash64
+
+    return F.array(
+        *[
+            F.pmod(
+                hash64(F.concat(F.lit(f"{salt}{r}"), F.col(col).cast("string"))),
+                F.lit(CMS_W),
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+
 def countmin_cells(
     df: DataFrame, col: str, salt: str = "cms"
 ) -> DataFrame:
@@ -288,18 +304,7 @@ def countmin_cells(
     most d*w cells (4096 here) — constant-size output no matter the
     corpus, the property that makes the sketch mergeable across
     partitions, days, or clusters by plain cell-wise addition."""
-    from mdio_python_spark.functions.scalars import hash64
-
-    buckets = F.array(
-        *[
-            F.pmod(
-                hash64(F.concat(F.lit(f"{salt}{r}"), F.col(col).cast("string"))),
-                F.lit(CMS_W),
-            )
-            for r in range(CMS_D)
-        ]
-    )
-    cells = df.select(F.posexplode(buckets).alias("r", "bucket"))
+    cells = df.select(F.posexplode(_cms_buckets(col, salt)).alias("r", "bucket"))
     return cells.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
 
 
@@ -310,18 +315,9 @@ def countmin_lookup(
     hashes to. The cell table is <= d*w rows, so it broadcasts; the
     estimate is an integer min — never under the true count (one-sided
     error <= e/w * stream_length with prob 1 - e^-d)."""
-    from mdio_python_spark.functions.scalars import hash64
-
-    buckets = F.array(
-        *[
-            F.pmod(
-                hash64(F.concat(F.lit(f"{salt}{r}"), F.col(col).cast("string"))),
-                F.lit(CMS_W),
-            )
-            for r in range(CMS_D)
-        ]
+    probes = items.select(
+        col, F.posexplode(_cms_buckets(col, salt)).alias("r", "bucket")
     )
-    probes = items.select(col, F.posexplode(buckets).alias("r", "bucket"))
     return (
         probes.join(F.broadcast(cells), ["r", "bucket"])
         .groupBy(col)
