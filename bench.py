@@ -41,6 +41,7 @@ STRESS_QUERIES = (
     "similarity_graph_pagerank",
     "approx_distinct_hll",
     "countmin_heavy_hitters",
+    "incremental_dedup_kept",
 )
 
 
