@@ -139,46 +139,20 @@ def ordered_export(
     the declared query in a loop) are bounded by generation rotation:
     each call unpersists the previous call's stage (``rotate_scoped``),
     so at most one generation is ever held.
+
+    The two-phase machinery now lives in
+    ``operators.ranking.distributed_ordinal`` (it also backs the NTILE /
+    exact-quantile family); this wrapper keeps the export-specific
+    column name and scope. No explicit partition count unless asked:
+    REPARTITION_BY_NUM pins the stage shape and (measured) costs ~3x
+    wall vs letting AQE size it.
     """
-    from pyspark import StorageLevel
+    from mdio_python_spark.operators.ranking import distributed_ordinal
 
-    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
-
-    # no explicit partition count unless asked: REPARTITION_BY_NUM pins the
-    # stage shape and (measured) costs ~3x wall vs letting AQE size it
-    parted = (
-        df.repartitionByRange(num_partitions, *dims)
-        if num_partitions
-        else df.repartitionByRange(*dims)
-    ).sortWithinPartitions(*dims)
-
-    mid = F.monotonically_increasing_id()
-    local = parted.select(
-        "*",
-        F.shiftright(mid, 33).cast("int").alias("_pid"),
-        (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("_local"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rotate_scoped("grid.ordered_export", local)
-
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    # cumulative offsets over the tiny per-partition count table (≤ n
-    # rows). `_pid % 1` is constant 0 but non-foldable, so the single
-    # deliberate partition survives optimization without the global-window
-    # WindowExec warning.
-    w = (
-        Window.partitionBy(F.col("_pid") % F.lit(1))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    return distributed_ordinal(
+        df,
+        list(dims),
+        ordinal_col="export_ordinal",
+        scope="grid.ordered_export",
+        num_partitions=num_partitions,
     )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
-    )
-    out = (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "export_ordinal",
-            (F.col("_offset") + F.col("_local") + F.lit(1)).cast("long"),
-        )
-        .drop("_pid", "_local", "_offset")
-    )
-    return attach_cached(out, local)

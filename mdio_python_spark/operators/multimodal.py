@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mdio_python_spark.operators.media_codecs import (
@@ -125,7 +125,7 @@ def attach_payload(
     height: int = 16,
     channels: int = 3,
     sample_rate: int = 8000,
-    n_frames=1,
+    n_frames: int | Column = 1,
 ) -> DataFrame:
     """Build a (payload, meta) pair from an existing column — the schema
     pattern every multimodal table uses: opaque bytes + typed metadata.

@@ -1,0 +1,143 @@
+"""Scale-safe ranking primitives: global ordinals without a global window.
+
+A bare ``row_number() OVER (ORDER BY ...)`` (or ``NTILE``) compiles to a
+``WindowExec`` with no partition spec — Spark serializes the ENTIRE input
+through one task. Fine on a dim table; fatal on a corpus. The two-phase
+form here is the same machinery the reference's SEG-Y export order uses a
+hand-built hierarchical merge tree for (``segy/blocked_io.py:214-302``),
+re-expressed on Spark's range partitioner and generalized to any total
+order:
+
+1. ``repartitionByRange`` on the order key (partition *i* holds keys that
+   sort before partition *i+1*'s) + ``sortWithinPartitions`` — a normal
+   parallel shuffle + local sorts.
+2. Each row's (partition, local ordinal) is read off
+   ``monotonically_increasing_id`` (upper bits = partition id, lower 33 =
+   in-partition row number — zero extra work after the sort).
+3. Cumulative per-partition counts (a tiny one-row-per-partition table)
+   broadcast back as offsets: ``ordinal = offset[pid] + local + 1``.
+
+Per-GROUP ranks derive from the global ordinal for free when the group
+keys prefix the order key: groups are then contiguous in the total order,
+so ``rank = ordinal - min(ordinal) over group + 1`` with the per-group
+minima coming from one combinable aggregate, broadcast back.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mdio_python_spark.operators.caching import (
+    CACHE_ATTR,
+    attach_cached,
+    rotate_scoped,
+)
+
+
+def distributed_ordinal(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    *,
+    ordinal_col: str = "_ordinal",
+    scope: str = "ranking.distributed_ordinal",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global row ordinal under the total order ``order_by``,
+    with no ``Exchange SinglePartition`` anywhere in the plan.
+
+    ``order_by`` entries may be column names or Column sort expressions
+    (``F.col("x").desc()``). The order must be TOTAL (include a unique
+    tiebreaker) for the ordinal to be deterministic.
+
+    Why the sorted stage is persisted: the offsets branch aggregates the
+    sorted stage that the output row side also reads; the analyzer's
+    self-join dedup re-aliases the right subtree's expr ids, so neither
+    planner- nor AQE-level exchange reuse fires and without the cache the
+    input is range-SORTED TWICE (measured in ``grid.ordered_export``:
+    2.6 s vs 1.1 s at sf0.1). The persisted handle rides on the returned
+    DataFrame — ``operators.caching.release_cached(result)`` after the
+    terminal action for precise release; callers that never do are
+    bounded to one generation per ``scope`` by ``rotate_scoped``.
+    """
+    exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    parted = (
+        df.repartitionByRange(num_partitions, *exprs)
+        if num_partitions
+        else df.repartitionByRange(*exprs)
+    ).sortWithinPartitions(*exprs)
+
+    mid = F.monotonically_increasing_id()
+    local = parted.select(
+        "*",
+        F.shiftright(mid, 33).cast("int").alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1))).alias("_local"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rotate_scoped(scope, local)
+
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over the tiny per-partition count table (≤ one
+    # row per range partition). `_pid % 1` is constant 0 but non-foldable,
+    # so the single deliberate partition survives optimization without
+    # the global-window WindowExec warning.
+    w = (
+        Window.partitionBy(F.col("_pid") % F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    )
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            ordinal_col,
+            (F.col("_offset") + F.col("_local") + F.lit(1)).cast("long"),
+        )
+        .drop("_pid", "_local", "_offset")
+    )
+    return attach_cached(out, local)
+
+
+def group_ranked(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    *,
+    rank_col: str = "_rn",
+    count_col: str = "_n",
+    scope: str = "ranking.group_ranked",
+) -> DataFrame:
+    """Per-group ``row_number`` + group size, scale-safe: the equivalent of
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_by)`` plus
+    ``count(*) OVER (PARTITION BY keys)`` — but the sort runs range-
+    partitioned over (keys, order_by) instead of squeezing each group
+    through one task (a corpus with |keys| ≈ 5 languages would otherwise
+    sort through 5 partitions regardless of cluster size).
+
+    Groups are contiguous under the (keys, order) total order, so the
+    in-group rank is ``global ordinal - group's min ordinal + 1``; minima
+    and sizes come from ONE combinable aggregate (|groups| rows),
+    broadcast back. Output: input columns + ``rank_col`` + ``count_col``.
+    """
+    exprs = [F.col(k) for k in keys] + [
+        F.col(c) if isinstance(c, str) else c for c in order_by
+    ]
+    ranked = distributed_ordinal(
+        df, exprs, ordinal_col="_g_ord", scope=scope
+    )
+    grp = ranked.groupBy(*keys).agg(
+        F.min("_g_ord").alias("_g_start"),
+        F.count(F.lit(1)).alias(count_col),
+    )
+    out = (
+        ranked.join(F.broadcast(grp), list(keys))
+        .withColumn(
+            rank_col, F.col("_g_ord") - F.col("_g_start") + F.lit(1)
+        )
+        .drop("_g_ord", "_g_start")
+    )
+    return attach_cached(out, *getattr(ranked, CACHE_ATTR, []))

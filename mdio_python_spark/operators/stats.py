@@ -103,21 +103,27 @@ def exact_group_quantiles(
     ``plans/llm_queries.py::dataset_card_stats`` for the same policy on
     medians).
 
-    Scale shape: one combinable groupBy for the counts (tiny, broadcast
-    back) and one partitioned window sort per group — the unavoidable
-    cost of an EXACT quantile. At 100 TB swap in ``approx_percentile``
-    for monitoring and keep this form for audit runs.
+    Scale shape (round 5): the rank comes from
+    ``ranking.group_ranked`` — a range-partitioned two-phase ordinal
+    over (keys, value, id) — NOT a ``row_number`` window partitioned by
+    the group keys alone, which would squeeze the whole corpus through
+    |groups| tasks (|lang| ≈ 5 partitions regardless of cluster size).
+    The only non-map work is the range shuffle plus two combinable
+    aggregates; the per-group (start, size) table broadcasts back.
     """
     from fractions import Fraction
 
-    from pyspark.sql import Window
+    from mdio_python_spark.operators.caching import CACHE_ATTR, attach_cached
+    from mdio_python_spark.operators.ranking import group_ranked
 
-    w = Window.partitionBy(*keys).orderBy(value_col, id_col)
-    ranked = df.select(*keys, value_col, id_col).withColumn(
-        "_rn", F.row_number().over(w)
+    joined = group_ranked(
+        df.select(*keys, value_col, id_col),
+        keys,
+        [value_col, id_col],
+        rank_col="_rn",
+        count_col="_n",
+        scope="stats.exact_group_quantiles",
     )
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    joined = ranked.join(F.broadcast(counts), keys)
     aggs = [F.max("_n").alias("n_rows")]
     for q in qs:
         # limit_denominator keeps num*n inside int64 for any realistic
@@ -132,7 +138,8 @@ def exact_group_quantiles(
                 f"p{round(q * 100)}"
             )
         )
-    return joined.groupBy(*keys).agg(*aggs)
+    out = joined.groupBy(*keys).agg(*aggs)
+    return attach_cached(out, *getattr(joined, CACHE_ATTR, []))
 
 
 # HyperLogLog constants: m registers, hash64 gives 60 bits -> 8-bit
@@ -176,9 +183,15 @@ def hll_distinct(
     (the sketch: m small ints per group), then a tiny per-key rollup —
     no distinct, no sort, no window. THE way to count distincts at
     100 TB when exact is too expensive.
+
+    NULL values of ``col`` are filtered out first — COUNT(DISTINCT)
+    semantics ignore NULL, and an unfiltered NULL would otherwise add a
+    NULL-bucket register row that inflates ``_n_present`` (deflating
+    ``n_zero``) and perturbs the estimate.
     """
     regs = (
-        df.select(*keys, *hll_register_exprs(col, salt))
+        df.where(F.col(col).isNotNull())
+        .select(*keys, *hll_register_exprs(col, salt))
         .groupBy(*keys, "_bucket")
         .agg(F.max("_rho").alias("_reg"))
     )
@@ -236,7 +249,7 @@ def sql_hll_distinct(
       SELECT {k}, {h} % {HLL_M} AS bucket,
              CASE WHEN {h} // {HLL_M} = 0 THEN 53
                   ELSE 53 - length(bin({h} // {HLL_M})) END AS rho
-      FROM {table}
+      FROM {table} WHERE {col} IS NOT NULL
     ),
     regs AS (
       SELECT {k}, bucket, MAX(rho) AS reg FROM rho GROUP BY {k}, bucket
@@ -314,14 +327,23 @@ def countmin_lookup(
     """Point-query the sketch: estimate = min over the d cells an item
     hashes to. The cell table is <= d*w rows, so it broadcasts; the
     estimate is an integer min — never under the true count (one-sided
-    error <= e/w * stream_length with prob 1 - e^-d)."""
+    error <= e/w * stream_length with prob 1 - e^-d).
+
+    The probe side LEFT-joins the cells: an item hashing to a cell the
+    stream never touched has a true count of 0 in that cell, so its
+    estimate is 0 — an inner join would silently drop unseen items from
+    the output (and overstate items with only SOME cells absent)."""
     probes = items.select(
         col, F.posexplode(_cms_buckets(col, salt)).alias("r", "bucket")
     )
     return (
-        probes.join(F.broadcast(cells), ["r", "bucket"])
+        probes.join(F.broadcast(cells), ["r", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("cell_count").alias("cms_estimate"))
+        .agg(
+            F.min(
+                F.coalesce(F.col("cell_count"), F.lit(0).cast("long"))
+            ).alias("cms_estimate")
+        )
     )
 
 
@@ -353,9 +375,10 @@ def sql_countmin_ctes(
     ),
     cms_probes AS ({probe_rows}),
     cms_est AS (
-      SELECT p.{col}, CAST(MIN(c.cell_count) AS BIGINT) AS cms_estimate
+      SELECT p.{col}, CAST(MIN(COALESCE(c.cell_count, 0)) AS BIGINT)
+               AS cms_estimate
       FROM cms_probes p
-      JOIN cms_cells c ON c.r = p.r AND c.bucket = p.bucket
+      LEFT JOIN cms_cells c ON c.r = p.r AND c.bucket = p.bucket
       GROUP BY p.{col}
     )"""
 
@@ -375,10 +398,18 @@ def table_digest(
     Scale shape: pure projection + one combinable groupBy to a
     constant-size result; the only caveat is XOR's blindness to
     duplicate-row pairs, which the per-bucket count covers for the
-    common cases."""
+    common cases.
+
+    Each column value is md5-hashed BEFORE the '|' join: raw
+    concatenation would make ('a|b','c') and ('a','b|c') — or a literal
+    NULL-sentinel string — collide invisibly. md5 digests are fixed
+    32-hex-char tokens, so the joined string decomposes unambiguously;
+    NULL maps to 'N', which no md5 digest can equal."""
     from mdio_python_spark.functions.scalars import hash64
 
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in cols
+    ]
     row_hash = hash64(F.concat_ws("|", F.lit(salt), *parts))
     return (
         df.select(
@@ -400,7 +431,7 @@ def sql_table_digest(
     from mdio_python_spark.functions.scalars import sql_hash64
 
     parts = ", ".join(
-        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in cols
+        f"COALESCE(md5(CAST({c} AS VARCHAR)), 'N')" for c in cols
     )
     h = sql_hash64(f"concat_ws('|', '{salt}', {parts})")
     return f"""

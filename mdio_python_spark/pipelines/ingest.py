@@ -70,6 +70,12 @@ class GridTraceSparsityError(ValueError):
 SPARSITY_WARN = 2.0
 SPARSITY_ERROR = 10.0
 
+# Above this many distinct (shot_line, shot_point) pairs the Type-A dense
+# shot map is NOT collected into a driver literal (py4j row conversion on
+# a multi-million-row dim table is a driver stall at 100x) — it stays a
+# distributed dense-rank table that the trace scan broadcast-joins.
+SHOT_DENSE_LITERAL_MAX = 1_000_000
+
 
 @dataclass
 class _StrategyPlan:
@@ -149,16 +155,37 @@ def _build_strategy_plan(
             )
         elif overrides.calculate_shot_index:
             # Type A + always_calculate: searchsorted over per-line unique
-            # shots (index_strategies.py:292-297) — as a tiny mapping table
+            # shots (index_strategies.py:292-297) — as a tiny mapping table.
+            # The reference collects this driver-side unconditionally
+            # (np.unique + searchsorted); here a cardinality guard keeps
+            # oversized maps distributed (identical output — pinned by
+            # tests/test_ingest_plan.py::test_shot_dense_paths_identical).
             plan.shot_mode = "dense"
             pairs = headers.select("shot_line", "shot_point").distinct()
-            w = Window.partitionBy("shot_line").orderBy("shot_point")
-            plan.shot_dense = _literal(
-                spark,
-                pairs.withColumn(
-                    "shot_index", (F.dense_rank().over(w) - F.lit(1)).cast("long")
-                ),
-            )
+            if pairs.count() <= SHOT_DENSE_LITERAL_MAX:
+                w = Window.partitionBy("shot_line").orderBy("shot_point")
+                plan.shot_dense = _literal(
+                    spark,
+                    pairs.withColumn(
+                        "shot_index",
+                        (F.dense_rank().over(w) - F.lit(1)).cast("long"),
+                    ),
+                )
+            else:
+                # distinct pairs have unique shot_points per line, so
+                # dense_rank == row_number == the two-phase group rank
+                from mdio_python_spark.operators.ranking import group_ranked
+
+                plan.shot_dense = group_ranked(
+                    pairs,
+                    ["shot_line"],
+                    ["shot_point"],
+                    scope="ingest.shot_dense",
+                ).select(
+                    "shot_line",
+                    "shot_point",
+                    (F.col("_rn") - F.lit(1)).cast("long").alias("shot_index"),
+                )
         # else: Type A streamer — per-gun shots already dense; pass through
         # (index_strategies.py:279-280)
     if "component" in [d.name for d in schema.dimensions]:

@@ -2507,18 +2507,22 @@ def q_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the outliers it hunts). ALL-INTEGER: both medians are exact
     lower-median ranks, deviations and the 3-MAD threshold are integer
     arithmetic — nothing floats, so cross-engine equality is structural.
-    Scale shape: two ranked windows over (lang)-partitioned rows plus
-    combinable aggregates; the median/MAD tables are |lang| rows,
-    broadcast back."""
-    from pyspark.sql import Window
+    Scale shape (round 5): both median ranks come from
+    ``ranking.group_ranked`` (range-partitioned two-phase ordinal) — a
+    lang-partitioned ``row_number`` window would sort the whole corpus
+    through |lang| ≈ 5 tasks regardless of cluster size. The median/MAD
+    tables are |lang| rows, broadcast back."""
+    from mdio_python_spark.operators.ranking import group_ranked
 
     docs = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    w1 = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     med = (
-        docs.withColumn("rn", F.row_number().over(w1))
-        .join(F.broadcast(counts), "lang")
-        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        group_ranked(
+            docs,
+            ["lang"],
+            ["n_chars", "doc_id"],
+            scope="llm.length_mad.median",
+        )
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
         .select("lang", F.col("n_chars").alias("median_chars"))
     )
     dev = docs.join(F.broadcast(med), "lang").select(
@@ -2527,11 +2531,14 @@ def q_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_chars",
         F.abs(F.col("n_chars") - F.col("median_chars")).alias("adev"),
     )
-    w2 = Window.partitionBy("lang").orderBy("adev", "doc_id")
     mad = (
-        dev.withColumn("rn", F.row_number().over(w2))
-        .join(F.broadcast(counts), "lang")
-        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        group_ranked(
+            dev,
+            ["lang"],
+            ["adev", "doc_id"],
+            scope="llm.length_mad.mad",
+        )
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
         .select("lang", "median_chars", F.col("adev").alias("mad_chars"))
     )
     return (

@@ -1471,12 +1471,18 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend (exact-decimal sum), NTILE into 10 bands under a total order
     (ties broken by key — NTILE is deterministic only given one), and
     roll up spend/order mass per band — the classic value-segmentation
-    query. The global NTILE is a single-partition sort of the CUSTOMER
-    table (post-aggregate, ~1% of orders' rows); at 100 TB swap in a
-    two-phase rank (range partitioner + offsets, the ordered_export
-    pattern) — documented trade, the per-decile rollup is combinable
-    either way."""
-    from pyspark.sql import Window
+    query.
+
+    Scale shape (round 5): NTILE is computed from a two-phase global
+    rank (``ranking.distributed_ordinal`` — range partitioner +
+    broadcast offsets) plus the exact integer NTILE formula, instead of
+    ``ntile(10) OVER (ORDER BY ...)`` whose ``WindowExec`` serializes
+    the whole post-aggregate CUSTOMER table through ONE task. NTILE(k)
+    over n rows: with q = n div k, r = n mod k, the first r tiles take
+    q+1 rows and the rest take q — pure int64 arithmetic, so the result
+    is bit-identical to the window form (pinned by the NTILE oracle)."""
+    from mdio_python_spark.operators.caching import CACHE_ATTR, attach_cached
+    from mdio_python_spark.operators.ranking import distributed_ordinal
 
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -1488,10 +1494,40 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
         )
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
-    return tiled.groupBy("decile").agg(
+    ranked = distributed_ordinal(
+        spend,
+        [F.col("total_spend").desc(), "c_custkey"],
+        ordinal_col="_rn",
+        scope="queries.customer_value_deciles",
+    )
+    # n as a 1-row broadcast: max ordinal == row count (reads the ordinal
+    # stage's cache, no second pass over ORDERS)
+    total = ranked.agg(F.max("_rn").alias("_tot"))
+    q = F.expr("_tot div 10")
+    r = F.expr("_tot % 10")
+    tiled = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_q", q)
+        .withColumn("_r", r)
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_rn") <= F.col("_r") * (F.col("_q") + 1),
+                F.expr("(_rn + _q) div (_q + 1)"),
+            ).otherwise(
+                # greatest(_q,1): this branch is unreachable when _q = 0
+                # (all rows fall in the first r = n tiles) but ANSI mode
+                # must not see a potential div-by-zero
+                F.expr(
+                    "_r + (_rn - _r * (_q + 1) + greatest(_q, 1) - 1)"
+                    " div greatest(_q, 1)"
+                ),
+            ).cast("int"),
+        )
+    )
+    out = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         dsum("total_spend", 6).alias("decile_spend"),
         F.sum("n_orders").alias("decile_orders"),
     )
+    return attach_cached(out, *getattr(ranked, CACHE_ATTR, []))

@@ -231,6 +231,9 @@ def windowed_hll_registers(
     b, r = hll_register_exprs("user_id")
     return (
         events.withWatermark("ts", watermark)
+        # NULL user_ids are ignored (COUNT DISTINCT semantics) — same
+        # filter as batch hll_distinct so the bit-equality gate holds
+        .where(F.col("user_id").isNotNull())
         .select("ts", "event_type", b, r)
         .groupBy(F.window("ts", window), "event_type", "_bucket")
         .agg(F.max("_rho").alias("_reg"))

@@ -108,3 +108,48 @@ def test_store_roundtrip_values_after_rewrite(tmp_path, spark, poststack_file):
         expect = samples[(r["inline"] - 1) * 10 + (r["crossline"] - 1)]
         assert np.allclose(np.array(r["samples"], dtype=np.float32), expect)
         assert r["src_trace_idx"] == (r["inline"] - 1) * 10 + (r["crossline"] - 1)
+
+
+def test_shot_dense_paths_identical(spark, monkeypatch):
+    """The Type-A dense shot map must be identical whether it is collected
+    to a driver literal (small maps) or kept distributed past the
+    SHOT_DENSE_LITERAL_MAX cardinality guard (the 100x path — a
+    multi-million-row dim table through spark.createDataFrame is a driver
+    stall; reference parity anchor: index_strategies.py:292-297 collects
+    unconditionally)."""
+    from mdio_python_spark.schemas.overrides import GridOverrides
+
+    class _SchemaStub:
+        dimensions = ()
+        spatial_dims = ["shot_line", "gun", "shot_index"]
+
+    # Type A: both guns share the same shot values per line
+    data = [
+        (line, gun, sp)
+        for line in (1, 2)
+        for gun in (1, 2)
+        for sp in range(10, 35)
+    ]
+    headers = spark.createDataFrame(
+        data, "shot_line long, gun long, shot_point long"
+    )
+    ov = GridOverrides(calculate_shot_index=True)
+
+    plan_lit = ing._build_strategy_plan(spark, headers, _SchemaStub(), ov)
+    monkeypatch.setattr(ing, "SHOT_DENSE_LITERAL_MAX", 0)
+    plan_dist = ing._build_strategy_plan(spark, headers, _SchemaStub(), ov)
+
+    assert plan_lit.shot_mode == plan_dist.shot_mode == "dense"
+    lit_rows = sorted(map(tuple, plan_lit.shot_dense.collect()))
+    dist_rows = sorted(map(tuple, plan_dist.shot_dense.collect()))
+    assert lit_rows == dist_rows
+    assert len(lit_rows) == 50  # 2 lines x 25 unique shots
+
+    # the applying join produces the same per-trace assignment either way
+    out_lit = sorted(
+        map(tuple, ing._apply_plan(headers, plan_lit).collect())
+    )
+    out_dist = sorted(
+        map(tuple, ing._apply_plan(headers, plan_dist).collect())
+    )
+    assert out_lit == out_dist

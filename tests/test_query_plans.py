@@ -144,6 +144,29 @@ def test_pagerank_caches_edges_no_cartesian(spark):
         assert bad not in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["customer_value_deciles", "quality_percentile_bands", "length_mad_outliers"],
+)
+def test_rank_family_two_phase_no_global_window(spark, name):
+    """The NTILE/exact-quantile family must rank via the range-partitioned
+    two-phase ordinal (ranking.distributed_ordinal): no ntile/row_number
+    window anywhere (the offsets window is a SUM over per-partition
+    counts), and no single-partition exchange — a corpus (or lang-only
+    partitioned) WindowExec would reintroduce the one-task sort this
+    family was rebuilt to avoid. The 1-row total in the deciles query is
+    a scalar aggregate over the tiny offsets stage, hence the <=1
+    SinglePartition allowance there."""
+    plan = _plan(spark, name)
+    assert "ntile" not in plan.lower(), plan
+    assert "row_number" not in plan, plan
+    allowed = 1 if name == "customer_value_deciles" else 0
+    assert plan.count("Exchange SinglePartition") <= allowed, plan
+    # the range-partitioned ordinal stage is persisted; its exchange sits
+    # inside the InMemoryRelation, which prints as a table-cache scan
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+
+
 def test_sketch_queries_have_no_corpus_sort_or_window(spark):
     """Sketches exist to AVOID sort/window/distinct over the corpus:
     their plans must be combinable aggregates (+ broadcast lookups /
