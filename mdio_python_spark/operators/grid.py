@@ -24,9 +24,12 @@ def dim_values(df: DataFrame, dim_col: str) -> DataFrame:
     (``ingestion/segy/index_strategies.py:83-90``: ``np.unique``).
 
     The window here runs over the already-distinct (small) dim table, so the
-    global sort is over |dim| rows, never |traces|.
+    global sort is over |dim| rows, never |traces| (the constant partition
+    key marks it deliberate — see ``ranking.constant_partition``).
     """
-    w = Window.orderBy(dim_col)
+    from mdio_python_spark.operators.ranking import constant_partition
+
+    w = Window.partitionBy(constant_partition(dim_col)).orderBy(dim_col)
     return (
         df.select(dim_col)
         .distinct()

@@ -38,6 +38,20 @@ from mdio_python_spark.operators.caching import (
 )
 
 
+def constant_partition(col: Column | str) -> Column:
+    """A non-foldable constant-0 partition key derived from any column:
+    marks a window over BOUNDED input (top-k survivors, dim tables,
+    per-partition count tables) as a DELIBERATE single partition, so the
+    planner's missing-partition ``WindowExec`` warning doesn't spam run
+    logs with scary-but-benign lines. A foldable literal would be
+    optimized out of the partition spec; ``hash(col) % 1`` survives
+    (hash is deterministic murmur3 and NULL-safe) and evaluates to 0 for
+    every row. Never use on unbounded input — the single partition is
+    then a real bottleneck, not a cosmetic one."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hash(c) % F.lit(1)
+
+
 def distributed_ordinal(
     df: DataFrame,
     order_by: Sequence[Column | str],

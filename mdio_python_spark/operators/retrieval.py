@@ -137,7 +137,12 @@ def bm25_topk(
     pruned = scored.withColumn("_lrank", F.row_number().over(w_local)).where(
         F.col("_lrank") <= k
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    from mdio_python_spark.operators.ranking import constant_partition
+
+    # deliberate single partition over the <= 64k survivors
+    w = Window.partitionBy(constant_partition(id_col)).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
     return (
         pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -219,7 +224,12 @@ def rrf_fuse(
             ),
         )
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    from mdio_python_spark.operators.ranking import constant_partition
+
+    # deliberate single partition over the fused top-N lists
+    w = Window.partitionBy(constant_partition(id_col)).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
     return (
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

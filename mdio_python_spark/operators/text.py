@@ -260,8 +260,13 @@ def build_vocab(
     )
     from pyspark.sql import Window
 
+    from mdio_python_spark.operators.ranking import constant_partition
+
     top = freq.orderBy(F.col("n").desc(), F.col("token")).limit(vocab_size)
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    # deliberate single partition over the V surviving rows
+    w = Window.partitionBy(constant_partition("token")).orderBy(
+        F.col("n").desc(), F.col("token")
+    )
     return top.select(
         "token",
         (F.row_number().over(w) - 1).cast("long").alias("token_id"),

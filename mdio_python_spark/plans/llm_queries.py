@@ -826,6 +826,113 @@ def q_multiband_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+_RECALL_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+  FROM embeddings, cent
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_vec, CAST(cid AS BIGINT) AS cell
+  FROM embeddings q, cent
+  WHERE q.vec_id < 50
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY {_IVF_COS.format(a="q.embedding", b="cent_vec")} DESC, cid) <= 4
+),
+ivf_scored AS (
+  SELECT query_id, a.vec_id AS candidate_id,
+         {_IVF_COS.format(a="q_vec", b="a.embedding")} AS cosine
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  WHERE query_id <> a.vec_id
+),
+ivf_topk AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, candidate_id) AS rnk
+    FROM ivf_scored
+  ) WHERE rnk <= 10
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 50
+),
+c AS (SELECT vec_id AS candidate_id, embedding AS c_vec FROM embeddings),
+exact_scored AS (
+  SELECT query_id, candidate_id,
+         {_DOT.format(a="q_vec", b="c_vec")}
+           / (sqrt({_DOT.format(a="q_vec", b="q_vec")})
+              * sqrt({_DOT.format(a="c_vec", b="c_vec")})) AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> candidate_id
+),
+exact_topk AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, candidate_id) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= 10
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN i.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exact_topk e
+LEFT JOIN ivf_topk i
+  ON i.query_id = e.query_id AND i.candidate_id = e.candidate_id
+GROUP BY e.query_id
+"""
+
+
+@register("ann_recall_at_k", _RECALL_ORACLE)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-flat ANN against the exact brute-force top-10
+    per query point — the QC query that turns the exact baseline into the
+    measuring stick it exists to be: a 100-TB ANN deployment is tuned by
+    exactly this curve (nprobe/cells vs recall), run on a sampled query
+    set against the full corpus.
+
+    Scale shape: the expensive legs are the underlying searches, each
+    already scale-handled (IVF candidate generation bucketed by probed
+    cell; the exact leg is the deliberate brute-force audit baseline run
+    on a SAMPLE of queries). The recall join itself touches only
+    n_queries x k rows per side; the ANN side broadcasts. recall is one
+    IEEE division of two exact integers — cross-engine deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = similarity.cosine_topk(queries, emb, k=10).select(
+        "query_id", "candidate_id"
+    )
+    approx = (
+        similarity.ivf_topk(queries, emb, k=10, n_centroids=16, nprobe=4)
+        .select("query_id", "candidate_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    per_q = (
+        exact.join(F.broadcast(approx), ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns with typed metadata)
 # ---------------------------------------------------------------------------
@@ -1508,7 +1615,14 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (norm(F.col("embedding")) * F.lit(_lfold_norm(qv)))
         ).alias("cos"),
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    from mdio_python_spark.operators.ranking import constant_partition
+
+    # rank <= 20 compiles to WindowGroupLimit (per-task local top-20
+    # before the final window); the constant partition key marks the
+    # single final partition deliberate
+    w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
     vec = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 20)

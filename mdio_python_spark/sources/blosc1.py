@@ -31,9 +31,19 @@ Chunk layout (all ints little-endian):
   grouped together (a (elems, typesize) -> (typesize, elems) transpose),
   with any non-multiple tail copied through unshuffled.
 
-Unsupported on purpose: blosclz streams (no decoder in this container)
-and bit-shuffle — both raise :class:`UnsupportedBloscError` naming the
-feature, never misparse.
+Bit-shuffle (flag 0x04) is implemented as the pure-numpy equivalent of
+c-blosc's ``bshuf_trans_bit_elem`` pipeline (bitshuffle-generic.c:
+byte-transpose within elements, then an 8x8 bit transpose per byte-row,
+then the bitrow regroup): the block is the (elems, typesize) byte matrix,
+unpacked LSB-first to an (elems, 8*typesize) bit matrix, transposed, and
+repacked — output row ``j*8 + k`` holds bit ``k`` of byte ``j`` of every
+element, elements packed LSB-first. Per c-blosc, only the largest
+multiple-of-8 prefix of elements transforms; leftover bytes copy through
+verbatim.
+
+Unsupported on purpose: blosclz streams (no decoder in this container) —
+raised as :class:`UnsupportedBloscError` naming the feature, never
+misparsed.
 """
 
 from __future__ import annotations
@@ -119,6 +129,38 @@ def _shuffle(block: bytes, typesize: int) -> bytes:
     return out + block[body:]
 
 
+def _bitshuffle_sizes(n: int, typesize: int) -> int:
+    """Bytes covered by the bit transform: c-blosc transforms only the
+    largest multiple-of-8 prefix of elements (``bitshuffle()`` in
+    shuffle.c: ``size -= size % 8``); the rest memcpys through."""
+    elems = n // typesize
+    return (elems - elems % 8) * typesize
+
+
+def _bit_shuffle(block: bytes, typesize: int) -> bytes:
+    """c-blosc bit-shuffle: (elems, typesize) bytes -> (8*typesize,
+    elems/8) packed bit-planes, row ``j*8 + k`` = bit k (LSB-first) of
+    byte j across elements, elements packed LSB-first within each row."""
+    body = _bitshuffle_sizes(len(block), typesize)
+    if body == 0:
+        return block
+    data = np.frombuffer(block[:body], np.uint8).reshape(-1, typesize)
+    bits = np.unpackbits(data, axis=1, bitorder="little")
+    out = np.packbits(bits.T, axis=1, bitorder="little")
+    return out.tobytes() + block[body:]
+
+
+def _bit_unshuffle(block: bytes, typesize: int) -> bytes:
+    """Inverse of :func:`_bit_shuffle` (same prefix/leftover split)."""
+    body = _bitshuffle_sizes(len(block), typesize)
+    if body == 0:
+        return block
+    planes = np.frombuffer(block[:body], np.uint8).reshape(8 * typesize, -1)
+    bits = np.unpackbits(planes, axis=1, bitorder="little")
+    data = np.packbits(bits.T, axis=1, bitorder="little")
+    return data.tobytes() + block[body:]
+
+
 def decompress(chunk: bytes) -> bytes:
     """Decode one blosc1 chunk to its raw bytes."""
     if len(chunk) < 16:
@@ -131,15 +173,13 @@ def decompress(chunk: bytes) -> bytes:
             raise ValueError(
                 f"blosc chunk truncated: header says {cbytes}, have {len(chunk)}"
             )
-    if flags & FLAG_BITSHUFFLE:
-        raise UnsupportedBloscError(
-            "blosc bit-shuffle filter unsupported (no bitshuffle kernel "
-            "in this container); re-write with byte-shuffle or none"
-        )
     if flags & FLAG_MEMCPYED:
         return bytes(chunk[16 : 16 + nbytes])
     codec = flags >> 5
+    # byte-shuffle is a recorded no-op at typesize 1; bit-shuffle applies
+    # at ANY typesize (c-blosc sets DOBITSHUFFLE unconditionally)
     shuffled = bool(flags & FLAG_SHUFFLE) and typesize > 1
+    bit_shuffled = bool(flags & FLAG_BITSHUFFLE)
     dont_split = bool(flags & FLAG_DONT_SPLIT)
     if blocksize <= 0:
         raise ValueError(f"bad blosc blocksize {blocksize}")
@@ -168,7 +208,9 @@ def decompress(chunk: bytes) -> bytes:
             raise ValueError(
                 f"blosc block {j}: decoded {len(block)} != expected {bsize}"
             )
-        if shuffled:
+        if bit_shuffled:
+            block = _bit_unshuffle(block, typesize)
+        elif shuffled:
             block = _unshuffle(block, typesize)
         out[pos_out : pos_out + bsize] = block
         pos_out += bsize
@@ -180,14 +222,17 @@ def compress(
     typesize: int = 4,
     cname: str = "zstd",
     clevel: int = 5,
-    shuffle: bool = True,
+    shuffle: bool | str = True,
     blocksize: int = 0,
 ) -> bytes:
     """Encode raw bytes as a blosc1 chunk other blosc readers open.
 
-    Writes in dont-split mode (one stream per block — the header flag
-    records it, so any spec-conformant reader decodes correctly).
-    ``blocksize=0`` picks one block up to 1 MiB, rounded to ``typesize``.
+    ``shuffle``: ``True``/``"byte"`` for byte-shuffle, ``"bit"`` for
+    bit-shuffle, ``False`` for none. Writes in dont-split mode (one
+    stream per block — the header flag records it, so any
+    spec-conformant reader decodes correctly). ``blocksize=0`` picks one
+    block up to 1 MiB, rounded to ``typesize`` (8x ``typesize`` for
+    bit-shuffle, so full blocks transform without a leftover tail).
     """
     codec = _NAME_CODES.get(cname)
     if codec is None or codec == CODEC_BLOSCLZ:
@@ -199,12 +244,17 @@ def compress(
         # one typesize and recording another — which produced chunks
         # every conformant reader (including ours) un-shuffles wrong
         typesize = 1
-    shuffle = shuffle and typesize > 1
+    bit_shuffle = shuffle == "bit"
+    shuffle = bool(shuffle) and not bit_shuffle and typesize > 1
+    grain = typesize * 8 if bit_shuffle else typesize
     if blocksize <= 0:
-        blocksize = min(max(nbytes, typesize), 1 << 20)
-    blocksize = max(typesize, blocksize - blocksize % typesize)
+        blocksize = min(max(nbytes, grain), 1 << 20)
+    blocksize = max(grain, blocksize - blocksize % grain)
     flags = (
-        (FLAG_SHUFFLE if shuffle else 0) | FLAG_DONT_SPLIT | (codec << 5)
+        (FLAG_SHUFFLE if shuffle else 0)
+        | (FLAG_BITSHUFFLE if bit_shuffle else 0)
+        | FLAG_DONT_SPLIT
+        | (codec << 5)
     )
     nblocks = max(1, -(-nbytes // blocksize))
     streams: list[bytes] = []
@@ -213,7 +263,9 @@ def compress(
         bsize = min(blocksize, nbytes - pos)
         block = data[pos : pos + bsize]
         pos += bsize
-        if shuffle:
+        if bit_shuffle:
+            block = _bit_shuffle(block, typesize)
+        elif shuffle:
             block = _shuffle(block, typesize)
         comp = _compress_stream(codec, block, clevel)
         if len(comp) >= bsize:  # expansion guard: store raw

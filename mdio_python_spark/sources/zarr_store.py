@@ -23,10 +23,10 @@ Compressors: ``null``/``zlib``/``gzip`` (stdlib), ``zstd``/``lz4``
 (pyarrow codecs), and **blosc1 containers** — the reference's DEFAULT
 codec (blosc-zstd clevel 5, ``builder/schemas/compressors.py:20-29``) —
 via the pure-Python chunk-format parser in ``sources/blosc1.py``
-(inner streams: zstd/lz4/snappy/zlib). Only blosclz streams and the
-bit-shuffle filter remain unsupported, rejected with an explicit error
-naming the feature rather than misparsed; ``_decode_chunk`` /
-``_encode_chunk`` stay the single plug-in point.
+(inner streams: zstd/lz4/snappy/zlib; byte- AND bit-shuffle filters,
+read + write). Only blosclz streams remain unsupported, rejected with
+an explicit error naming the feature rather than misparsed;
+``_decode_chunk`` / ``_encode_chunk`` stay the single plug-in point.
 
 Scale shape: reading is one Spark task per *spatial chunk column* (all
 vertical chunks of one spatial chunk tuple), each task touching only its
@@ -92,6 +92,23 @@ def _decode_chunk(
 
         (n,) = _struct.unpack_from("<i", raw, 0)
         return pa.Codec("lz4_raw").decompress(raw[4:], n).to_pybytes()
+    if cid in ("zfpy", "zfp"):
+        # The reference's opt-in lossy path (builder/schemas/
+        # compressors.py:46-98, numcodecs ZFPY). Deliberate fence, not an
+        # oversight: a ZFP decoder cannot be honestly verified in this
+        # container (no independent ZFP encoder to build fixtures with),
+        # and a plausibly-wrong transform-codec decode is worse than a
+        # named refusal. Decision + contract recorded in SCALING.md
+        # ("ZFP read path"). The tolerance-contract analog for WRITING
+        # lossy copies is operators/access_pattern.py (quantize+zstd).
+        mode = compressor.get("mode")
+        raise UnsupportedCodecError(
+            f"chunk compressor 'zfp' (mode={mode!r}) unsupported: this "
+            "engine does not decode the ZFP stream format; re-write the "
+            "store's lossy copies with the default blosc-zstd, or use "
+            "the quantize+zstd tolerance analog (see SCALING.md 'ZFP "
+            "read path')"
+        )
     raise UnsupportedCodecError(
         f"chunk compressor {cid!r} unsupported (container has no {cid} codec); "
         "supported: null, zlib, gzip, zstd, lz4, blosc[zstd/lz4/snappy/zlib]"
@@ -113,15 +130,13 @@ def _encode_chunk(raw: bytes, compressor: dict | None) -> bytes:
         from mdio_python_spark.sources import blosc1
 
         shuf = compressor.get("shuffle", 1)
-        if shuf == 2:
-            raise UnsupportedCodecError("blosc bit-shuffle write unsupported")
         try:
             return blosc1.compress(
                 raw,
                 typesize=int(compressor.get("typesize") or 4),
                 cname=compressor.get("cname", "zstd"),
                 clevel=int(compressor.get("clevel", 5)),
-                shuffle=shuf != 0,
+                shuffle="bit" if shuf == 2 else shuf != 0,
                 blocksize=int(compressor.get("blocksize") or 0),
             )
         except blosc1.UnsupportedBloscError as exc:

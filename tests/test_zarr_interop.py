@@ -835,3 +835,17 @@ def test_store_to_zarr_shard_factor_validation(tmp_path, spark):
         zs.store_to_zarr(spark, "x", "y", zarr_format=2, shard_factor=2)
     with pytest.raises(ValueError, match=">= 1"):
         zs.store_to_zarr(spark, "x", "y", zarr_format=3, shard_factor=0)
+
+
+def test_zfp_fence_names_codec():
+    """ZFP chunks are a DOCUMENTED fence (SCALING.md 'ZFP read path'):
+    the error must name the codec and its mode, never misparse or fall
+    through to a generic message."""
+    import pytest
+
+    from mdio_python_spark.sources import zarr_store as zs
+
+    with pytest.raises(zs.UnsupportedCodecError, match="zfp.*mode=4"):
+        zs._decode_chunk(b"\x00" * 32, {"id": "zfpy", "mode": 4})
+    with pytest.raises(zs.UnsupportedCodecError, match="zfp"):
+        zs._decode_chunk(b"\x00" * 32, {"id": "zfp"})
