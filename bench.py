@@ -42,6 +42,13 @@ STRESS_QUERIES = (
     "approx_distinct_hll",
     "countmin_heavy_hitters",
     "incremental_dedup_kept",
+    # round 5: the rank family rebuilt on the two-phase ordinal (formerly
+    # single-task NTILE / lang-partitioned windows) and the ANN recall QC
+    # (exact brute-force leg + IVF leg in one query)
+    "customer_value_deciles",
+    "quality_percentile_bands",
+    "length_mad_outliers",
+    "ann_recall_at_k",
 )
 
 
@@ -58,7 +65,7 @@ def _timed(spark, fn, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
-def run_stress(scale: int, out_name: str) -> None:
+def run_stress(scale: int, out_name: str, only: list[str] | None = None) -> None:
     """Opt-in sf-scaling stress row (VERDICT r3 item 8): time the
     scale-critical queries at base sf0.1 and at a derived ``scale``-times
     dataset; flag anything scaling worse than ~linear in rows."""
@@ -77,7 +84,7 @@ def run_stress(scale: int, out_name: str) -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = base_dir
-    for name in STRESS_QUERIES:
+    for name in only or STRESS_QUERIES:
         spec = regs[name]
         spec.fn(spark, warm_dir).write.format("noop").mode(
             "overwrite"
@@ -218,8 +225,12 @@ if __name__ == "__main__":
                     help="run the scale-stress row at SCALE x the base SF "
                          "instead of the standard bench")
     ap.add_argument("--stress-out", default="BENCH_sf1_r04.json")
+    ap.add_argument("--stress-queries", default=None,
+                    help="comma-separated subset of STRESS_QUERIES (deep "
+                         "high-scale runs on the worst offenders only)")
     ns = ap.parse_args()
     if ns.stress:
-        run_stress(ns.stress, ns.stress_out)
+        only = ns.stress_queries.split(",") if ns.stress_queries else None
+        run_stress(ns.stress, ns.stress_out, only)
     else:
         main()

@@ -555,7 +555,19 @@ def incremental_dedup(
     full corpus is scanned zero times. Cross-side pairs are generated
     in-bucket from a sorted (side, id) struct array with the standard
     hot-bucket cap, so a degenerate batch cannot go quadratic.
+
+    Locally-computed shingle stages are persisted: each side's shingle
+    table feeds BOTH the MinHash signatures and the Jaccard verify, and
+    AQE identical-subtree reuse does not reliably fire across that fork
+    (the round-4 funnel lesson) — without the cache the tokenize +
+    explode + hash subtree runs twice per side, and the recompute made
+    the 10x stress row unstable (12-42 s; ~8 s persisted). Handles ride
+    on the returned DataFrame (``release_cached``), bounded to one
+    generation by ``rotate_scoped``.
     """
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
     if existing_docs is None and (
         existing_hashes is None
         or existing_shingles is None
@@ -578,12 +590,19 @@ def incremental_dedup(
     )
     new2 = exact_dedup(new1, text_col, id_col)
 
-    sh_new = shingle_hashes(new2, n, text_col, id_col)
-    sh_old = (
-        existing_shingles
-        if existing_shingles is not None
-        else shingle_hashes(existing_docs, n, text_col, id_col)
+    cached: list[DataFrame] = []
+    sh_new = shingle_hashes(new2, n, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    cached.append(sh_new)
+    if existing_shingles is not None:
+        sh_old = existing_shingles
+    else:
+        sh_old = shingle_hashes(existing_docs, n, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cached.append(sh_old)
+    rotate_scoped("dedup.incremental_shingles", *cached)
     sig_new = minhash_signatures(sh_new, num_hashes, id_col)
     sig_old = (
         existing_signatures
@@ -660,4 +679,4 @@ def incremental_dedup(
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
-    return new2.join(drops, id_col, "left_anti")
+    return attach_cached(new2.join(drops, id_col, "left_anti"), *cached)

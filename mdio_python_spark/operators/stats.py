@@ -424,6 +424,197 @@ def table_digest(
     )
 
 
+# Bloom filter: d hash rows over an m-bit array stored as int64 words
+# via bit_or — mergeable across partitions/days/clusters by plain
+# word-wise OR, all-integer, oracle-expressible. 63 bits per word (not
+# 64): DuckDB's checked `<<` rejects 1 << 63, and losing 1/64 of the
+# address space costs nothing.
+BLOOM_D = 3
+BLOOM_WORD_BITS = 63
+BLOOM_WORDS = 1024
+BLOOM_M = BLOOM_WORD_BITS * BLOOM_WORDS
+
+
+def _bloom_positions(col: str, salt: str):
+    from mdio_python_spark.functions.scalars import hash64
+
+    return F.array(
+        *[
+            F.pmod(
+                hash64(F.concat(F.lit(f"{salt}{r}"), F.col(col).cast("string"))),
+                F.lit(BLOOM_M),
+            )
+            for r in range(BLOOM_D)
+        ]
+    )
+
+
+def bloom_build(df: DataFrame, col: str, salt: str = "bloom") -> DataFrame:
+    """Build the filter: one combinable groupBy collapsing the corpus to
+    at most ``BLOOM_WORDS`` (word_idx, word_bits) rows (Bloom 1970).
+    Like the HLL/CMS/digest family, the state is pure integers under an
+    order-free reduction (bit_or), so the filter — and every probe
+    against it — is bit-identical across engines and cluster sizes."""
+    pos = df.select(F.explode(_bloom_positions(col, salt)).alias("pos"))
+    return (
+        pos.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_mask)").alias("word_bits"))
+    )
+
+
+def bloom_probe(
+    items: DataFrame, words: DataFrame, col: str, salt: str = "bloom"
+) -> DataFrame:
+    """Membership query: ``maybe_present = 1`` iff ALL d bits are set
+    (no false negatives; false-positive rate ~ fill^d). Items hashing to
+    words NO build item touched are definite negatives — LEFT join +
+    coalesce(0), the same absent-cell contract as ``countmin_lookup``.
+    The word table broadcasts (<= 8 KiB of payload)."""
+    probes = items.select(
+        col, F.explode(_bloom_positions(col, salt)).alias("pos")
+    ).select(
+        col,
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("_mask"),
+    )
+    hit = (
+        F.coalesce(F.col("word_bits"), F.lit(0)).bitwiseAND(F.col("_mask"))
+        != 0
+    ).cast("int")
+    return (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .groupBy(col)
+        .agg(F.min(hit).alias("maybe_present"))
+    )
+
+
+def sql_bloom_ctes(build_sql: str, items_cte: str, col: str, salt: str = "bloom") -> str:
+    """DuckDB CTE chain matching bloom_build + bloom_probe. ``build_sql``
+    must select a ``{col}`` column; ``items_cte`` names the probe CTE.
+    Emits ``bloom_words`` and ``bloom_probe(col, maybe_present)``."""
+    from mdio_python_spark.functions.scalars import sql_hash64
+
+    def pos(r: int, src: str) -> str:
+        expr = f"'{salt}{r}' || CAST({src} AS VARCHAR)"
+        return f"{sql_hash64(expr)} % {BLOOM_M}"
+
+    build_rows = " UNION ALL ".join(
+        f"SELECT {pos(r, col)} AS pos FROM ({build_sql})"
+        for r in range(BLOOM_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {col}, {pos(r, col)} AS pos FROM {items_cte}"
+        for r in range(BLOOM_D)
+    )
+    return f"""
+    bloom_words AS (
+      SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS} AS INT))
+               AS word_bits
+      FROM ({build_rows}) GROUP BY word_idx
+    ),
+    bloom_probes AS ({probe_rows}),
+    bloom_probe AS (
+      SELECT p.{col},
+             MIN(CASE WHEN COALESCE(w.word_bits, 0)
+                           & (CAST(1 AS BIGINT)
+                              << CAST(p.pos % {BLOOM_WORD_BITS} AS INT)) <> 0
+                      THEN 1 ELSE 0 END) AS maybe_present
+      FROM bloom_probes p
+      LEFT JOIN bloom_words w ON w.word_idx = p.pos // {BLOOM_WORD_BITS}
+      GROUP BY p.{col}
+    )"""
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bin_width: int = 64,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Fixed-bin histogram quantile sketch — the registered SCALE path
+    beside :func:`exact_group_quantiles` (the exact audit form): one
+    combinable groupBy collapses the corpus to |bins| rows per group;
+    the quantile is reported as its bin's FLOOR, a guaranteed lower
+    bound within ``bin_width`` of the exact discrete quantile. The only
+    window runs over the tiny histogram (|bins| = value_range /
+    bin_width rows per group — bounded by the value domain, NOT the
+    corpus). All-integer, so bit-identical cross-engine at any scale.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    bin_col = F.expr(f"{value_col} div {bin_width}").alias("_bin")
+    hist = df.groupBy(*keys, bin_col).agg(F.count(F.lit(1)).alias("_bn"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_bn").over(w))
+    totals = hist.groupBy(*keys).agg(F.sum("_bn").alias("_n"))
+    joined = cum.join(F.broadcast(totals), list(keys))
+    aggs = [F.max("_n").alias("n_rows")]
+    for q in qs:
+        frac = Fraction(q).limit_denominator(1_000_000)
+        num, den = frac.numerator, frac.denominator
+        rank = F.expr(f"({num} * _n + {den} - 1) div {den}")
+        aggs.append(
+            (
+                F.min(F.when(F.col("_cum") >= rank, F.col("_bin")))
+                * F.lit(bin_width)
+            ).alias(f"p{round(q * 100)}_lb")
+        )
+    return joined.groupBy(*keys).agg(*aggs)
+
+
+def sql_histogram_quantiles(
+    table: str,
+    keys: list[str],
+    value_col: str,
+    bin_width: int = 64,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` (full SELECT)."""
+    from fractions import Fraction
+
+    k = ", ".join(keys)
+    q_cols = []
+    for q in qs:
+        frac = Fraction(q).limit_denominator(1_000_000)
+        num, den = frac.numerator, frac.denominator
+        q_cols.append(
+            f"CAST(MIN(CASE WHEN _cum >= ({num} * _n + {den} - 1) // {den} "
+            f"THEN _bin END) * {bin_width} AS BIGINT) AS p{round(q * 100)}_lb"
+        )
+    return f"""
+    WITH hist AS (
+      SELECT {k}, {value_col} // {bin_width} AS _bin, COUNT(*) AS _bn
+      FROM {table} GROUP BY {k}, _bin
+    ),
+    cum AS (
+      SELECT {k}, _bin, _bn,
+             SUM(_bn) OVER (PARTITION BY {k} ORDER BY _bin
+                            ROWS UNBOUNDED PRECEDING) AS _cum
+      FROM hist
+    ),
+    totals AS (SELECT {k}, SUM(_bn) AS _n FROM hist GROUP BY {k})
+    SELECT {k}, CAST(MAX(_n) AS BIGINT) AS n_rows, {", ".join(q_cols)}
+    FROM cum JOIN totals USING ({k})
+    GROUP BY {k}
+    """
+
+
 def sql_table_digest(
     table: str, cols: list[str], n_buckets: int = 64, salt: str = "dig"
 ) -> str:

@@ -2378,6 +2378,102 @@ def q_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_digest(docs, ["doc_id", "lang", "source", "n_chars", "text_md5"])
 
 
+def _bloom_oracle() -> str:
+    from mdio_python_spark.operators.stats import sql_bloom_ctes
+
+    build = "SELECT DISTINCT md5(text) AS item FROM documents WHERE doc_id % 2 = 0"
+    ctes = sql_bloom_ctes(build, "probe_items", "item")
+    return f"""
+    WITH probe_items AS (SELECT DISTINCT md5(text) AS item FROM documents),
+    members AS ({build}),
+    {ctes.lstrip()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(p.maybe_present) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN m.item IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_present,
+           CAST(SUM(CASE WHEN p.maybe_present = 1 AND m.item IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN p.maybe_present = 0 AND m.item IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+    FROM bloom_probe p LEFT JOIN members m ON m.item = p.item
+    """
+
+
+@register("bloom_filter_probe", _bloom_oracle())
+def q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sweep (``stats.bloom_build`` /
+    ``bloom_probe``): index the even-keyed half of the corpus by content
+    hash, probe EVERY distinct content hash, and report the confusion
+    counts — n_false_negative must be 0 by construction (the filter's
+    one-sided guarantee, visible to the driver as data). The deployment
+    shape this models: a 1024-word broadcast filter standing in front of
+    an expensive exact-membership join (e.g. "was this page in the last
+    crawl?"); at 100 TB the words table is still <= 8 KiB and the probe
+    is a map-only pass. Like the HLL/CMS/digest family, all state is
+    integer under order-free reductions, so even the false-positive
+    count is bit-identical cross-engine."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+    from mdio_python_spark.operators.stats import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    # the distinct member set feeds BOTH the word build and the truth
+    # join; persist so the corpus distinct runs once (same policy as the
+    # countmin exact branch — AQE subtree reuse is not reliable here)
+    build = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("item"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rotate_scoped("llm.bloom_filter_probe", build)
+    probes = docs.select(F.md5("text").alias("item")).distinct()
+    words = bloom_build(build, "item")
+    maybe = bloom_probe(probes, words, "item")
+    truth = build.withColumn("_member", F.lit(1))
+    joined = maybe.join(F.broadcast(truth), "item", "left")
+    member = F.coalesce(F.col("_member"), F.lit(0))
+    out = joined.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("maybe_present").cast("long").alias("n_maybe"),
+        F.sum(member).cast("long").alias("n_true_present"),
+        F.sum(
+            F.when((F.col("maybe_present") == 1) & (member == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(
+            F.when((F.col("maybe_present") == 0) & (member == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_negative"),
+    )
+    return attach_cached(out, build)
+
+
+def _length_sketch_oracle() -> str:
+    from mdio_python_spark.operators.stats import sql_histogram_quantiles
+
+    return sql_histogram_quantiles("documents", ["lang"], "n_chars", 64)
+
+
+@register("length_quantile_sketch", _length_sketch_oracle())
+def q_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of document length per language — the
+    registered SCALE path beside the exact audit form
+    (``quality_percentile_bands``): the corpus collapses to a
+    |bins|-per-lang histogram in ONE combinable aggregate; quantiles are
+    bin floors, guaranteed within 64 chars below the exact discrete
+    quantile. The monitoring form a 100-TB pipeline runs hourly, with
+    the exact form reserved for audits (VERDICT r4 item 1's
+    register-the-approx-path half)."""
+    from mdio_python_spark.operators.stats import histogram_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_quantiles(docs, ["lang"], "n_chars", 64)
+
+
 @register(
     "length_histogram",
     """
