@@ -522,6 +522,74 @@ def segment_dedup_stats(
     )
 
 
+def window_dup_stats(
+    df: DataFrame,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window substring-dup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    shuffle-friendly stand-in for its suffix-array substring match):
+    every stride-1 ``window_tokens``-token window of every document,
+    flagged duplicated iff its exact content occurs in MORE THAN ONE
+    distinct document. Unlike :func:`segment_dedup_stats` (flat
+    non-overlapping segments), overlapping windows catch a copied span
+    at ANY alignment — the signal suffix-array dedup thresholds on.
+
+    Per document: total full windows (documents shorter than
+    ``window_tokens`` tokens emit none and are absent from the output),
+    duplicated windows (every occurrence counts, including repeats
+    within one document when the content also appears elsewhere), and
+    the duplicated fraction.
+
+    Scale shape: the explode is O(total tokens) rows of 16 bytes — the
+    window content never leaves the scan stage (each window crosses as
+    a native ``xxhash64`` of its token slice: the hash is internal
+    grouping state, never output, so it skips the md5-based
+    oracle-shared hash and its 2x scan cost). The forked consumer pair
+    (frequency groupBy + join back) reads ONE explicit
+    ``repartition(whash)`` exchange — ReusedExchange computes the
+    tokenize+explode subtree exactly once (the same AQE-reuse-is-not-a-
+    contract lesson as the funnel/incremental-dedup persists; here an
+    exchange both sides consume co-partitioned suffices). The per-doc
+    rollup is combinable. ~Linear in corpus tokens, never pairwise.
+    """
+    from mdio_python_spark.operators.text import tokens
+
+    toks = tokens(F.lower(F.trim(F.col(text_col))))
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= window_tokens
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - F.lit(window_tokens), F.lit(1)
+    )
+    wins = (
+        base.select(F.col(id_col), F.col("_toks"), F.explode(starts).alias("_s"))
+        .select(
+            id_col,
+            F.xxhash64(
+                F.slice(F.col("_toks"), F.col("_s") + 1, window_tokens)
+            ).alias("whash"),
+        )
+        .repartition("whash")
+    )
+    freq = wins.groupBy("whash").agg(F.countDistinct(id_col).alias("_n_docs"))
+    return (
+        wins.join(freq, "whash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("_n_docs") > 1).cast("long")).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_windows").cast("double")
+            / F.col("n_windows").cast("double"),
+        )
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     existing_docs: DataFrame | None,

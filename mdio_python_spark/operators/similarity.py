@@ -432,6 +432,77 @@ def embedding_near_dup_drops(
     )
 
 
+def semantic_dedup_drops(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): cluster-scoped embedding dedup.
+
+    Assign every vector to its nearest-centroid cell — the identical
+    pure-projection argmax :func:`ivf_topk` uses (literal centroids, no
+    corpus shuffle or join for assignment) — then generate pairs only
+    WITHIN a cell, verify exact cosine >= ``threshold``, and drop the
+    larger id of each verified pair (smallest near-dup reported as the
+    keeper). The data-DEPENDENT counterpart of the data-oblivious
+    sign-bucket :func:`embedding_near_dup_drops`: cells follow corpus
+    density, so semantically-close pairs co-bucket at much higher recall
+    for the same candidate budget.
+
+    Scale: only same-cell pairs ever meet (the hot-bucket cap bounds a
+    degenerate cell at cap^2/2 candidates, deterministically — first
+    ``max_bucket_size`` ids); verification is exact cosine on candidates
+    only. ``centroids=`` takes :func:`ivf_fit_centroids` output in
+    production; the id-prefix stand-in keeps the oracle SQL-expressible.
+    """
+    from mdio_python_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        bucket_pairs,
+    )
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    cents, cnorms = _resolve_centroids(
+        vectors, n_centroids, id_col, vec_col, centroids
+    )
+    keyed = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "_cells",
+            _cell_structs(F.col(vec_col), norm(F.col(vec_col)), cents, cnorms),
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            (-F.array_max("_cells")["ncid"]).alias("cell"),
+        )
+    )
+    pairs = (
+        bucket_pairs(keyed, ["cell"], max_bucket_size=max_bucket_size)
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
+    )
+    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"))
+    b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"))
+    verified = (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return verified.groupBy(F.col("vec_b").alias("drop_id")).agg(
+        F.min("vec_a").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_near_dups"),
+    )
+
+
 # --- Product quantization (Jegou et al., TPAMI 2011 — the PQ part) ---------
 
 

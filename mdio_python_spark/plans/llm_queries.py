@@ -2765,3 +2765,275 @@ def q_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: substring windows, cross-source dup matrix, SemDeDup, ANN curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "substring_dup_windows",
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) >= 8
+                    THEN list_transform(
+                           generate_series(1, len(tk) - 7),
+                           i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                    ELSE [] END) AS win
+      FROM toked
+    ),
+    win_freq AS (
+      SELECT win, COUNT(DISTINCT doc_id) AS n_docs FROM wins GROUP BY win
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+    FROM wins w JOIN win_freq f ON f.win = w.win
+    GROUP BY w.doc_id
+    """,
+)
+def q_substring_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window substring-dup fraction per document (Lee et al.
+    2022's suffix-array dedup signal, re-expressed as stride-1 8-token
+    window hashing): catches copied spans at ANY alignment, where the
+    flat segment filter (segment_dedup_stats) only sees
+    boundary-aligned duplication. O(total tokens) 16-byte rows, three
+    bounded combinable exchanges, never pairwise
+    (operators/dedup.py:window_dup_stats)."""
+    return dedup.window_dup_stats(_t(spark, sf_dir, "documents"), window_tokens=8)
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM candidate_pairs p
+      JOIN shingled a ON a.doc_id = p.doc_a
+      JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE)
+              / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM verified v
+    JOIN documents da ON da.doc_id = v.doc_a
+    JOIN documents db ON db.doc_id = v.doc_b
+    GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+    """,
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who copies from whom: verified near-dup pairs (the near_dup_jaccard
+    DAG at 0.5) rolled up to a symmetric source x source matrix — the
+    provenance QC a curation team reads before deciding which feed to
+    drop. The matrix rollup adds two doc_id-co-partitioned hash joins
+    (pairs side is LSH-bounded, tiny vs corpus) and one combinable
+    groupBy on top of the shared near-dup pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id")
+    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
+        F.col("jaccard") >= 0.5
+    )
+    src = docs.select("doc_id", "source")
+    m = verified.join(
+        src.withColumnsRenamed({"doc_id": "doc_a", "source": "_sa"}), "doc_a"
+    ).join(src.withColumnsRenamed({"doc_id": "doc_b", "source": "_sb"}), "doc_b")
+    return (
+        m.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+  FROM embeddings, cent
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+),
+members AS (
+  SELECT vec_id, embedding, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM assign
+),
+verified AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM members a JOIN members b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+   AND a.rn <= 1024 AND b.rn <= 1024
+  WHERE {_IVF_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+)
+SELECT vec_b AS drop_id, MIN(vec_a) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_near_dups
+FROM verified GROUP BY vec_b
+"""
+
+
+@register("semantic_dedup_drops", _SEMDEDUP_ORACLE)
+def q_semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding dedup scoped to k-means
+    cells instead of sign buckets — the data-DEPENDENT near-dup path
+    (cells follow corpus density, so close pairs co-bucket at much
+    higher recall per candidate). Assignment is the ivf_topk literal-
+    centroid argmax projection (no corpus shuffle); pairs meet only
+    within a cell under the deterministic hot-cell cap; cosine verify is
+    exact (operators/similarity.py:semantic_dedup_drops)."""
+    return similarity.semantic_dedup_drops(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_centroids=16
+    )
+
+
+def _recall_curve_oracle(probes: tuple[int, ...] = (1, 2, 4, 8)) -> str:
+    """Per-nprobe aggregate recall vs the shared exact top-10 — the
+    _RECALL_ORACLE assignment/exact CTEs, one probe/ivf/agg leg per
+    nprobe, UNION ALL of the per-leg 1-row aggregates."""
+    exact_cos = (
+        f"{_DOT.format(a='q_vec', b='c_vec')}"
+        f" / (sqrt({_DOT.format(a='q_vec', b='q_vec')})"
+        f" * sqrt({_DOT.format(a='c_vec', b='c_vec')}))"
+    )
+    legs = []
+    for p in probes:
+        legs.append(f"""
+probes_{p} AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_vec, CAST(cid AS BIGINT) AS cell
+  FROM embeddings q, cent
+  WHERE q.vec_id < 50
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY {_IVF_COS.format(a="q.embedding", b="cent_vec")} DESC, cid) <= {p}
+),
+ivf_topk_{p} AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT p.query_id, a.vec_id AS candidate_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {_IVF_COS.format(a="p.q_vec", b="a.embedding")} DESC,
+                      a.vec_id) AS rnk
+    FROM assign a JOIN probes_{p} p ON a.cell = p.cell
+    WHERE p.query_id <> a.vec_id
+  ) WHERE rnk <= 10
+),
+agg_{p} AS (
+  SELECT CAST({p} AS BIGINT) AS nprobe,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN i.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN i.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+  FROM exact_topk e
+  LEFT JOIN ivf_topk_{p} i
+    ON i.query_id = e.query_id AND i.candidate_id = e.candidate_id
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM agg_{p}" for p in probes)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+  FROM embeddings, cent
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 50
+),
+c AS (SELECT vec_id AS candidate_id, embedding AS c_vec FROM embeddings),
+exact_scored AS (
+  SELECT query_id, candidate_id, {exact_cos} AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> candidate_id
+),
+exact_topk AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, candidate_id) AS rnk
+    FROM exact_scored
+  ) WHERE rnk <= 10
+),{",".join(legs)}
+{union}
+"""
+
+
+@register("ann_tuning_curve", _recall_curve_oracle())
+def q_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe tuning curve ann_recall_at_k is one point of:
+    aggregate recall@10 of the IVF index at nprobe in {1,2,4,8} against
+    the ONE shared exact top-10 baseline — the curve an ANN deployment
+    is actually tuned by (pick the knee).
+
+    Scale shape: the exact leg (the expensive brute-force audit over a
+    query SAMPLE) is computed once and persisted — four consumers, and
+    AQE subtree reuse is not a contract (persist-the-fork rule); each
+    IVF leg is the bucketed probe plan; each recall join touches
+    n_queries x k rows with the ANN side broadcast, collapsing to a
+    1-row integer aggregate. recall is one IEEE division of two exact
+    ints."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    exact = (
+        similarity.cosine_topk(queries, emb, k=10)
+        .select("query_id", "candidate_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rotate_scoped("llm.ann_tuning_exact", exact)
+    legs = []
+    for nprobe in (1, 2, 4, 8):
+        approx = (
+            similarity.ivf_topk(queries, emb, k=10, n_centroids=16, nprobe=nprobe)
+            .select("query_id", "candidate_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        legs.append(
+            exact.join(F.broadcast(approx), ["query_id", "candidate_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "n_exact",
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return attach_cached(out, exact)
