@@ -49,10 +49,12 @@ STRESS_QUERIES = (
     "quality_percentile_bands",
     "length_mad_outliers",
     "ann_recall_at_k",
-    # round-5 additions: stride-1 window explode (O(tokens) fan-out) and
-    # cell-bucketed SemDeDup pair generation (hot-cell quadratic risk)
+    # round-5 additions: stride-1 window explode (O(tokens) fan-out),
+    # cell-bucketed SemDeDup pair generation (hot-cell quadratic risk),
+    # and the BPE train+apply chain (corpus scan + M vocab shuffles)
     "substring_dup_windows",
     "semantic_dedup_drops",
+    "bpe_tokenized_docs",
 )
 
 

@@ -3037,3 +3037,169 @@ def q_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return attach_cached(out, exact)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: distributed BPE tokenizer training (Sennrich et al., ACL 2016)
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "chr(31)"
+_BPE_SEP2 = "concat(chr(31), chr(31))"
+
+
+def _bpe_chain_ctes(n_steps: int) -> str:
+    """CTE chain mirroring operators/bpe.py: word counts -> doubled-
+    separator symbolization -> per-step (pair counts, argmax, replace).
+    The replace overlap semantics and codepoint symbolization are
+    bit-verified identical across engines (see bpe.py docstring)."""
+    parts = [
+        f"""bpe_toked AS (SELECT {_TOKS} AS tk FROM documents),
+    bpe_words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(tk) AS word FROM bpe_toked)
+      WHERE word <> '' GROUP BY word
+    ),
+    bpe_sym_0 AS (
+      SELECT word,
+             concat(regexp_replace(word, '(.)',
+                                   concat(chr(31), '\\1', chr(31)), 'g'),
+                    chr(31), '</w>', chr(31)) AS sym,
+             n
+      FROM bpe_words
+    )"""
+    ]
+    for k in range(n_steps):
+        parts.append(f"""bpe_pc_{k} AS (
+      SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS pair_n
+      FROM (
+        SELECT unnest(list_slice(sy, 1, len(sy) - 1)) AS l,
+               unnest(list_slice(sy, 2, len(sy))) AS r, n
+        FROM (SELECT string_split(trim(sym, chr(31)), {_BPE_SEP2}) AS sy, n
+              FROM bpe_sym_{k})
+      ) GROUP BY l, r
+    ),
+    bpe_tp_{k} AS (
+      SELECT "left", "right", pair_n FROM bpe_pc_{k}
+      ORDER BY pair_n DESC, "left", "right" LIMIT 1
+    ),
+    bpe_sym_{k + 1} AS (
+      SELECT word,
+             replace(sym,
+                     concat(chr(31), "left", {_BPE_SEP2}, "right", chr(31)),
+                     concat(chr(31), "left", "right", chr(31))) AS sym,
+             n
+      FROM bpe_sym_{k}, bpe_tp_{k}
+    )""")
+    return ",\n    ".join(parts)
+
+
+_BPE_STEPS = 6
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH {_bpe_chain_ctes(0)}
+    SELECT "left", "right", pair_n FROM (
+      SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS pair_n
+      FROM (
+        SELECT unnest(list_slice(sy, 1, len(sy) - 1)) AS l,
+               unnest(list_slice(sy, 2, len(sy))) AS r, n
+        FROM (SELECT string_split(trim(sym, chr(31)), {_BPE_SEP2}) AS sy, n
+              FROM bpe_sym_0)
+      ) GROUP BY l, r
+    ) ORDER BY pair_n DESC, "left", "right" LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trainer step-0 statistics: the top-20 adjacent symbol pairs
+    over the initial character symbolization, weighted by word count.
+    The corpus is touched ONCE (combinable word-count groupBy); pair
+    explosion runs on the vocabulary table, bounded by distinct words x
+    word length, and the top-20 is a TakeOrdered — never a global
+    window (operators/bpe.py)."""
+    from mdio_python_spark.operators import bpe
+
+    wc = bpe.word_counts(_t(spark, sf_dir, "documents"))
+    vocab = wc.select(bpe.symbolize(F.col("word")).alias("sym"), "n")
+    return (
+        bpe.pair_counts(vocab)
+        .orderBy(F.col("pair_n").desc(), "left", "right")
+        .limit(20)
+    )
+
+
+@register(
+    "bpe_train_merges",
+    f"""
+    WITH {_bpe_chain_ctes(_BPE_STEPS)}
+    {" UNION ALL ".join(
+        f'SELECT CAST({k} AS BIGINT) AS step, "left", "right", pair_n '
+        f"FROM bpe_tp_{k}"
+        for k in range(_BPE_STEPS)
+    )}
+    """,
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE trainer itself: 6 merge steps, each = one
+    map-side-combinable pair-count aggregate over the (persisted)
+    vocabulary + a 1-row argmax broadcast + a boundary-anchored literal
+    string replace — ONE lazy plan, zero driver round trips, no UDFs.
+    On a 1000-executor cluster the whole fit is M bounded shuffles of
+    the vocab table; the corpus is read exactly once
+    (operators/bpe.py:train_merges)."""
+    from mdio_python_spark.operators import bpe
+
+    wc = bpe.word_counts(_t(spark, sf_dir, "documents"))
+    merges, _final = bpe.train_merges(wc, _BPE_STEPS, scope="llm.bpe_train")
+    return merges
+
+
+@register(
+    "bpe_tokenized_docs",
+    f"""
+    WITH {_bpe_chain_ctes(_BPE_STEPS)},
+    bpe_occurrences AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(tk) AS word
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+      ) WHERE word <> ''
+    ),
+    bpe_final_counts AS (
+      SELECT word,
+             (length(sym) - length(replace(sym, {_BPE_SEP2}, ''))) // 2 + 1 AS k
+      FROM bpe_sym_{_BPE_STEPS}
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(c.k) AS BIGINT) AS n_bpe_tokens
+    FROM bpe_occurrences o JOIN bpe_final_counts c USING (word)
+    GROUP BY o.doc_id
+    """,
+)
+def q_bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply end to end: tokenize the corpus with the 6
+    freshly trained merges and report per-document whitespace-word vs
+    BPE-symbol counts — the sizing pass that budgets sequence lengths
+    before packing. The apply side joins token occurrences to the
+    trained vocabulary's symbol counts (vocab-bounded build side); the
+    rollup is combinable (operators/bpe.py)."""
+    from mdio_python_spark.operators import bpe
+    from mdio_python_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs)
+    _merges, final = bpe.train_merges(wc, _BPE_STEPS, scope="llm.bpe_apply")
+    occ = docs.select(
+        "doc_id",
+        F.explode(_tokens(F.lower(F.trim(F.col("text"))))).alias("word"),
+    ).where(F.col("word") != "")
+    counts = final.select("word", bpe.sym_count(F.col("sym")).alias("_k"))
+    return (
+        occ.join(counts, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_k").alias("n_bpe_tokens"),
+        )
+    )
