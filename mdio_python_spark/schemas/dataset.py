@@ -155,3 +155,9 @@ class Dataset(StrictModel):
             if v.name == name:
                 return v
         raise KeyError(name)
+
+    def _repr_html_(self) -> str:
+        """Notebook repr (reference ``builder/formatting_html.py:186``)."""
+        from mdio_python_spark.schemas.formatting_html import dataset_repr_html
+
+        return dataset_repr_html(self)

@@ -46,6 +46,12 @@ class AbstractDatasetTemplate(StrictModel):
             fields.append(c.name)
         return list(dict.fromkeys(fields))
 
+    def _repr_html_(self) -> str:
+        """Notebook repr (reference ``builder/formatting_html.py:255``)."""
+        from mdio_python_spark.schemas.formatting_html import template_repr_html
+
+        return template_repr_html(self)
+
 
 def _std_coords(prefix: tuple[str, ...] = ("cdp_x", "cdp_y"), dims: list[str] | None = None) -> list[CoordinateDecl]:
     dims = dims or ["inline", "crossline"]
@@ -69,6 +75,12 @@ class TemplateRegistry:
 
     def names(self) -> list[str]:
         return sorted(self._templates)
+
+    def _repr_html_(self) -> str:
+        """Notebook repr (reference ``builder/formatting_html.py:328``)."""
+        from mdio_python_spark.schemas.formatting_html import registry_repr_html
+
+        return registry_repr_html(self)
 
 
 def _xy(names: tuple[str, ...], dims: list[str]) -> list[CoordinateDecl]:

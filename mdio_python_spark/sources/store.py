@@ -45,6 +45,10 @@ class OpenedStore:
     def chunk_cols(self) -> list[str]:
         return [f"{d}_chunk" for d in self.spatial_dims]
 
+    def _repr_html_(self) -> str:
+        """Notebook repr: the opened store renders its manifest."""
+        return self.dataset._repr_html_()
+
 
 def write_data(
     traces: DataFrame,
