@@ -94,3 +94,71 @@ def test_histogram_quantiles_bound_exact(spark):
             lb = sketch[k][f"{p}_lb"]
             ex = exact[k][p]
             assert lb <= ex < lb + 64, (p, lb, ex)
+
+
+# --- round-5 batch 2: BPE + sliding-window dedup properties ------------------
+
+
+def test_bpe_merge_fold_property(spark):
+    """Hypothesis: for random symbol sequences and a random merge pair,
+    the separator-encoded replace equals the explicit left-to-right
+    pairwise fold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mdio_python_spark.operators import bpe
+
+    sym = st.sampled_from(["a", "b", "ab", "ba", "aa", "x"])
+    seqs = st.lists(sym, min_size=1, max_size=8)
+
+    def ref_fold(syms, left, right):
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        return out
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(seqs, sym, sym)
+    def collect(syms, left, right):
+        cases.append((syms, left, right))
+
+    collect()
+    rows = [
+        (i, bpe.SEP + bpe.SEP2.join(syms) + bpe.SEP, left, right)
+        for i, (syms, left, right) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i long, sym string, l string, r string")
+    got = {
+        r["i"]: list(r["out"])
+        for r in df.select(
+            "i",
+            bpe.symbols(
+                bpe.merge_expr(F.col("sym"), F.col("l"), F.col("r"))
+            ).alias("out"),
+        ).collect()
+    }
+    for i, (syms, left, right) in enumerate(cases):
+        assert got[i] == ref_fold(syms, left, right), (syms, left, right)
+
+
+def test_window_dup_count_property(spark):
+    """For any doc: n_windows == max(0, n_tokens - 7); a doc duplicated
+    verbatim makes EVERY window of both copies duplicated."""
+    from mdio_python_spark.operators import dedup
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "short text only"),
+         (4, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.window_dup_stats(docs, 8).collect()}
+    assert rows[1]["n_windows"] == 3 and rows[1]["n_dup_windows"] == 3
+    assert rows[2]["n_windows"] == 3 and rows[2]["n_dup_windows"] == 3
+    assert 3 not in rows  # 3 tokens < 8
+    assert rows[4]["n_windows"] == 2 and rows[4]["n_dup_windows"] == 0
