@@ -362,16 +362,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 15-bit bands bucket the 60-bit signature
-    (pigeonhole: hamming<=3 over 4 bands forces an exact band match, so
-    the bucket join loses no qualifying pair), then one bit_count(xor)
-    verify per candidate. Band entropy, not corpus size, bounds the
-    candidate count (~4 n^2 / 32768): the r4 stress row caught the
-    previous 32-bit/8-bit config going 85x superlinear on a 10x corpus —
-    widening the bands restored ~linear scaling and cut random-collision
-    noise pairs (P[hamming<=3] drops from 1.3e-6 to ~3e-13)."""
+    """SimHash near-dup pairs (60-bit signature, hamming <= 3) via
+    block-COMBINATION banding (Manku et al., WWW 2007): candidates key
+    on every 3-of-6 block combination — 20 tables of 30-bit keys — so
+    expected random collisions are ~20 n^2 / 2^30 instead of the plain
+    4-band scheme's ~4 n^2 / 2^15. The scheme history IS the stress
+    row's: r4 caught 8-bit bands at 85x on 10x data (n^2/2^8); 15-bit
+    bands fixed 10x but the r5 100x point measured 288x (n^2/2^15 — a
+    quadratic with a constant that 5M docs defeats); combination keys
+    moved the knee past 250M docs with the OUTPUT bit-identical (same
+    pigeonhole recall guarantee, same verify). The oracle is unchanged:
+    any correct candidate scheme yields the same verified pair set."""
     sim = dedup.simhash(_t(spark, sf_dir, "documents"), bits=60)
-    return dedup.simhash_band_pairs(sim, bits=60, num_bands=4, max_hamming=3)
+    return dedup.simhash_combo_pairs(sim, bits=60, blocks=6, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

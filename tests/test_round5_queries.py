@@ -195,3 +195,33 @@ def test_ann_tuning_curve_plan_reuses_exact_leg(spark):
     assert plan.count("Exchange SinglePartition") <= 4, plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+# --- simhash combination banding (Manku et al. WWW'07) -----------------------
+
+
+def test_simhash_combo_equals_band_pairs(spark):
+    """The combination-key candidate scheme must produce the IDENTICAL
+    verified pair set as plain banding — both are pigeonhole-complete
+    for hamming <= 3, differing only in candidate key width (the 100x
+    scale fix is output-invariant)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sim = dedup.simhash(docs, bits=60)
+    old = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_band_pairs(sim, 60, 4, 3).collect()
+    }
+    new = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_combo_pairs(sim, 60, 6, 3).collect()
+    }
+    assert old == new and len(new) > 0
+
+
+def test_simhash_combo_parameter_guards(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(5)
+    sim = dedup.simhash(docs, bits=60)
+    with pytest.raises(ValueError, match="divide evenly"):
+        dedup.simhash_combo_pairs(sim, bits=60, blocks=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_combo_pairs(sim, bits=60, blocks=6, max_hamming=6)
