@@ -55,6 +55,13 @@ STRESS_QUERIES = (
     "substring_dup_windows",
     "semantic_dedup_drops",
     "bpe_tokenized_docs",
+    # round-5b corpus-scoring family: vocab-sized model joins
+    # (bigram LM), broadcast bucket ratios (DSIR), shared-exchange
+    # first-occurrence join (novelty)
+    "bigram_lm_score",
+    "importance_weights_dsir",
+    "ngram_novelty_score",
+    "vocab_diversity_by_source",
 )
 
 

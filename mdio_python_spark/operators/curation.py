@@ -219,3 +219,73 @@ def assign_split(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed n-gram importance weights (DSIR; Xie et al., NeurIPS 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    Bigram features hash into ``n_buckets`` buckets; the target
+    distribution is the deterministic held-out eval split
+    (:func:`eval_split_pred`), the raw distribution is everything else.
+    DSIR's log-likelihood-ratio weight is replaced by the count-weighted
+    mean of add-one-smoothed bucket ratios (t+1)/(r+1) — a log-free proxy
+    with the same ordering signal that stays exactly computable
+    cross-engine (each ratio is one IEEE division; the mean routes
+    through DECIMAL(18,8) x DECIMAL(10,0) products, see
+    ``text.bigram_lm_scores`` for the precision rationale). Resample the
+    corpus by this weight to tilt it toward the target domain.
+
+    Scale: the per-(doc, bucket) count stage is built once and persisted
+    (three consumers: target totals, raw totals, the scoring join — the
+    persist-the-fork rule); bucket ratio tables are <= n_buckets rows and
+    broadcast, so the corpus-side scoring join is shuffle-free.
+    """
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.functions.determinism import dec
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    bi = word_shingles(df, n=2, text_col=text_col, id_col=id_col, distinct=False)
+    bucket = F.pmod(hash64(F.col("shingle")), F.lit(n_buckets)).alias("bucket")
+    ge = (
+        bi.select(id_col, bucket)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("is_eval", eval_split_pred(id_col=id_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t = ge.where("is_eval").groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("t_cnt")
+    )
+    r = ge.where(~F.col("is_eval")).groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("r_cnt")
+    )
+    ratios = t.join(r, "bucket", "full").select(
+        "bucket",
+        (
+            (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("r_cnt"), F.lit(0)) + 1).cast("double")
+        ).alias("ratio"),
+    )
+    out = (
+        ge.where(~F.col("is_eval"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            (
+                F.sum(dec("ratio", 8) * F.col("c").cast("decimal(10,0)")).cast(
+                    "double"
+                )
+                / F.sum("c").cast("bigint")
+            ).alias("dsir_weight"),
+        )
+    )
+    rotate_scoped("dsir_importance_weights", ge)
+    return attach_cached(out, ge)

@@ -843,3 +843,45 @@ def incremental_dedup(
         .distinct()
     )
     return attach_cached(new2.join(drops, id_col, "left_anti"), *cached)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word n-grams
+    that first occur in THIS document (first = lowest id). The streaming
+    complement of pairwise near-dup detection — a low-novelty tail is the
+    bulk-duplication signal Lee et al. (ACL 2022) measure with suffix
+    arrays, computed here with two combinable passes instead of pairwise
+    comparison. Docs shorter than ``n`` tokens have no n-grams and drop
+    from the output (both engines agree: inner join over an empty set).
+
+    Scale: grams cross the wire as native 64-bit ``xxhash64`` (internal
+    grouping state, never output — the DuckDB oracle groups by the gram
+    string; a collision merges two grams' first-doc in Spark only, odds
+    ~n^2/2^64). One explicit ``repartition(gh)`` exchange feeds BOTH the
+    first-doc aggregate and the membership join co-partitioned
+    (ReusedExchange — the fork-sharing fix that needs no cache memory).
+    """
+    grams = word_shingles(df, n, text_col=text_col, id_col=id_col, distinct=True)
+    g = grams.select(
+        F.col(id_col), F.xxhash64(F.col("shingle")).alias("gh")
+    ).repartition("gh")
+    first_seen = g.groupBy("gh").agg(F.min(id_col).alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        g.join(first_seen, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1)).cast("bigint")).alias(
+                "novelty_frac"
+            ),
+        )
+    )

@@ -324,3 +324,101 @@ def tokenize_ids(
             hash64(F.col("_ids")).alias("ids_hash"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document predictability under a corpus-trained bigram LM.
+
+    The log-free analog of CCNet's KenLM perplexity filter (Wenzek et al.,
+    LREC 2020): train conditional bigram probabilities p(w2|w1) =
+    c(w1 w2) / c(w1·) on the corpus itself, then score each document by the
+    count-weighted mean conditional probability of its bigrams. Low scores
+    flag boilerplate-free but incoherent text (lorem-ipsum, OCR noise);
+    suspiciously high scores flag templated/repetitive text. Means stay
+    cross-engine exact by routing each probability through DECIMAL(18,8)
+    before the sum (ratios are IEEE-divided identically in both engines;
+    the per-value decimal cast can never tie, so rounding mode is moot).
+
+    Scale: per-doc bigram counts collapse the token stream once
+    (combinable groupBy); the model tables are vocab-sized, joined on the
+    prefix token; the corpus-side join is (bigram)-co-partitioned. The
+    per-doc count stage feeds both the model build and the scoring join —
+    persisted per the persist-the-fork rule (AQE subtree reuse is not a
+    contract). Every product stays inside DECIMAL(29,8): the bigint count
+    is cast to DECIMAL(10,0) first, because decimal(18,8) * bigint
+    overflows Spark's precision cap and silently drops to scale 7.
+    """
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.functions.determinism import dec
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+    from mdio_python_spark.operators.dedup import word_shingles
+
+    bi = word_shingles(df, n=2, text_col=text_col, id_col=id_col, distinct=False)
+    bi = bi.withColumnRenamed("shingle", "bigram")
+    dbc = (
+        bi.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bcnt = (
+        dbc.groupBy("bigram")
+        .agg(F.sum("c").cast("bigint").alias("n_big"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w1 = F.substring_index(F.col("bigram"), " ", 1)
+    pcnt = bcnt.groupBy(w1.alias("w1")).agg(
+        F.sum("n_big").cast("bigint").alias("n_pre")
+    )
+    cond = bcnt.join(pcnt, w1 == pcnt.w1).select(
+        "bigram",
+        (F.col("n_big").cast("double") / F.col("n_pre").cast("double")).alias("p"),
+    )
+    out = (
+        dbc.join(cond, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(dec("p", 8) * F.col("c").cast("decimal(10,0)")).cast("double")
+                / F.sum("c").cast("bigint")
+            ).alias("lm_score"),
+        )
+    )
+    rotate_scoped("bigram_lm_scores", dbc, bcnt)
+    return attach_cached(out, dbc, bcnt)
+
+
+def vocab_diversity(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Lexical-diversity profile per group: token/type counts, type-token
+    ratio, and the Simpson diversity index 1 - sum(p_i^2) — the
+    transcendental-free stand-in for Shannon entropy (same ordering on
+    concentration, but exactly computable cross-engine: the squared counts
+    sum in DECIMAL(38,0), then two IEEE double ops). A collapsed-diversity
+    group is the classic symptom of a scraper stuck on one template.
+
+    Scale: two chained combinable groupBys (token stream -> per-group
+    vocab counts -> one row per group); no joins, no windows. The squared
+    counts go through DECIMAL(19,0)^2 so a 1e12-occurrence token at
+    100 TB cannot overflow the bigint product.
+    """
+    tok = df.select(
+        F.col(group_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    cdec = F.col("c").cast("decimal(19,0)")
+    n_tok = F.sum("c").cast("bigint")
+    sum_sq = F.sum((cdec * cdec).cast("decimal(38,0)")).cast("double")
+    return counts.groupBy(group_col).agg(
+        n_tok.alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / n_tok).alias("type_token_ratio"),
+        (
+            F.lit(1.0)
+            - sum_sq / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+        ).alias("simpson_index"),
+    )

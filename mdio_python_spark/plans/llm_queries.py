@@ -3206,3 +3206,135 @@ def q_bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_k").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus scoring: bigram LM predictability, DSIR importance, diversity,
+# n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_lm_score",
+    f"""
+    WITH {_BIGRAMS_CTE},
+    dbc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+    bcnt AS (SELECT bigram, CAST(SUM(c) AS BIGINT) AS n_big
+             FROM dbc GROUP BY bigram),
+    pcnt AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                    CAST(SUM(n_big) AS BIGINT) AS n_pre
+             FROM bcnt GROUP BY 1),
+    cond AS (SELECT b.bigram,
+                    CAST(b.n_big AS DOUBLE) / CAST(p.n_pre AS DOUBLE) AS p
+             FROM bcnt b JOIN pcnt p ON split_part(b.bigram, ' ', 1) = p.w1)
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(CAST(co.p AS DECIMAL(18,8))
+                         * CAST(d.c AS DECIMAL(10,0))) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(d.c) AS BIGINT) AS lm_score
+    FROM dbc d JOIN cond co USING (bigram)
+    GROUP BY d.doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document predictability under a corpus-trained bigram LM — the
+    log-free analog of CCNet's KenLM perplexity filter (Wenzek et al.,
+    LREC 2020). Vocab-sized model tables, one persisted per-doc count
+    stage feeding both model build and scoring join
+    (operators/text.py:bigram_lm_scores)."""
+    return text.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "importance_weights_dsir",
+    f"""
+    WITH {_BIGRAMS_CTE},
+    g AS (SELECT doc_id, {sql_hash64("bigram")} % 1024 AS bucket, COUNT(*) AS c
+          FROM bigrams GROUP BY 1, 2),
+    ge AS (SELECT *, {_EVAL_HASH} % 20 = 0 AS is_eval FROM g),
+    t AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS t_cnt
+          FROM ge WHERE is_eval GROUP BY bucket),
+    r AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS r_cnt
+          FROM ge WHERE NOT is_eval GROUP BY bucket),
+    ratios AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+             CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(r_cnt, 0) + 1 AS DOUBLE) AS ratio
+      FROM t FULL JOIN r ON t.bucket = r.bucket)
+    SELECT ge.doc_id,
+           CAST(SUM(ge.c) AS BIGINT) AS n_grams,
+           CAST(CAST(SUM(CAST(ra.ratio AS DECIMAL(18,8))
+                         * CAST(ge.c AS DECIMAL(10,0))) AS VARCHAR) AS DOUBLE)
+             / CAST(SUM(ge.c) AS BIGINT) AS dsir_weight
+    FROM ge JOIN ratios ra USING (bucket)
+    WHERE NOT ge.is_eval
+    GROUP BY ge.doc_id
+    """,
+)
+def q_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights (Xie et al., NeurIPS 2023):
+    tilt the raw corpus toward the held-out target split by add-one-
+    smoothed bucket ratios. 1024-row ratio table broadcasts; one persisted
+    (doc, bucket) count stage serves all three consumers
+    (operators/curation.py:dsir_importance_weights)."""
+    return curation.dsir_importance_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_diversity_by_source",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    counts AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS type_token_ratio,
+           1.0E0 - CAST(CAST(SUM(CAST(CAST(c AS DECIMAL(19,0))
+                                      * CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+             AS simpson_index
+    FROM counts
+    GROUP BY source
+    """,
+)
+def q_vocab_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio + Simpson index
+    (the transcendental-free entropy stand-in) — collapsed diversity
+    flags a scraper stuck on one template. Two chained combinable
+    groupBys, no joins (operators/text.py:vocab_diversity)."""
+    return text.vocab_diversity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_novelty_score",
+    f"""
+    WITH toked AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 8
+                    THEN list_transform(
+                           generate_series(1, len(tk) - 7),
+                           i -> array_to_string(list_slice(tk, i, i + 7), ' '))
+                    ELSE [] END) AS gram
+      FROM toked
+    ),
+    first_seen AS (SELECT gram, MIN(doc_id) AS first_doc
+                   FROM wins GROUP BY gram)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS novelty_frac
+    FROM wins w JOIN first_seen f ON f.gram = w.gram
+    GROUP BY w.doc_id
+    """,
+)
+def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per document: fraction of its distinct
+    8-grams no earlier (lower-id) doc contains — the corpus-order bulk-
+    duplication signal of Lee et al. (ACL 2022), via two combinable
+    passes over one shared repartition(gh) exchange instead of suffix
+    arrays (operators/dedup.py:ngram_novelty)."""
+    return dedup.ngram_novelty(_t(spark, sf_dir, "documents"), n=8)

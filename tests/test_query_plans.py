@@ -179,3 +179,41 @@ def test_sketch_queries_have_no_corpus_sort_or_window(spark):
     assert "TakeOrderedAndProject" in plan, plan  # exact top-20 branch
     plan = _plan(spark, "corpus_digest")
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "bigram_lm_score",
+        "importance_weights_dsir",
+        "vocab_diversity_by_source",
+        "ngram_novelty_score",
+    ],
+)
+def test_corpus_scoring_family_scale_shape(spark, name):
+    """The round-5 corpus-scoring family: no windows at all, no
+    single-partition exchange, never a nested-loop join — each is scans +
+    combinable aggregates + (broadcast or co-partitioned) equi-joins."""
+    plan = _plan(spark, name)
+    for bad in (
+        "SinglePartition",
+        "WindowExec",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert bad not in plan, f"{name}: {bad}\n{plan}"
+
+
+def test_dsir_broadcasts_bucket_ratios(spark):
+    """The 1024-row bucket-ratio table must broadcast (explicit hint), and
+    the persisted (doc, bucket) stage must be read from cache."""
+    plan = _plan(spark, "importance_weights_dsir")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_bigram_lm_persists_fork_stages(spark):
+    """Both forked stages (per-doc counts, corpus bigram counts) must be
+    cached — AQE identical-subtree reuse is not a contract."""
+    plan = _plan(spark, "bigram_lm_score")
+    assert plan.count("InMemoryTableScan") >= 3, plan
