@@ -62,6 +62,9 @@ STRESS_QUERIES = (
     "importance_weights_dsir",
     "ngram_novelty_score",
     "vocab_diversity_by_source",
+    # 4 banding legs + r=1 truth basis over shared cached stages; the
+    # r=1 leg is the hot one (single-minhash buckets, cap-bounded)
+    "lsh_tuning_curve",
 )
 
 

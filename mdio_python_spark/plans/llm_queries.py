@@ -3338,3 +3338,162 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over one shared repartition(gh) exchange instead of suffix
     arrays (operators/dedup.py:ngram_novelty)."""
     return dedup.ngram_novelty(_t(spark, sf_dir, "documents"), n=8)
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning curve: precision/recall of every band configuration
+# ---------------------------------------------------------------------------
+
+from mdio_python_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+
+def _curve_pairs_cte(r: int) -> str:
+    """CTEs ``bands_{r}`` / ``cand_{r}``: banded 8-hash signature and
+    capped distinct candidate pairs for rows_per_band = r, mirroring
+    dedup.lsh_candidate_pairs + bucket_pairs (sorted-id cap)."""
+    selects = []
+    for band in range(8 // r):
+        cols = ", ".join(f"CAST(mh_{band * r + k} AS VARCHAR)" for k in range(r))
+        concat = "concat_ws('_', " + cols + ")"
+        selects.append(
+            f"SELECT doc_id, {band} AS band_id, "
+            f"{sql_hash64(concat)} AS band_hash FROM signatures"
+        )
+    union = " UNION ALL ".join(selects)
+    cap = DEFAULT_MAX_BUCKET_SIZE
+    return f"""
+  bands_{r} AS ({union}),
+  capped_{r} AS (
+    SELECT doc_id, band_id, band_hash,
+           ROW_NUMBER() OVER (PARTITION BY band_id, band_hash
+                              ORDER BY doc_id) AS rn
+    FROM bands_{r}
+  ),
+  cand_{r} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped_{r} a
+    JOIN capped_{r} b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+     AND a.rn <= {cap} AND b.rn <= {cap}
+  )"""
+
+
+def _curve_leg_sql(r: int) -> str:
+    hit = "COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)"
+    return f"""
+    SELECT CAST({8 // r} AS BIGINT) AS bands,
+           CAST({r} AS BIGINT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           CAST({hit} AS BIGINT) AS n_hit,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE CAST({hit} AS DOUBLE) / CAST(COUNT(*) AS BIGINT)
+           END AS precision,
+           CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+                ELSE CAST({hit} AS DOUBLE)
+                     / (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+           END AS recall
+    FROM cand_{r} c
+    LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b"""
+
+
+_LSH_CURVE_ORACLE = (
+    "WITH "
+    + _SHINGLES_CTE
+    + ", "
+    + _SIGNATURES_CTE
+    + ", "
+    + ", ".join(_curve_pairs_cte(r).lstrip() for r in (1, 2, 4, 8))
+    + """,
+  sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+    FROM cand_1 p
+    JOIN shingled a ON a.doc_id = p.doc_a
+    JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY p.doc_a, p.doc_b
+  ),
+  truth AS (
+    SELECT i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE)
+            / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+  )
+"""
+    + " UNION ALL ".join(_curve_leg_sql(r) for r in (1, 2, 4, 8))
+)
+
+
+@register("lsh_tuning_curve", _LSH_CURVE_ORACLE)
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality at every band configuration of the
+    8-hash MinHash signature — the curve a dedup deployment is tuned by,
+    the LSH counterpart of ann_tuning_curve. Truth = verified Jaccard
+    >= 0.5 on the (8 bands x 1 row) basis, the completest candidate set
+    this signature family can express (every r-row band match implies a
+    1-row match, so it contains all other configs' candidates; a J=0.5
+    pair escapes it with probability (1-J)^8 <= 0.4%).
+
+    Scale shape: ONE persisted hashed-shingle exchange feeds signatures
+    and both Jaccard-verify sides; the persisted 8-long signature table
+    feeds all four banding legs; the truth pair set (LSH-bounded, tiny)
+    broadcasts into each leg's 1-row aggregate. Bucket caps are mirrored
+    in the oracle via rn <= cap over sorted ids."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = (
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = dedup.minhash_signatures(hashed, num_hashes=8).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shingle_sets = hashed.distinct()
+    truth_cand = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=1)
+    truth = (
+        dedup.jaccard_pairs(truth_cand, shingle_sets)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("_t", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    legs = []
+    for r in (1, 2, 4, 8):
+        cand = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=r)
+        hit = F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint")
+        legs.append(
+            cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                hit.alias("n_hit"),
+            )
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(8 // r).cast("bigint").alias("bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                "n_candidates",
+                "n_truth",
+                "n_hit",
+                F.when(F.col("n_candidates") == 0, F.lit(None))
+                .otherwise(
+                    F.col("n_hit").cast("double") / F.col("n_candidates")
+                )
+                .alias("precision"),
+                F.when(F.col("n_truth") == 0, F.lit(None))
+                .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+                .alias("recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    rotate_scoped("lsh_tuning_curve", hashed, sig, truth)
+    return attach_cached(out, hashed, sig, truth)

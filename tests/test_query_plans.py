@@ -217,3 +217,13 @@ def test_bigram_lm_persists_fork_stages(spark):
     cached — AQE identical-subtree reuse is not a contract."""
     plan = _plan(spark, "bigram_lm_score")
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_lsh_tuning_curve_shares_cached_stages(spark):
+    """All four banding legs + the truth leg must read the persisted
+    hashed-shingle / signature / truth stages from cache (>= 5 cache
+    reads), and no corpus-sized cartesian may appear (the only cross
+    join is the broadcast 1-row truth count)."""
+    plan = _plan(spark, "lsh_tuning_curve")
+    assert plan.count("InMemoryTableScan") >= 5, plan
+    assert "CartesianProduct" not in plan, plan
