@@ -65,6 +65,10 @@ STRESS_QUERIES = (
     # 4 banding legs + r=1 truth basis over shared cached stages; the
     # r=1 leg is the hot one (single-minhash buckets, cap-bounded)
     "lsh_tuning_curve",
+    # epoch-shuffle manifest (two-phase rank under a 16-way group key)
+    # and keep-best-of-cluster (connected components + argmax join)
+    "training_order_manifest",
+    "cluster_best_representative",
 )
 
 

@@ -3497,3 +3497,196 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(leg)
     rotate_scoped("lsh_tuning_curve", hashed, sig, truth)
     return attach_cached(out, hashed, sig, truth)
+
+
+# ---------------------------------------------------------------------------
+# Training-order manifest, cluster representatives, cross-modal dup QC
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_order_manifest",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             {sql_hash64("'shard' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+             {sql_hash64("'order' || CAST(doc_id AS VARCHAR)")} AS skey
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                AS BIGINT) AS position
+    FROM m
+    """,
+)
+def q_training_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of every training-data pipeline: a deterministic
+    epoch-shuffle manifest — each doc lands in one of 16 shards (salted
+    id hash) at a pseudorandom position (second salted hash as sort
+    key). Readers stream shard files in position order and get a
+    reproducible global shuffle with no shuffle service involved.
+    Positions come from ranking.group_ranked (range-partitioned ordinal
+    + broadcast offsets) — never a per-shard window sort, so 16 shards
+    does NOT mean 16-way parallelism at 100 TB."""
+    from mdio_python_spark.operators import ranking
+    from mdio_python_spark.operators.curation import split_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        split_hash(F.col("doc_id"), "shard", 16).alias("shard"),
+        hash64(F.concat(F.lit("order"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    ranked = ranking.group_ranked(
+        m,
+        keys=["shard"],
+        order_by=["skey", "doc_id"],
+        rank_col="position",
+        scope="training_order_manifest",
+    )
+    return ranked.select(
+        "doc_id", "shard", F.col("position").cast("bigint").alias("position")
+    )
+
+
+@register(
+    "cluster_best_representative",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM candidate_pairs
+      UNION
+      SELECT doc_b, doc_a FROM candidate_pairs
+    ),
+    cc AS (
+      SELECT u AS id, u AS label FROM edges
+      UNION
+      SELECT e.v AS id, cc.label
+      FROM cc JOIN edges e ON e.u = cc.id
+      WHERE cc.label < e.v
+    ),
+    clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM({{w}}) AS BIGINT) AS weight_sum
+      FROM tok GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(weight_sum AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * 50001.0) AS score
+      FROM agg
+    ),
+    m AS (
+      SELECT c.cluster_id, c.doc_id, s.score
+      FROM clusters c JOIN scored s USING (doc_id)
+    ),
+    best AS (
+      SELECT cluster_id, MAX(score) AS best_score,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM m GROUP BY cluster_id
+    )
+    SELECT b.cluster_id, b.n_members, MIN(m.doc_id) AS best_doc, b.best_score
+    FROM best b JOIN m ON m.cluster_id = b.cluster_id AND m.score = b.best_score
+    GROUP BY b.cluster_id, b.n_members, b.best_score
+    """.replace(
+        "{w}",
+        __import__(
+            "mdio_python_spark.operators.scoring", fromlist=["sql_token_weight"]
+        ).sql_token_weight("token"),
+    ),
+)
+def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-of-cluster dedup: near-dup connected components keep the
+    member with the highest quality-model score (min doc_id on exact
+    ties) instead of the arbitrary lowest id — what production dedup
+    actually ships when a cluster mixes a clean original with mangled
+    mirrors. Composition: LSH pairs -> O(log n) connected components ->
+    score join -> two combinable aggregates (max score per cluster, then
+    min id among the argmax rows); no windows, no driver state."""
+    from mdio_python_spark.operators.scoring import model_score
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_hashes(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    clusters = dedup.connected_components(pairs)
+    scores = model_score(docs).select("doc_id", "score")
+    m = clusters.join(scores, "doc_id")
+    best = m.groupBy("cluster_id").agg(
+        F.max("score").alias("best_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return (
+        m.join(best, "cluster_id")
+        .where(F.col("score") == F.col("best_score"))
+        .groupBy("cluster_id", "n_members", "best_score")
+        .agg(F.min("doc_id").alias("best_doc"))
+        .select("cluster_id", "n_members", "best_doc", "best_score")
+    )
+
+
+@register(
+    "nearpair_embedding_agreement",
+    f"""
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM candidate_pairs p
+      JOIN shingled a ON a.doc_id = p.doc_a
+      JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    verified AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.n_common AS DOUBLE)
+               / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_common AS DOUBLE)
+              / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+    )
+    SELECT v.doc_a, v.doc_b, v.jaccard,
+           {_DOT.format(a="ea.embedding", b="eb.embedding")}
+             / (sqrt({_DOT.format(a="ea.embedding", b="ea.embedding")})
+                * sqrt({_DOT.format(a="eb.embedding", b="eb.embedding")}))
+             AS cosine
+    FROM verified v
+    JOIN embeddings ea ON ea.vec_id = v.doc_a
+    JOIN embeddings eb ON eb.vec_id = v.doc_b
+    """,
+)
+def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup QC: for every verified text near-dup pair
+    (Jaccard >= 0.5), the cosine of the two docs' embeddings — low
+    cosine on a high-Jaccard pair flags a broken embedding run (or
+    id misalignment) before SemDeDup trusts it. The pair set is
+    LSH-bounded (tiny vs corpus), so the two embedding joins are
+    pair-side lookups, not corpus shuffles; cosine is the shared
+    left-fold dot product (deterministic evaluation order)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id")
+    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
+        F.col("jaccard") >= 0.5
+    )
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_vb"))
+    return (
+        verified.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            similarity.cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+    )

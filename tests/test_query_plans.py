@@ -146,7 +146,12 @@ def test_pagerank_caches_edges_no_cartesian(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["customer_value_deciles", "quality_percentile_bands", "length_mad_outliers"],
+    [
+        "customer_value_deciles",
+        "quality_percentile_bands",
+        "length_mad_outliers",
+        "training_order_manifest",
+    ],
 )
 def test_rank_family_two_phase_no_global_window(spark, name):
     """The NTILE/exact-quantile family must rank via the range-partitioned
@@ -227,3 +232,15 @@ def test_lsh_tuning_curve_shares_cached_stages(spark):
     plan = _plan(spark, "lsh_tuning_curve")
     assert plan.count("InMemoryTableScan") >= 5, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["cluster_best_representative", "nearpair_embedding_agreement"]
+)
+def test_cluster_queries_never_nested_loop(spark, name):
+    """Cluster representative selection and the cross-modal pair QC are
+    joins over LSH-bounded pair/cluster sets: no cartesian or nested-loop
+    join, no window operators at all."""
+    plan = _plan(spark, name)
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "WindowExec"):
+        assert bad not in plan, f"{name}: {bad}\n{plan}"
