@@ -3551,6 +3551,9 @@ def q_training_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from mdio_python_spark.operators.scoring import sql_token_weight as _sql_qw
+
+
 @register(
     "cluster_best_representative",
     f"""
@@ -3571,7 +3574,7 @@ def q_training_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
     agg AS (
       SELECT doc_id, COUNT(*) AS n_tokens,
-             CAST(SUM({{w}}) AS BIGINT) AS weight_sum
+             CAST(SUM({_sql_qw("token")}) AS BIGINT) AS weight_sum
       FROM tok GROUP BY doc_id
     ),
     scored AS (
@@ -3592,12 +3595,7 @@ def q_training_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.cluster_id, b.n_members, MIN(m.doc_id) AS best_doc, b.best_score
     FROM best b JOIN m ON m.cluster_id = b.cluster_id AND m.score = b.best_score
     GROUP BY b.cluster_id, b.n_members, b.best_score
-    """.replace(
-        "{w}",
-        __import__(
-            "mdio_python_spark.operators.scoring", fromlist=["sql_token_weight"]
-        ).sql_token_weight("token"),
-    ),
+    """,
 )
 def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-BEST-of-cluster dedup: near-dup connected components keep the
