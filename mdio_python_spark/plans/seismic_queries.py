@@ -346,3 +346,28 @@ def q_streaming_hourly_distinct_users(
         "event_type",
         "hll_estimate",
     )
+
+
+@register(
+    "streaming_hourly_countmin",
+    "local:tests/test_streaming.py::test_streaming_countmin_equals_batch",
+    bench=False,
+)
+def q_streaming_hourly_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequency sketch: count-min cell counts of user_id
+    occurrences per hour, aggregated INSIDE the stream (additive counts
+    — bounded d x w state per open window, mergeable across windows and
+    clusters by cell-wise addition). Rows-only (streams have no SQL
+    oracle); the local gate pins bit-equality of every cell with the
+    batch ``stats.countmin_cells`` over the same rows."""
+    from mdio_python_spark.streaming import events as ev
+
+    stream = ev.stream_events(spark, sf_dir)
+    cells = ev.windowed_countmin_cells(stream)
+    out = ev.run_to_memory(cells, "streaming_hourly_countmin_q")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "r",
+        "bucket",
+        "cell_count",
+    )

@@ -244,3 +244,37 @@ def windowed_hll_registers(
             "_reg",
         )
     )
+
+
+def windowed_countmin_cells(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    col: str = "user_id",
+    salt: str = "cms",
+) -> DataFrame:
+    """Streaming count-min sketch per window: the (hash row, bucket)
+    cell counts of ``col`` occurrences — plain additive counts, so the
+    aggregate is streaming-safe and the state per open window is at most
+    d x w small ints (4096 here) regardless of traffic. Cells from
+    different windows / days / clusters merge by cell-wise addition (the
+    mergeability that makes the sketch a monitoring primitive); point
+    frequency estimates come from ``stats.countmin_lookup`` over the
+    materialized cells. Bit-identical to the batch
+    ``stats.countmin_cells`` over the same rows — order-free integer
+    sums cannot differ between incremental and one-shot aggregation
+    (the gate in tests/test_streaming.py asserts full-frame equality)."""
+    from mdio_python_spark.operators.stats import _cms_buckets
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.posexplode(_cms_buckets(col, salt)).alias("r", "bucket"))
+        .groupBy(F.window("ts", window), "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "r",
+            "bucket",
+            "cell_count",
+        )
+    )

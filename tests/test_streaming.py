@@ -301,3 +301,37 @@ def test_streaming_hll_equals_batch(spark):
     assert (out["hour"] == batch["hour"]).all()
     assert (out["event_type"] == batch["event_type"]).all()
     assert (out["hll_estimate"].values == batch["hll_estimate"].values).all()
+
+
+def test_streaming_countmin_equals_batch(spark):
+    """Every streaming count-min cell must equal the batch
+    stats.countmin_cells value over the same rows — additive integer
+    counts are order-free, so incremental aggregation cannot differ."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.stats import _cms_buckets
+    from mdio_python_spark.plans.registry import registry
+    from mdio_python_spark.sources.tables import load_table
+
+    keys = ["hour", "r", "bucket"]
+    out = (
+        registry()["streaming_hourly_countmin"]
+        .fn(spark, SF)
+        .toPandas()
+        .sort_values(keys, ignore_index=True)
+    )
+    ev = load_table(spark, SF, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        F.posexplode(_cms_buckets("user_id", "cms")).alias("r", "bucket"),
+    )
+    batch = (
+        ev.groupBy("hour", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+        .toPandas()
+        .sort_values(keys, ignore_index=True)
+    )
+    assert len(out) == len(batch) > 0
+    for c in keys + ["cell_count"]:
+        assert (out[c] == batch[c]).all(), c
