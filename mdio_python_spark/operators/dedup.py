@@ -866,15 +866,31 @@ def ngram_novelty(
     first-doc aggregate and the membership join co-partitioned
     (ReusedExchange — the fork-sharing fix that needs no cache memory).
     """
-    grams = word_shingles(df, n, text_col=text_col, id_col=id_col, distinct=True)
-    g = grams.select(
-        F.col(id_col), F.xxhash64(F.col("shingle")).alias("gh")
-    ).repartition("gh")
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    grams = word_shingles(df, n, text_col=text_col, id_col=id_col, distinct=False)
+    # hash BEFORE the per-doc distinct so the dedup shuffle moves 16-byte
+    # (id, gh) rows, never n-gram strings (the shingle_hashes rule); the
+    # repartition(gh) satisfies the distinct's clustering (gh is a subset
+    # of its keys), the groupBy(gh), and the join. The deduped stage is
+    # persisted: its two consumers (first-doc aggregate, membership join)
+    # sit across a self-join whose analyzer dedup re-aliases expr ids, so
+    # exchange reuse does NOT fire and the tokenize+explode+hash subtree
+    # would run twice (the persist-the-fork rule; verified in the plan —
+    # two identical REPARTITION_BY_COL(gh) exchanges without the cache).
+    g = (
+        grams.select(F.col(id_col), F.xxhash64(F.col("shingle")).alias("gh"))
+        .repartition("gh")
+        .dropDuplicates([id_col, "gh"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     first_seen = g.groupBy("gh").agg(F.min(id_col).alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
     ).cast("bigint")
-    return (
+    out = (
         g.join(first_seen, "gh")
         .groupBy(id_col)
         .agg(
@@ -885,3 +901,5 @@ def ngram_novelty(
             ),
         )
     )
+    rotate_scoped("dedup.ngram_novelty", g)
+    return attach_cached(out, g)

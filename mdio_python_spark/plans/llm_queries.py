@@ -73,12 +73,65 @@ _BANDS_CTE = f"""
            {sql_hash64("concat(CAST(mh_6 AS VARCHAR), '_', CAST(mh_7 AS VARCHAR))")}
     FROM signatures
   ),
+  banded_capped AS (
+    SELECT doc_id, band_id, band_hash,
+           ROW_NUMBER() OVER (PARTITION BY band_id, band_hash
+                              ORDER BY doc_id) AS rn
+    FROM bands
+  ),
   candidate_pairs AS (
+    -- rn <= cap mirrors dedup.bucket_pairs' deterministic hot-bucket
+    -- guard (first max_bucket_size SORTED ids per bucket); without it a
+    -- degenerate >cap bucket makes the oracle emit pairs Spark's capped
+    -- generator never sees
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-    FROM bands l JOIN bands r
+    FROM banded_capped l JOIN banded_capped r
       ON l.band_id = r.band_id AND l.band_hash = r.band_hash
      AND l.doc_id < r.doc_id
+     AND l.rn <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
+     AND r.rn <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
   )
+"""
+
+# exact Jaccard for candidate_pairs via the shingle-set join — shared by
+# every oracle that verifies LSH candidates (mirror of dedup.jaccard_pairs)
+_PAIR_JACCARD_CTES = """
+  sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+  inter AS (
+    SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+    FROM candidate_pairs p
+    JOIN shingled a ON a.doc_id = p.doc_a
+    JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY p.doc_a, p.doc_b
+  ),
+  pair_jaccard AS (
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+  )
+"""
+
+# min-label connected components over candidate_pairs (recursive CTE) —
+# shared by every oracle that clusters LSH candidates (mirror of
+# dedup.connected_components' fixpoint)
+_CC_CTES = """
+  edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM candidate_pairs
+    UNION
+    SELECT doc_b, doc_a FROM candidate_pairs
+  ),
+  cc AS (
+    SELECT u AS id, u AS label FROM edges
+    UNION
+    SELECT e.v AS id, cc.label
+    FROM cc JOIN edges e ON e.u = cc.id
+    WHERE cc.label < e.v
+  ),
+  clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id)
 """
 
 
@@ -143,23 +196,8 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_jaccard",
     f"""
-    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
-    inter AS (
-      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
-      FROM candidate_pairs p
-      JOIN shingled a ON a.doc_id = p.doc_a
-      JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
-      GROUP BY p.doc_a, p.doc_b
-    )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_common AS DOUBLE)
-             / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE)
-            / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_PAIR_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.5
     """,
 )
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,20 +222,8 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_assignments",
     f"""
-    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM candidate_pairs
-      UNION
-      SELECT doc_b, doc_a FROM candidate_pairs
-    ),
-    cc AS (
-      SELECT u AS id, u AS label FROM edges
-      UNION
-      SELECT e.v AS id, cc.label
-      FROM cc JOIN edges e ON e.u = cc.id
-      WHERE cc.label < e.v
-    )
-    SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_CC_CTES}
+    SELECT doc_id, cluster_id FROM clusters
     """,
 )
 def q_dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2815,22 +2841,9 @@ def q_substring_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cross_source_dup_matrix",
     f"""
-    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
-    inter AS (
-      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
-      FROM candidate_pairs p
-      JOIN shingled a ON a.doc_id = p.doc_a
-      JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
-      GROUP BY p.doc_a, p.doc_b
-    ),
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_PAIR_JACCARD_CTES},
     verified AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(i.n_common AS DOUBLE)
-              / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+      SELECT doc_a, doc_b FROM pair_jaccard WHERE jaccard >= 0.5
     )
     SELECT LEAST(da.source, db.source) AS source_a,
            GREATEST(da.source, db.source) AS source_b,
@@ -3456,9 +3469,14 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     shingle_sets = hashed.distinct()
-    truth_cand = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=1)
+    # the r=1 pair set is BOTH the truth basis and leg 1 — persist it so
+    # the hottest banding (single-minhash buckets) is generated once
+    # (persist-the-fork: exchange reuse across the fork is not a contract)
+    cand1 = dedup.lsh_candidate_pairs(
+        sig, num_hashes=8, rows_per_band=1
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     truth = (
-        dedup.jaccard_pairs(truth_cand, shingle_sets)
+        dedup.jaccard_pairs(cand1, shingle_sets)
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
         .withColumn("_t", F.lit(1))
@@ -3467,7 +3485,11 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     legs = []
     for r in (1, 2, 4, 8):
-        cand = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=r)
+        cand = (
+            cand1
+            if r == 1
+            else dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=r)
+        )
         hit = F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint")
         legs.append(
             cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
@@ -3495,8 +3517,8 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    rotate_scoped("lsh_tuning_curve", hashed, sig, truth)
-    return attach_cached(out, hashed, sig, truth)
+    rotate_scoped("lsh_tuning_curve", hashed, sig, cand1, truth)
+    return attach_cached(out, hashed, sig, cand1, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -3529,6 +3551,7 @@ def q_training_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     + broadcast offsets) — never a per-shard window sort, so 16 shards
     does NOT mean 16-way parallelism at 100 TB."""
     from mdio_python_spark.operators import ranking
+    from mdio_python_spark.operators.caching import CACHE_ATTR, attach_cached
     from mdio_python_spark.operators.curation import split_hash
 
     docs = _t(spark, sf_dir, "documents")
@@ -3546,9 +3569,12 @@ def q_training_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="position",
         scope="training_order_manifest",
     )
-    return ranked.select(
+    out = ranked.select(
         "doc_id", "shard", F.col("position").cast("bigint").alias("position")
     )
+    # re-attach the ordinal stage's persisted handles (select() drops
+    # them) so release_cached(result) keeps working — the deciles pattern
+    return attach_cached(out, *getattr(ranked, CACHE_ATTR, []))
 
 
 from mdio_python_spark.operators.scoring import sql_token_weight as _sql_qw
@@ -3557,20 +3583,7 @@ from mdio_python_spark.operators.scoring import sql_token_weight as _sql_qw
 @register(
     "cluster_best_representative",
     f"""
-    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM candidate_pairs
-      UNION
-      SELECT doc_b, doc_a FROM candidate_pairs
-    ),
-    cc AS (
-      SELECT u AS id, u AS label FROM edges
-      UNION
-      SELECT e.v AS id, cc.label
-      FROM cc JOIN edges e ON e.u = cc.id
-      WHERE cc.label < e.v
-    ),
-    clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_CC_CTES},
     tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
     agg AS (
       SELECT doc_id, COUNT(*) AS n_tokens,
@@ -3630,25 +3643,9 @@ def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "nearpair_embedding_agreement",
     f"""
-    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
-    inter AS (
-      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
-      FROM candidate_pairs p
-      JOIN shingled a ON a.doc_id = p.doc_a
-      JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
-      GROUP BY p.doc_a, p.doc_b
-    ),
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_PAIR_JACCARD_CTES},
     verified AS (
-      SELECT i.doc_a, i.doc_b,
-             CAST(i.n_common AS DOUBLE)
-               / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE)
-               AS jaccard
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(i.n_common AS DOUBLE)
-              / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) >= 0.5
+      SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.5
     )
     SELECT v.doc_a, v.doc_b, v.jaccard,
            {_DOT.format(a="ea.embedding", b="eb.embedding")}

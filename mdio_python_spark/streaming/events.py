@@ -268,6 +268,10 @@ def windowed_countmin_cells(
 
     return (
         events.withWatermark("ts", watermark)
+        # NULL items are not countable events (matches the HLL family's
+        # ignore-NULL convention; a NULL would also surface as a NULL
+        # bucket row and poison the bit-equality gate)
+        .where(F.col(col).isNotNull())
         .select("ts", F.posexplode(_cms_buckets(col, salt)).alias("r", "bucket"))
         .groupBy(F.window("ts", window), "r", "bucket")
         .agg(F.count(F.lit(1)).alias("cell_count"))

@@ -320,11 +320,15 @@ def test_streaming_countmin_equals_batch(spark):
         .toPandas()
         .sort_values(keys, ignore_index=True)
     )
-    ev = load_table(spark, SF, "events").select(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-            "hour"
-        ),
-        F.posexplode(_cms_buckets("user_id", "cms")).alias("r", "bucket"),
+    ev = (
+        load_table(spark, SF, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            F.posexplode(_cms_buckets("user_id", "cms")).alias("r", "bucket"),
+        )
     )
     batch = (
         ev.groupBy("hour", "r", "bucket")
