@@ -69,6 +69,8 @@ STRESS_QUERIES = (
     # and keep-best-of-cluster (connected components + argmax join)
     "training_order_manifest",
     "cluster_best_representative",
+    # vocab-sized self-join over the persisted (source, token) stage
+    "source_vocab_overlap",
 )
 
 

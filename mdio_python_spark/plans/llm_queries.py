@@ -3685,3 +3685,153 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
             similarity.cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus QC: quality-model length confound, source vocabulary overlap
+# ---------------------------------------------------------------------------
+
+_D38_SQL = "CAST(CAST(SUM(CAST({e} AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)"
+_X19 = "CAST(x AS DECIMAL(19,0))"
+_Y19 = "CAST(y AS DECIMAL(19,0))"
+
+
+@register(
+    "length_quality_correlation",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    agg AS (
+      SELECT doc_id, CAST(SUM({_sql_qw("token")}) AS BIGINT) AS y
+      FROM tok GROUP BY doc_id
+    ),
+    xy AS (
+      SELECT d.n_chars AS x, a.y AS y
+      FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(x AS BIGINT)) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             {_D38_SQL.format(e=f"{_X19} * {_X19}")} AS sxx,
+             {_D38_SQL.format(e=f"{_Y19} * {_Y19}")} AS syy,
+             {_D38_SQL.format(e=f"{_X19} * {_Y19}")} AS sxy
+      FROM xy
+    )
+    SELECT n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_len_quality
+    FROM s
+    """,
+)
+def q_length_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the quality model length-confounded? Pearson correlation of
+    document length vs the hashed-linear model's raw weight sum — the
+    audit run before trusting any score-based keep/drop threshold (a
+    strongly length-correlated 'quality' score silently becomes a length
+    filter). All five moments accumulate as exact integers/DECIMAL(38,0)
+    (order-free, combinable, one shuffle row per partition); the final r
+    is a fixed IEEE chain both engines evaluate identically."""
+    from mdio_python_spark.operators.scoring import model_score
+
+    docs = _t(spark, sf_dir, "documents")
+    ms = model_score(docs).select("doc_id", F.col("weight_sum").alias("y"))
+    xy = docs.select("doc_id", F.col("n_chars").alias("x")).join(ms, "doc_id")
+
+    def d19(c: str):
+        return F.col(c).cast("decimal(19,0)")
+
+    def s38(e):
+        return F.sum(e.cast("decimal(38,0)")).cast("double")
+
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("bigint")).cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        s38(d19("x") * d19("x")).alias("sxx"),
+        s38(d19("y") * d19("y")).alias("syy"),
+        s38(d19("x") * d19("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("n", corr.alias("corr_len_quality"))
+
+
+@register(
+    "source_vocab_overlap",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    vocab AS (SELECT DISTINCT source, token FROM tok),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab
+              FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n_vocab + sb.n_vocab - i.n_common AS BIGINT)
+             AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-similarity matrix: vocabulary Jaccard between every source
+    pair — the signal behind 'these two feeds are the same crawl' mixing
+    and dedup decisions. The corpus collapses to a (source, token) vocab
+    once (persisted: it feeds the sizes aggregate and both self-join
+    sides, and exchange reuse across a self-join is not a contract); the
+    token-key self-join emits at most |sources|^2 rows per token; sizes
+    broadcast into the final |pairs|-row select."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(text.tokens(F.lower(F.col("text")))).alias("token")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab")
+    )
+    a = vocab.withColumnRenamed("source", "source_a")
+    b = vocab.withColumnRenamed("source", "source_b")
+    inter = (
+        a.join(b, ["token"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+        "n_vocab", "n_a"
+    )
+    sb = sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+        "n_vocab", "n_b"
+    )
+    out = (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("bigint")
+            ).alias("vocab_jaccard"),
+        )
+    )
+    rotate_scoped("source_vocab_overlap", vocab)
+    return attach_cached(out, vocab)

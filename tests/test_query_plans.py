@@ -244,3 +244,24 @@ def test_cluster_queries_never_nested_loop(spark, name):
     plan = _plan(spark, name)
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "WindowExec"):
         assert bad not in plan, f"{name}: {bad}\n{plan}"
+
+
+def test_vocab_overlap_caches_vocab_and_broadcasts_sizes(spark):
+    """The (source, token) vocab stage must be read from cache by the
+    sizes aggregate and both self-join sides (exchange reuse across a
+    self-join is not a contract), the per-source size tables must
+    broadcast, and the token self-join must be an equi-join."""
+    plan = _plan(spark, "source_vocab_overlap")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "WindowExec"):
+        assert bad not in plan, plan
+
+
+def test_correlation_is_single_combinable_aggregate(spark):
+    """The correlation query reduces the corpus in ONE combinable
+    aggregate: no windows, no sorts, and only the score join + final
+    1-row aggregation exchanges."""
+    plan = _plan(spark, "length_quality_correlation")
+    for bad in ("WindowExec", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
