@@ -39,6 +39,11 @@ def get_spark(app_name: str = "mdio-python-spark") -> SparkSession:
         # inflation late in long sessions. Any multi-query production
         # session wants this raised; memory cost is class bytecode only.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # a transient Python-worker crash kills the session-scoped JVM
+        # for everything after it; at least capture the worker's Python
+        # traceback so the next occurrence is diagnosable
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
