@@ -71,6 +71,9 @@ STRESS_QUERIES = (
     "cluster_best_representative",
     # vocab-sized self-join over the persisted (source, token) stage
     "source_vocab_overlap",
+    # char-shingle explode (the largest per-doc fan-out in the repo) +
+    # entropy-tightened 2x4 banding
+    "char_shingle_near_dup",
 )
 
 

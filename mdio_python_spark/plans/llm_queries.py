@@ -205,18 +205,30 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verify at 0.5 — the canonical training-data dedup DAG.
 
     Scale shape: every branch (signatures, set sizes, intersection sides)
-    consumes ONE repartition(doc_id) exchange of the hashed shingles, so
-    Spark's ReusedExchange computes the tokenize+explode+md5 subtree exactly
-    once; HashPartitioning(doc_id) satisfies the doc-level groupBys and the
-    (doc_id, sh) distinct with no further shuffle. The exchange moves 16-byte
-    rows (~10% of the text it replaces) — far cheaper than re-scanning the
-    corpus per branch at 100 TB."""
+    reads ONE PERSISTED repartition(doc_id) exchange of the hashed
+    shingles (16-byte rows, ~10% of the text they replace).
+    Planner-level ReusedExchange does NOT fire across these self-join
+    branches (analyzer re-aliasing; the initial plan shows 5 identical
+    repartition exchanges) and AQE runtime stage reuse is not a contract
+    — the explicit persist makes the tokenize+explode+md5 subtree run
+    exactly once (measured 4.0 -> 2.7 s at sf0.1)."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     docs = _t(spark, sf_dir, "documents")
-    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id")
+    hashed = (
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    shingle_sets = hashed.distinct()
-    return dedup.jaccard_pairs(pairs, shingle_sets).where(F.col("jaccard") >= 0.5)
+    out = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
+        F.col("jaccard") >= 0.5
+    )
+    rotate_scoped("near_dup_jaccard", hashed)
+    return attach_cached(out, hashed)
 
 
 @register(
@@ -2861,8 +2873,16 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop. The matrix rollup adds two doc_id-co-partitioned hash joins
     (pairs side is LSH-bounded, tiny vs corpus) and one combinable
     groupBy on top of the shared near-dup pipeline."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     docs = _t(spark, sf_dir, "documents")
-    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id")
+    hashed = (
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
@@ -2872,7 +2892,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = verified.join(
         src.withColumnsRenamed({"doc_id": "doc_a", "source": "_sa"}), "doc_a"
     ).join(src.withColumnsRenamed({"doc_id": "doc_b", "source": "_sb"}), "doc_b")
-    return (
+    out = (
         m.select(
             F.least("_sa", "_sb").alias("source_a"),
             F.greatest("_sa", "_sb").alias("source_b"),
@@ -2880,6 +2900,8 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+    rotate_scoped("cross_source_dup_matrix", hashed)
+    return attach_cached(out, hashed)
 
 
 _SEMDEDUP_ORACLE = f"""
@@ -3665,9 +3687,17 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     LSH-bounded (tiny vs corpus), so the two embedding joins are
     pair-side lookups, not corpus shuffles; cosine is the shared
     left-fold dot product (deterministic evaluation order)."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id")
+    hashed = (
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
@@ -3675,7 +3705,7 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     )
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_va"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_vb"))
-    return (
+    out = (
         verified.join(ea, "doc_a")
         .join(eb, "doc_b")
         .select(
@@ -3685,6 +3715,8 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
             similarity.cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
     )
+    rotate_scoped("nearpair_embedding_agreement", hashed)
+    return attach_cached(out, hashed)
 
 
 # ---------------------------------------------------------------------------
@@ -3835,3 +3867,100 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rotate_scoped("source_vocab_overlap", vocab)
     return attach_cached(out, vocab)
+
+
+# ---------------------------------------------------------------------------
+# Char-shingle near-dup: the word-boundary-robust dedup variant
+# ---------------------------------------------------------------------------
+
+_CHAR_SHINGLES_CTE = """
+  chars AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+  shingled AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN length(t) >= 8
+                  THEN list_transform(generate_series(1, length(t) - 7),
+                                      i -> substr(t, i, 8))
+                  ELSE [] END) AS shingle
+    FROM chars
+  )
+"""
+
+# char-shingle banding: 2 bands x 4 rows (NOT the word pipeline's 4 x 2).
+# Char shingles are low-entropy — random same-language docs share enough
+# common 8-grams that their minhash-agreement probability is far above
+# word-shingle levels, and a 2-row band admits ~30% of ALL pairs
+# (measured: 1.5M candidates from 5k docs at n=5, r=2 -> 285 at n=8,
+# r=4). Tighter bands trade recall on marginal pairs (P[catch J=0.7] =
+# 1-(1-0.7^4)^2 ~ 42%) for a candidate set that stays pair-shaped;
+# near-identical dups (J ~ 1) are still caught with P ~ 96%.
+_CHAR_BANDS_CTE = """
+  char_bands AS (
+    SELECT doc_id, 0 AS band_id,
+           {b0} AS band_hash
+    FROM signatures
+    UNION ALL
+    SELECT doc_id, 1, {b1}
+    FROM signatures
+  ),
+  char_capped AS (
+    SELECT doc_id, band_id, band_hash,
+           ROW_NUMBER() OVER (PARTITION BY band_id, band_hash
+                              ORDER BY doc_id) AS rn
+    FROM char_bands
+  ),
+  candidate_pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM char_capped l JOIN char_capped r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+     AND l.rn <= {cap} AND r.rn <= {cap}
+  )
+""".format(
+    b0=sql_hash64(
+        "concat_ws('_', CAST(mh_0 AS VARCHAR), CAST(mh_1 AS VARCHAR), "
+        "CAST(mh_2 AS VARCHAR), CAST(mh_3 AS VARCHAR))"
+    ),
+    b1=sql_hash64(
+        "concat_ws('_', CAST(mh_4 AS VARCHAR), CAST(mh_5 AS VARCHAR), "
+        "CAST(mh_6 AS VARCHAR), CAST(mh_7 AS VARCHAR))"
+    ),
+    cap=dedup.DEFAULT_MAX_BUCKET_SIZE,
+)
+
+
+@register(
+    "char_shingle_near_dup",
+    f"""
+    WITH {_CHAR_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_CHAR_BANDS_CTE}, {_PAIR_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.7
+    """,
+)
+def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over character 8-shingles at Jaccard >= 0.7 — the
+    tokenizer-free variant that survives the spacing/punctuation
+    mangling which defeats word shingles (one edit shifts at most 8
+    char shingles but rewrites every word shingle it touches). Same DAG
+    as near_dup_jaccard but banded 2 x 4 instead of 4 x 2: char
+    shingles are low-entropy, and a 2-row band admits a third of ALL
+    same-language pairs as candidates (measured 1.5M -> 285 from 5k
+    docs when widening to n=8, r=4 — see _CHAR_BANDS_CTE). The shared
+    oracle fragments (signatures, Jaccard verify) compose over the
+    char-shingle CTE unchanged (operators/dedup.py:char_shingles)."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = (
+        dedup.char_shingles(docs, n=8)
+        .select("doc_id", hash64(F.col("shingle")).alias("sh"))
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=4)
+    out = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
+        F.col("jaccard") >= 0.7
+    )
+    rotate_scoped("char_shingle_near_dup", hashed)
+    return attach_cached(out, hashed)

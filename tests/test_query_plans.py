@@ -64,7 +64,12 @@ def test_ordered_export_no_global_window(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_lsh_pairs", "near_dup_jaccard", "simhash_hamming_pairs"],
+    [
+        "minhash_lsh_pairs",
+        "near_dup_jaccard",
+        "simhash_hamming_pairs",
+        "char_shingle_near_dup",
+    ],
 )
 def test_pair_generators_never_nested_loop(spark, name):
     """Candidate pairs come from in-bucket generation — any plan change
