@@ -74,14 +74,32 @@ STRESS_QUERIES = (
     # char-shingle explode (the largest per-doc fan-out in the repo) +
     # entropy-tightened 2x4 banding
     "char_shingle_near_dup",
+    # round-5c: per-position kgram hashing + per-doc window min
+    # (winnowing), corpus posexplode -> dim-keyed pair join (centroids),
+    # grouped two-phase top-k under lang skew, and the CC-based split /
+    # effective-size pair (corpus left join against the clustered subset)
+    "winnowing_fingerprints",
+    "winnowing_dup_pairs",
+    "source_centroid_cosine",
+    "top_ngrams_by_lang",
+    "leakage_safe_split",
+    "dedup_effective_tokens",
 )
 
 
-def _timed(spark, fn, sf_dir: str, runs: int = 2) -> float:
+def _timed(spark, fn, sf_dir: str, runs: int = 2, eager: bool = False) -> float:
+    """Best-of-``runs`` wall time. ``eager=True`` starts the clock BEFORE
+    the builder call: queries whose construction performs unbounded
+    distributed work (a connected-components fixpoint, a sampled k-means
+    fit) would otherwise leave that work — the part that actually scales —
+    entirely outside the timed window (QuerySpec.eager documents the
+    classification; bounded driver literals stay excluded)."""
     best = None
     for _ in range(runs):
-        df = fn(spark, sf_dir)
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if not eager:
+            t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
@@ -114,8 +132,8 @@ def run_stress(scale: int, out_name: str, only: list[str] | None = None) -> None
         spec.fn(spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()  # warm codegen
-        base_s = _timed(spark, spec.fn, base_dir)
-        scaled_s = _timed(spark, spec.fn, scaled_dir)
+        base_s = _timed(spark, spec.fn, base_dir, eager=spec.eager)
+        scaled_s = _timed(spark, spec.fn, scaled_dir, eager=spec.eager)
         ratio = scaled_s / max(base_s, 1e-6)
         report[name] = {
             "base_s": round(base_s, 3),
@@ -169,10 +187,14 @@ def main() -> None:
 
     # Per-query isolation: one broken query must cost one row, not the
     # round (round 2 lost its entire bench to a single AnalysisException).
-    # Query CONSTRUCTION stays outside the timer (py4j plan-building adds
-    # a flat ~50-100 ms that isn't execution cost and would skew every
-    # cross-round per-query comparison); every declared query builds
-    # lazily, so all real work lands inside the timed write.
+    # Query CONSTRUCTION stays outside the timer for LAZY queries (py4j
+    # plan-building adds a flat ~50-100 ms that isn't execution cost and
+    # would skew every cross-round per-query comparison) — EXCEPT the
+    # spec.eager queries, whose construction performs unbounded
+    # distributed work (connected-components fixpoint, sampled k-means
+    # fit): for those the clock starts before the builder call, or the
+    # very work that scales would escape measurement (round-5 fix; their
+    # timings rose accordingly vs earlier rounds' under-reports).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     spark.catalog.clearCache()  # warm-up loop caches must not skew query #1
@@ -185,8 +207,10 @@ def main() -> None:
             # min of two complete executions is the query's actual cost
             best = None
             for _ in range(2):
-                df = spec.fn(spark, sf_dir)
                 t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                if not spec.eager:
+                    t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)

@@ -935,3 +935,44 @@ def char_shingles(
             "shingle"
         ),
     )
+
+
+def bucket_pair_counts(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """(doc_a < doc_b, n_shared) — how many buckets each pair co-occurs
+    in, via the same in-bucket combination generation as
+    :func:`bucket_pairs` (upstream computed once, only colliding docs
+    ever meet, same deterministic sorted-id hot-bucket cap). Where
+    :func:`bucket_pairs` answers "which pairs collide at all", this
+    keeps the multiplicity — the match-strength signal winnowing-style
+    fingerprint matching thresholds on (a one-fingerprint collision is
+    noise; m shared fingerprints mean m distinct shared regions).
+
+    Requires the (id, bucket) rows to be distinct per pair semantics the
+    caller wants counted — duplicates inflate n_shared."""
+    ids = F.sort_array(F.collect_list(F.col(id_col)))
+    if max_bucket_size is not None:
+        ids = F.slice(ids, 1, max_bucket_size)
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

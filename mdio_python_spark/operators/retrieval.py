@@ -235,3 +235,40 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select(id_col, rank_a_col, rank_b_col, "rrf_score", "rank")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tie_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k rows per group by ``order_col`` descending, ties broken
+    on ``tie_col`` ascending — the generalization of :func:`bm25_topk`'s
+    two-phase shape to arbitrary grouped rankings (top n-grams per
+    language, top documents per source, ...).
+
+    Two-phase so no unbounded set reaches a single task even when one
+    group dominates (per-group row counts are corpus-scale for skewed
+    groups like languages): phase 1 ranks within (group, 64 hash buckets
+    of the tie key) — a fully parallel partitioned window — and keeps k
+    per bucket; phase 2 ranks the <= 64k survivors per group. Any global
+    top-k row is top-k within its bucket, so the result is identical to
+    the direct single-window form (and to the SQL oracle).
+    """
+    from mdio_python_spark.functions.scalars import hash64
+
+    bucket = F.pmod(hash64(F.col(tie_col).cast("string")), F.lit(64))
+    order = [F.col(order_col).desc(), F.col(tie_col)]
+    w_local = Window.partitionBy(*group_cols, bucket).orderBy(*order)
+    pruned = df.withColumn("_lrank", F.row_number().over(w_local)).where(
+        F.col("_lrank") <= k
+    )
+    # bounded: <= 64k rows per group survive phase 1
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("_lrank")
+    )

@@ -820,3 +820,86 @@ def sql_random_project(
             chain = f"({chain}) / sqrt({float(out_dim)})"
         frags.append(chain)
     return frags
+
+
+def source_centroid_cosine(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding centroids —
+    the source-level semantic-similarity matrix (which crawls cover the
+    same content?) that complements the token-level
+    ``source_vocab_overlap`` signal.
+
+    Exactness: cosine is scale-invariant, so the centroid's 1/n division
+    never happens — the cosine of the SUM vectors is the cosine of the
+    means — and the same invariance absorbs the quantization scale:
+    components quantize once via ``floor(v * 1e6)`` (float->double
+    widening is exact, the double multiply and floor are IEEE-identical
+    in both engines, and floor — unlike any rounding — has no tie mode
+    to disagree on; engines' float->DECIMAL casts measurably diverge at
+    the 7th decimal). Every sum/product then stays in exact decimal:
+    per-dim sums in DECIMAL(18,0) (fits 1e12 rows per group at |v| < 1),
+    pairwise products in DECIMAL(37,0) (18+18+1 = 37 <= 38, never the
+    silent scale-reduction trap), dim-summed dots in DECIMAL(38,0). The
+    final cosine is one fixed IEEE chain (decimal->double casts are
+    correctly rounded in both engines; sqrt is IEEE-exact).
+
+    Scale shape: one corpus-sized posexplode projection (scan-side,
+    dim x rows), ONE combinable groupBy(group, dim) collapsing to
+    |groups| x dim rows, then a dim-keyed self-join bounded at
+    |groups|^2 x dim rows and broadcast norm joins — nothing downstream
+    of the first aggregate touches corpus-sized data.
+    """
+    j = docs.select(F.col(id_col).alias(vec_id_col), group_col).join(
+        emb, vec_id_col
+    )
+    comp = j.select(
+        group_col, F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    ).select(
+        group_col,
+        "dim",
+        F.floor(F.col("_v").cast("double") * F.lit(1000000.0))
+        .cast("decimal(18,0)")
+        .alias("_vq"),
+    )
+    sums = comp.groupBy(group_col, "dim").agg(
+        F.sum("_vq").cast("decimal(18,0)").alias("s")
+    )
+    prod = (F.col("sa") * F.col("sb")).cast("decimal(37,0)")
+    a = sums.select(
+        F.col(group_col).alias("group_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col(group_col).alias("group_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.sum(prod).alias("dot"))
+    )
+    sq = (F.col("s") * F.col("s")).cast("decimal(37,0)")
+    norms = sums.groupBy(group_col).agg(F.sum(sq).alias("n2"))
+    na = norms.select(F.col(group_col).alias("group_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col(group_col).alias("group_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+        .where((F.col("n2a") > 0) & (F.col("n2b") > 0))
+        .select(
+            "group_a",
+            "group_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                )
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -237,6 +237,7 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_CC_CTES}
     SELECT doc_id, cluster_id FROM clusters
     """,
+    eager=True,
 )
 def q_dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: LSH candidate pairs -> connected components ->
@@ -2052,7 +2053,7 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register("embedding_ivfpq_adc", _ivfpq_oracle())
+@register("embedding_ivfpq_adc", _ivfpq_oracle(), eager=True)
 def q_embedding_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the full Jegou et al. system, composed: Voronoi cells
     bound which candidates each query scores (4-probe of 16 cells), PQ
@@ -2075,6 +2076,7 @@ def q_embedding_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_ivf_fitted",
     "local:tests/test_similarity_fitted.py::test_ivf_fitted_query_exact",
+    eager=True,
 )
 def q_embedding_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with PRODUCTION-path centroids: Lloyd k-means (cosine)
@@ -2098,6 +2100,7 @@ def q_embedding_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_pq_fitted",
     "local:tests/test_similarity_fitted.py::test_pq_fitted_query_exact",
+    eager=True,
 )
 def q_embedding_pq_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encode + ADC with PRODUCTION-path codebooks: per-subspace
@@ -3631,6 +3634,7 @@ from mdio_python_spark.operators.scoring import sql_token_weight as _sql_qw
     FROM best b JOIN m ON m.cluster_id = b.cluster_id AND m.score = b.best_score
     GROUP BY b.cluster_id, b.n_members, b.best_score
     """,
+    eager=True,
 )
 def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-BEST-of-cluster dedup: near-dup connected components keep the
@@ -3964,3 +3968,337 @@ def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rotate_scoped("char_shingle_near_dup", hashed)
     return attach_cached(out, hashed)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+# k = 16, w = 8: k is winnowing's noise threshold — at k=8 the min
+# selection biases toward globally-common English 8-grams and 86% of ALL
+# same-language pairs collide (108k pairs / 500 docs measured); at k=16
+# the pair count tracks true duplication and is FLAT from 500 to 5000
+# docs (1032 vs 1026). Guarantee: shared substrings >= w+k-1 = 23 chars
+# always share a fingerprint (see operators/text.py:winnow_fingerprint_set).
+_WIN_K, _WIN_W = 16, 8
+
+_WINNOW_CTES = f"""
+  base AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents
+      WHERE length(lower(trim(text))) >= {_WIN_W + _WIN_K - 1}
+    ),
+    kg AS (
+      SELECT doc_id,
+             length(t) - {_WIN_K - 1} AS n_kgrams,
+             unnest(generate_series(1, length(t) - {_WIN_K - 1})) AS pos,
+             unnest(list_transform(generate_series(1, length(t) - {_WIN_K - 1}),
+                    i -> {sql_hash64(f"substr(t, i, {_WIN_K})")})) AS h
+      FROM base
+    ),
+    wins AS (
+      SELECT doc_id, n_kgrams, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS wmin
+      FROM kg
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, n_kgrams, wmin FROM wins
+      WHERE pos <= n_kgrams - {_WIN_W - 1}
+    )
+"""
+
+_WINNOW_ORACLE = f"""
+    WITH {_WINNOW_CTES}
+    SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           COUNT(*) AS n_fingerprints, bit_xor(wmin) AS fp_xor
+    FROM sel GROUP BY doc_id, n_kgrams
+"""
+
+
+@register("winnowing_fingerprints", _WINNOW_ORACLE)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism detector's selection scheme): hash
+    every char 16-gram, keep the min hash of each sliding 8-window,
+    report the per-doc fingerprint count + order-free XOR digest.
+    Guarantee: docs sharing any substring of >= 23 chars share a
+    fingerprint, at ~2/(w+1) the storage of the full k-gram set — the
+    position-robust middle ground between doc_fingerprint (whole-doc)
+    and substring_dup_windows (every window). k=16 is entropy-tuned (see
+    _WIN_K note above).
+
+    Scale shape (operators/text.py:winnow_fingerprints): scan-side
+    explode of (doc, pos, 8-byte hash), ONE doc_id exchange serving the
+    per-doc window min, the distinct, and the combinable final aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+
+
+# ---------------------------------------------------------------------------
+# Source-centroid cosine matrix (embedding analog of source_vocab_overlap)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+    WITH joined AS (
+      SELECT d.source, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    comp0 AS (
+      SELECT source,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM joined
+    ),
+    comp AS (
+      SELECT source, dim,
+             CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS DECIMAL(18,0)) AS vq
+      FROM comp0
+    ),
+    sums AS (
+      SELECT source, dim, CAST(SUM(vq) AS DECIMAL(18,0)) AS s
+      FROM comp GROUP BY source, dim
+    ),
+    dots AS (
+      SELECT a.source AS group_a, b.source AS group_b,
+             SUM(CAST(a.s * b.s AS DECIMAL(37,0))) AS dot
+      FROM sums a JOIN sums b ON a.dim = b.dim AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT source, SUM(CAST(s * s AS DECIMAL(37,0))) AS n2
+      FROM sums GROUP BY source
+    )
+    SELECT group_a, group_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS centroid_cosine
+    FROM dots
+    JOIN norms na ON na.source = group_a
+    JOIN norms nb ON nb.source = group_b
+    WHERE na.n2 > 0 AND nb.n2 > 0
+"""
+
+
+@register("source_centroid_cosine", _CENTROID_ORACLE)
+def q_source_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-source embedding centroids — the
+    semantic mixing/contamination matrix ('these two crawls cover the
+    same content') beside the token-level source_vocab_overlap. Cosine is
+    scale-invariant so the SUM vectors stand in for the means, the
+    floor(v * 1e6) quantization cancels too, and every arithmetic step
+    before the final IEEE chain is exact decimal
+    (operators/similarity.py:source_centroid_cosine documents the
+    precision ladder and why DECIMAL(37,0) dodges Spark's silent
+    scale-reduction trap).
+
+    Scale shape: scan-side posexplode, one combinable groupBy(source,
+    dim) collapsing the corpus to |sources| x dim rows; everything after
+    is dimension-table sized (dim-keyed self-join, broadcast norms)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.source_centroid_cosine(docs, emb)
+
+
+# ---------------------------------------------------------------------------
+# Exact top n-grams per language (grouped two-phase top-k)
+# ---------------------------------------------------------------------------
+
+_TOP_NGRAMS_ORACLE = f"""
+    WITH g AS (
+      SELECT lang,
+             unnest(CASE WHEN len({_TOKS}) >= 3
+                    THEN list_transform(
+                           generate_series(1, len({_TOKS}) - 2),
+                           i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))
+                    ELSE [] END) AS shingle
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, shingle, COUNT(*) AS n_occurrences
+      FROM g GROUP BY lang, shingle
+    ),
+    r AS (
+      SELECT lang, shingle, n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_occurrences DESC, shingle) AS rank
+      FROM c
+    )
+    SELECT lang, shingle, n_occurrences, rank FROM r WHERE rank <= 10
+"""
+
+
+@register("top_ngrams_by_lang", _TOP_NGRAMS_ORACLE)
+def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 most frequent word 3-grams per language — the exact
+    audit twin of countmin_heavy_hitters (boilerplate detection: the
+    highest-frequency n-grams ARE the site templates / license headers a
+    curation pass strips). Counts are one combinable groupBy; the per-
+    group ranking is retrieval.grouped_topk's two-phase shape, so even a
+    language holding most of the corpus never pushes an unbounded set
+    through one task (phase 1 ranks inside (lang, 64 hash buckets),
+    phase 2 sees <= 64k survivors per lang)."""
+    from mdio_python_spark.operators.retrieval import grouped_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = dedup.word_shingles(docs, n=3, id_col="lang", distinct=False)
+    counts = grams.groupBy("lang", "shingle").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return grouped_topk(counts, ["lang"], "n_occurrences", "shingle", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split + effective dataset size (cluster-aware curation)
+# ---------------------------------------------------------------------------
+
+_LEAK_SPLIT_HASH = sql_hash64("'leak' || CAST(cluster_id AS VARCHAR)")
+
+_LEAKAGE_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_CC_CTES},
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_LEAK_SPLIT_HASH} % 100 < 80 THEN 'train'
+                WHEN {_LEAK_SPLIT_HASH} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+"""
+
+
+@register("leakage_safe_split", _LEAKAGE_ORACLE, eager=True)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test split: hash the CLUSTER id,
+    not the doc id, so near-duplicates can never straddle train and test
+    (the silent eval-leak a per-doc salted split permits — a test doc's
+    near-copy in train is memorization measured as generalization).
+    Clustering uses raw LSH candidates (recall over precision: a false
+    merge only moves docs to the same split, never leaks), singletons
+    are their own cluster, and the split stays deterministic / stable
+    under corpus growth like curation.assign_split.
+
+    Scale shape: the LSH + connected-components DAG (O(log n) rounds),
+    one left join of the corpus id column against the clustered subset,
+    then a pure projection — no window, no driver state."""
+    from mdio_python_spark.operators.curation import split_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_hashes(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    clusters = dedup.connected_components(pairs)
+    full = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = split_hash(F.col("cluster_id"), "leak", 100)
+    return full.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+_EFFECTIVE_ORACLE = f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_CC_CTES},
+    base AS (
+      SELECT d.doc_id, d.source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_tok ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_tok ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_tok) AS DOUBLE) AS token_keep_ratio
+    FROM base GROUP BY source
+"""
+
+
+@register("dedup_effective_tokens", _EFFECTIVE_ORACLE, eager=True)
+def q_dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dataset size after near-dup dedup, per source: docs and
+    tokens before/after keeping one representative (the min-id cluster
+    label) per near-dup cluster — the number a data-mixing plan actually
+    budgets with (raw token counts overstate a crawly source's
+    contribution by its duplication factor).
+
+    Scale shape: the shared LSH + connected-components DAG, one left
+    join against the clustered subset, one combinable groupBy(source)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingle_hashes(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    clusters = dedup.connected_components(pairs)
+    base = (
+        docs.select(
+            "doc_id", "source", text.token_count(F.col("text")).alias("n_tok")
+        )
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    kept = F.col("doc_id") == F.col("cluster_id")
+    kept_tok = F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0)))
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(kept.cast("long")).alias("n_docs_kept"),
+        kept_tok.alias("n_tokens_kept"),
+        (kept_tok.cast("double") / F.sum("n_tok").cast("double")).alias(
+            "token_keep_ratio"
+        ),
+    )
+
+
+_WINNOW_PAIRS_ORACLE = f"""
+    WITH {_WINNOW_CTES},
+    capped AS (
+      SELECT doc_id, wmin,
+             ROW_NUMBER() OVER (PARTITION BY wmin ORDER BY doc_id) AS rn
+      FROM sel
+    )
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM capped l JOIN capped r
+      ON l.wmin = r.wmin AND l.doc_id < r.doc_id
+     AND l.rn <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
+     AND r.rn <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
+    GROUP BY l.doc_id, r.doc_id
+    HAVING COUNT(*) >= 2
+"""
+
+
+@register("winnowing_dup_pairs", _WINNOW_PAIRS_ORACLE)
+def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowing fingerprints — the MOSS
+    match report: each shared fingerprint certifies a shared >= 16-char
+    region, so the pair list surfaces partial plagiarism / boilerplate
+    reuse that whole-document and shingle-Jaccard dedup both miss (a
+    200-char license block inside two otherwise-unrelated docs moves
+    Jaccard barely, but yields a run of shared fingerprints). Threshold
+    2 drops single-collision noise; n_shared ranks match strength.
+    k=16 keeps the output TRUE-duplication-shaped: measured pair count
+    is flat from 500 to 5000 docs (1032 vs 1026), where k=8 admitted 86%
+    of all same-language pairs (the _WIN_K entropy note).
+
+    Scale shape: fingerprint selection is the winnowing DAG (one doc_id
+    exchange); pair generation is dedup.bucket_pair_counts — in-bucket
+    combinations under the deterministic sorted-id cap (mirrored in the
+    oracle via rn <= cap), never a corpus self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprint_set(docs, k=_WIN_K, w=_WIN_W).select(
+        "doc_id", "wmin"
+    )
+    counts = dedup.bucket_pair_counts(fps, ["wmin"])
+    return counts.where(F.col("n_shared") >= 2)

@@ -32,6 +32,13 @@ class QuerySpec:
     bench: bool = True  # False => fixed-cost smoke (e.g. pipeline roundtrip
     # on synthesized input) whose runtime is independent of sf — declared
     # for correctness but excluded from the sf-scaling bench metric
+    eager: bool = False  # True => CONSTRUCTION performs unbounded
+    # distributed work (a connected-components fixpoint loop, a sampled
+    # k-means fit — anything whose build-time jobs scale with the corpus),
+    # so the bench must start its clock BEFORE the builder call or that
+    # work escapes measurement entirely. Bounded driver literals (k
+    # centroid rows, a dim lookup) do NOT set this — they are plan
+    # constants, the same class as the geometry/1-row QC collects.
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -48,10 +55,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None, bench: bool = True
+    name: str, oracle: str | None, bench: bool = True, eager: bool = False
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, bench)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, bench, eager)
         return fn
 
     return deco
