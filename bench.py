@@ -204,18 +204,11 @@ def main() -> None:
         try:
             # best of 2: single-shot timings on a long-lived 48g JVM are
             # GC-pause roulette (observed 9x spikes on 0.2s queries); the
-            # min of two complete executions is the query's actual cost
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = spec.fn(spark, sf_dir)
-                if not spec.eager:
-                    t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-                spark.catalog.clearCache()
-            timings[name] = round(best, 4)
+            # min of two complete executions is the query's actual cost.
+            # _timed is the ONE timing implementation (shared with the
+            # stress harness) so clock policy — including the eager-
+            # construction rule — cannot drift between the two.
+            timings[name] = round(_timed(spark, spec.fn, sf_dir, eager=spec.eager), 4)
         except Exception as exc:  # noqa: BLE001 — harness must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         finally:

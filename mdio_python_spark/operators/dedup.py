@@ -207,6 +207,20 @@ def bucket_pairs(
     the right fix — use :func:`bucket_stats` to see how many buckets were
     capped. ``None`` disables the guard.
     """
+    return _bucket_combos(banded, bucket_cols, id_col, max_bucket_size).distinct()
+
+
+def _bucket_combos(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(doc_a < doc_b) rows WITH multiplicity — one row per bucket a pair
+    co-occurs in. The single home of the bucket-build + sorted-id
+    hot-bucket cap + in-bucket combination expression shared by
+    :func:`bucket_pairs` (distinct) and :func:`bucket_pair_counts`
+    (counted); oracle ``rn <= cap`` fragments mirror THIS cap."""
     ids = F.sort_array(F.collect_list(F.col(id_col)))
     if max_bucket_size is not None:
         ids = F.slice(ids, 1, max_bucket_size)
@@ -224,10 +238,8 @@ def bucket_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
+    return buckets.select(F.explode(combos).alias("p")).select(
+        F.col("p.doc_a"), F.col("p.doc_b")
     )
 
 
@@ -954,25 +966,8 @@ def bucket_pair_counts(
 
     Requires the (id, bucket) rows to be distinct per pair semantics the
     caller wants counted — duplicates inflate n_shared."""
-    ids = F.sort_array(F.collect_list(F.col(id_col)))
-    if max_bucket_size is not None:
-        ids = F.slice(ids, 1, max_bucket_size)
-    buckets = (
-        banded.groupBy(*bucket_cols)
-        .agg(ids.alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _bucket_combos(banded, bucket_cols, id_col, max_bucket_size)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

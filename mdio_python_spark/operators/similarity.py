@@ -850,11 +850,18 @@ def source_centroid_cosine(
     correctly rounded in both engines; sqrt is IEEE-exact).
 
     Scale shape: one corpus-sized posexplode projection (scan-side,
-    dim x rows), ONE combinable groupBy(group, dim) collapsing to
-    |groups| x dim rows, then a dim-keyed self-join bounded at
-    |groups|^2 x dim rows and broadcast norm joins — nothing downstream
-    of the first aggregate touches corpus-sized data.
+    dim x rows) feeding one combinable groupBy(group, dim) that collapses
+    to |groups| x dim rows; that tiny stage is PERSISTED because four
+    consumers read it (both self-join sides and both norm tables —
+    planner ReusedExchange does not fire across self-join re-aliasing,
+    so without the persist the corpus explode would run four times).
+    Everything downstream is dimension-table sized (dim-keyed self-join
+    bounded at |groups|^2 x dim rows, broadcast norm joins).
     """
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     j = docs.select(F.col(id_col).alias(vec_id_col), group_col).join(
         emb, vec_id_col
     )
@@ -867,8 +874,10 @@ def source_centroid_cosine(
         .cast("decimal(18,0)")
         .alias("_vq"),
     )
-    sums = comp.groupBy(group_col, "dim").agg(
-        F.sum("_vq").cast("decimal(18,0)").alias("s")
+    sums = (
+        comp.groupBy(group_col, "dim")
+        .agg(F.sum("_vq").cast("decimal(18,0)").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prod = (F.col("sa") * F.col("sb")).cast("decimal(37,0)")
     a = sums.select(
@@ -887,7 +896,7 @@ def source_centroid_cosine(
     norms = sums.groupBy(group_col).agg(F.sum(sq).alias("n2"))
     na = norms.select(F.col(group_col).alias("group_a"), F.col("n2").alias("n2a"))
     nb = norms.select(F.col(group_col).alias("group_b"), F.col("n2").alias("n2b"))
-    return (
+    out = (
         dots.join(F.broadcast(na), "group_a")
         .join(F.broadcast(nb), "group_b")
         .where((F.col("n2a") > 0) & (F.col("n2b") > 0))
@@ -903,3 +912,5 @@ def source_centroid_cosine(
             ).alias("centroid_cosine"),
         )
     )
+    rotate_scoped("similarity.source_centroid_cosine", sums)
+    return attach_cached(out, sums)

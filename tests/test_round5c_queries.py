@@ -44,7 +44,7 @@ def test_winnowing_shared_substring_guarantee(spark):
     by_doc = {}
     for r in fps:
         by_doc.setdefault(r.doc_id, set()).add(r.wmin)
-    assert by_doc[1] & by_doc[2], "shared 11-char substring must share a fingerprint"
+    assert by_doc[1] & by_doc[2], "shared 23-char substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
 
@@ -101,11 +101,17 @@ def test_centroid_cosine_matches_numpy(spark):
 
 
 def test_centroid_cosine_plan_shape(spark):
-    """One corpus-sized combinable aggregate; everything downstream is
-    dimension-table sized with broadcast norm joins — and never a
-    cartesian (the pair join is dim-keyed)."""
+    """One corpus-sized combinable aggregate whose |groups| x dim result
+    is persisted and read from cache by every consumer (self-join sides
+    + norms — without the persist the corpus posexplode runs 4x);
+    everything downstream is dimension-table sized with broadcast norm
+    joins — and never a cartesian (the pair join is dim-keyed)."""
     plan = _plan(spark, "source_centroid_cosine")
     assert plan.count("BroadcastHashJoin") >= 3, plan
+    # (counting "Generate posexplode" occurrences would be misleading:
+    # each InMemoryTableScan re-renders the cached relation's child plan,
+    # so the explode TEXT appears per scan while executing only once)
+    assert plan.count("InMemoryTableScan") >= 3, plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "WindowExec"):
         assert bad not in plan, plan
 
@@ -168,15 +174,18 @@ def test_leakage_split_clusters_never_straddle(spark):
 
 
 def test_effective_tokens_bounds(spark):
-    """Kept counts are bounded by totals, every source keeps at least one
-    doc (each cluster keeps its representative), and the ratio is the
-    quotient of the two integer sums."""
+    """Kept counts are bounded by totals and the ratio is the quotient of
+    the two integer sums. Per-source kept counts CAN legitimately be zero
+    (a source whose every doc clusters under a lower-id representative
+    from another source keeps nothing), so only the corpus-wide total is
+    asserted positive."""
     rows = queries()["dedup_effective_tokens"](spark, SF_SMOKE).collect()
     assert rows
     for r in rows:
-        assert 0 < r.n_docs_kept <= r.n_docs
-        assert 0 < r.n_tokens_kept <= r.n_tokens
+        assert 0 <= r.n_docs_kept <= r.n_docs
+        assert 0 <= r.n_tokens_kept <= r.n_tokens
         assert r.token_keep_ratio == pytest.approx(r.n_tokens_kept / r.n_tokens)
+    assert sum(r.n_docs_kept for r in rows) > 0
 
 
 @pytest.mark.parametrize(
