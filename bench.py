@@ -84,6 +84,10 @@ STRESS_QUERIES = (
     "top_ngrams_by_lang",
     "leakage_safe_split",
     "dedup_effective_tokens",
+    # round-5c batch 8: literal-centroid assignment + tiny-table majority
+    # window (purity), and the three-pipeline cross-signal decile rollup
+    "cluster_label_purity",
+    "quality_dup_deciles",
 )
 
 

@@ -155,3 +155,39 @@ def group_ranked(
         .drop("_g_ord", "_g_start")
     )
     return attach_cached(out, *getattr(ranked, CACHE_ATTR, []))
+
+
+def ntile_from_ordinal(
+    ranked: DataFrame, k: int, ordinal_col: str = "_rn", out_col: str = "ntile"
+) -> DataFrame:
+    """Exact NTILE(k) from a precomputed 1..n ordinal — the scale-safe
+    replacement for ``ntile(k) OVER (ORDER BY ...)``, whose WindowExec
+    serializes the whole input through one task. With q = n div k,
+    r = n mod k, the first r tiles take q+1 rows and the rest take q —
+    pure int64 arithmetic, bit-identical to the window form (pinned by
+    the NTILE oracles of both decile queries). n arrives as a 1-row
+    broadcast (max ordinal == row count; reads the ordinal stage's cache,
+    no second pass over the input)."""
+    total = ranked.agg(F.max(ordinal_col).alias("_tot"))
+    rn = F.col(ordinal_col)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_q", F.expr(f"_tot div {k}"))
+        .withColumn("_r", F.expr(f"_tot % {k}"))
+        .withColumn(
+            out_col,
+            F.when(
+                rn <= F.col("_r") * (F.col("_q") + 1),
+                F.expr(f"({ordinal_col} + _q) div (_q + 1)"),
+            ).otherwise(
+                # greatest(_q,1): this branch is unreachable when _q = 0
+                # (all rows fall in the first r = n tiles) but ANSI mode
+                # must not see a potential div-by-zero
+                F.expr(
+                    f"_r + ({ordinal_col} - _r * (_q + 1) + greatest(_q, 1)"
+                    " - 1) div greatest(_q, 1)"
+                ),
+            ).cast("int"),
+        )
+        .drop("_tot", "_q", "_r")
+    )

@@ -432,6 +432,37 @@ def embedding_near_dup_drops(
     )
 
 
+def ivf_cell_assignments(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *keep_cols, cell): nearest-centroid cell per vector — the
+    shared pure-projection argmax assignment :func:`ivf_topk` /
+    :func:`semantic_dedup_drops` / the cluster-QC queries all use.
+    Centroid vectors are plan literals, so assignment never shuffles or
+    joins the corpus; ``keep_cols`` rides extra columns (a label, a
+    source) through the projection for downstream grouping."""
+    cents, cnorms = _resolve_centroids(
+        vectors, n_centroids, id_col, vec_col, centroids
+    )
+    return (
+        vectors.select(F.col(id_col), *keep_cols, F.col(vec_col))
+        .withColumn(
+            "_cells",
+            _cell_structs(F.col(vec_col), norm(F.col(vec_col)), cents, cnorms),
+        )
+        .select(
+            F.col(id_col),
+            *keep_cols,
+            (-F.array_max("_cells")["ncid"]).alias("cell"),
+        )
+    )
+
+
 def semantic_dedup_drops(
     vectors: DataFrame,
     threshold: float = 0.3,
@@ -466,20 +497,9 @@ def semantic_dedup_drops(
 
     if max_bucket_size is None:
         max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
-    cents, cnorms = _resolve_centroids(
-        vectors, n_centroids, id_col, vec_col, centroids
-    )
-    keyed = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .withColumn(
-            "_cells",
-            _cell_structs(F.col(vec_col), norm(F.col(vec_col)), cents, cnorms),
-        )
-        .select(
-            F.col(id_col).alias("doc_id"),
-            (-F.array_max("_cells")["ncid"]).alias("cell"),
-        )
-    )
+    keyed = ivf_cell_assignments(
+        vectors, n_centroids, id_col=id_col, vec_col=vec_col, centroids=centroids
+    ).select(F.col(id_col).alias("doc_id"), "cell")
     pairs = (
         bucket_pairs(keyed, ["cell"], max_bucket_size=max_bucket_size)
         .withColumnRenamed("doc_a", "vec_a")

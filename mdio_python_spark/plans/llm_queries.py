@@ -4302,3 +4302,192 @@ def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = dedup.bucket_pair_counts(fps, ["wmin"])
     return counts.where(F.col("n_shared") >= 2)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-vs-label purity (clustering-eval QC)
+# ---------------------------------------------------------------------------
+
+_PURITY_ORACLE = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings
+      WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, label, CAST(cid AS BIGINT) AS cell
+      FROM embeddings, cent
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+    ),
+    counts AS (
+      SELECT cell, label, COUNT(*) AS n FROM assign GROUP BY cell, label
+    ),
+    sized AS (
+      SELECT cell, CAST(SUM(n) AS BIGINT) AS n_members FROM counts GROUP BY cell
+    ),
+    major AS (
+      SELECT cell, label AS majority_label, CAST(n AS BIGINT) AS n_majority
+      FROM counts
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cell
+                                 ORDER BY n DESC, label) = 1
+    )
+    SELECT s.cell, s.n_members, m.majority_label, m.n_majority,
+           CAST(m.n_majority AS DOUBLE) / CAST(s.n_members AS DOUBLE) AS purity
+    FROM sized s JOIN major m ON m.cell = s.cell
+"""
+
+
+@register("cluster_label_purity", _PURITY_ORACLE)
+def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell label purity of the IVF clustering — the clustering-eval
+    QC run before SemDeDup / IVF-ANN trusts an embedding batch: if cells
+    don't concentrate labels (purity ~ 1/|labels|), the embedding run is
+    broken or the cell count is wrong, and every cell-scoped dedup
+    decision downstream inherits it. Majority label ties break on the
+    smaller label id (deterministic cross-engine).
+
+    Scale shape: assignment is the shared literal-centroid argmax
+    projection (similarity.ivf_cell_assignments — no corpus shuffle or
+    join), then ONE combinable groupBy(cell, label) collapses the corpus
+    to |cells| x |labels| rows; the majority window and size aggregate
+    run on that tiny table."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    keyed = similarity.ivf_cell_assignments(
+        emb, n_centroids=16, keep_cols=("label",)
+    )
+    counts = keyed.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("n"))
+    sized = counts.groupBy("cell").agg(F.sum("n").alias("n_members"))
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), "label")
+    major = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return sized.join(F.broadcast(major), "cell").select(
+        "cell",
+        "n_members",
+        "majority_label",
+        "n_majority",
+        (F.col("n_majority").cast("double") / F.col("n_members").cast("double")).alias(
+            "purity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-decile vs near-dup rate (cross-signal curation QC)
+# ---------------------------------------------------------------------------
+
+
+def _quality_dup_oracle() -> str:
+    from mdio_python_spark.operators.scoring import sql_token_weight
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+    {_PAIR_JACCARD_CTES},
+    dups AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pair_jaccard WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT doc_b FROM pair_jaccard WHERE jaccard >= 0.5
+      )
+    ),
+    tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM({sql_token_weight('token')}) AS BIGINT) AS weight_sum
+      FROM tok GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(weight_sum AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * 50001.0) AS score
+      FROM agg
+    ),
+    tiled AS (
+      SELECT doc_id, score,
+             NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM scored
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_members,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM tiled t LEFT JOIN dups d ON d.doc_id = t.doc_id
+    GROUP BY decile
+    """
+
+
+@register("quality_dup_deciles", _quality_dup_oracle())
+def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup membership rate per quality-score decile — the
+    cross-signal audit run before shipping a quality threshold: quality
+    filters and dedup interact (boilerplate scores low AND duplicates
+    heavily; if the bottom deciles are mostly near-dup members, dedup
+    should run FIRST or the quality model is just re-measuring
+    duplication). Composes three verified pipelines: the hashed-linear
+    quality score, the two-phase-ordinal NTILE (no single-task sort),
+    and the LSH -> exact-Jaccard near-dup pair set.
+
+    Scale shape: score is one combinable groupBy;
+    deciles via ranking.ntile_from_ordinal (range partitioner +
+    broadcast offsets + int NTILE formula); dup membership is a
+    broadcast-able distinct-id left join (LSH-bounded, tiny vs corpus);
+    final rollup is one combinable groupBy(decile)."""
+    from mdio_python_spark.operators.caching import CACHE_ATTR, attach_cached
+    from mdio_python_spark.operators.ranking import (
+        distributed_ordinal,
+        ntile_from_ordinal,
+    )
+    from mdio_python_spark.operators.scoring import model_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = model_score(docs).select("doc_id", "score")
+    ranked = distributed_ordinal(
+        scored,
+        [F.col("score").desc(), "doc_id"],
+        ordinal_col="_rn",
+        scope="llm.quality_dup_deciles",
+    )
+    tiled = ntile_from_ordinal(ranked, 10, ordinal_col="_rn", out_col="decile")
+
+    sh = dedup.shingle_hashes(docs, n=3).repartition("doc_id").persist()
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    verified = dedup.jaccard_pairs(pairs, sh.distinct()).where(
+        F.col("jaccard") >= 0.5
+    )
+    dups = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(verified.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    is_dup = F.coalesce(F.col("_dup"), F.lit(0))
+    out = (
+        tiled.join(dups, "doc_id", "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).cast("bigint").alias("n_dup_members"),
+            (
+                F.sum(is_dup).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+    from mdio_python_spark.operators.caching import rotate_scoped
+
+    rotate_scoped("llm.quality_dup_deciles.shingles", sh)
+    return attach_cached(
+        out, sh, *getattr(ranked, CACHE_ATTR, [])
+    )

@@ -1482,7 +1482,10 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     q+1 rows and the rest take q — pure int64 arithmetic, so the result
     is bit-identical to the window form (pinned by the NTILE oracle)."""
     from mdio_python_spark.operators.caching import CACHE_ATTR, attach_cached
-    from mdio_python_spark.operators.ranking import distributed_ordinal
+    from mdio_python_spark.operators.ranking import (
+        distributed_ordinal,
+        ntile_from_ordinal,
+    )
 
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -1500,31 +1503,7 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordinal_col="_rn",
         scope="queries.customer_value_deciles",
     )
-    # n as a 1-row broadcast: max ordinal == row count (reads the ordinal
-    # stage's cache, no second pass over ORDERS)
-    total = ranked.agg(F.max("_rn").alias("_tot"))
-    q = F.expr("_tot div 10")
-    r = F.expr("_tot % 10")
-    tiled = (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn("_q", q)
-        .withColumn("_r", r)
-        .withColumn(
-            "decile",
-            F.when(
-                F.col("_rn") <= F.col("_r") * (F.col("_q") + 1),
-                F.expr("(_rn + _q) div (_q + 1)"),
-            ).otherwise(
-                # greatest(_q,1): this branch is unreachable when _q = 0
-                # (all rows fall in the first r = n tiles) but ANSI mode
-                # must not see a potential div-by-zero
-                F.expr(
-                    "_r + (_rn - _r * (_q + 1) + greatest(_q, 1) - 1)"
-                    " div greatest(_q, 1)"
-                ),
-            ).cast("int"),
-        )
-    )
+    tiled = ntile_from_ordinal(ranked, 10, ordinal_col="_rn", out_col="decile")
     out = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         dsum("total_spend", 6).alias("decile_spend"),

@@ -156,6 +156,7 @@ def test_pagerank_caches_edges_no_cartesian(spark):
         "quality_percentile_bands",
         "length_mad_outliers",
         "training_order_manifest",
+        "quality_dup_deciles",
     ],
 )
 def test_rank_family_two_phase_no_global_window(spark, name):
@@ -170,7 +171,7 @@ def test_rank_family_two_phase_no_global_window(spark, name):
     plan = _plan(spark, name)
     assert "ntile" not in plan.lower(), plan
     assert "row_number" not in plan, plan
-    allowed = 1 if name == "customer_value_deciles" else 0
+    allowed = 1 if name in ("customer_value_deciles", "quality_dup_deciles") else 0
     assert plan.count("Exchange SinglePartition") <= allowed, plan
     # the range-partitioned ordinal stage is persisted; its exchange sits
     # inside the InMemoryRelation, which prints as a table-cache scan

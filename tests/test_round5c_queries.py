@@ -240,3 +240,45 @@ def test_winnowing_pairs_plan_no_join(spark):
         "Exchange SinglePartition",
     ):
         assert bad not in plan, plan
+
+
+# --- cluster_label_purity / quality_dup_deciles --------------------------------
+
+
+def test_cluster_purity_accounting(spark):
+    """Cell sizes sum to the corpus, purity is bounded by [max(1/|labels|,
+    n_majority/n_members), 1], and the majority count never exceeds the
+    cell size."""
+    import pandas as pd
+
+    rows = queries()["cluster_label_purity"](spark, SF_SMOKE).collect()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert sum(r.n_members for r in rows) == len(emb)
+    for r in rows:
+        assert 0 < r.n_majority <= r.n_members
+        assert r.purity == pytest.approx(r.n_majority / r.n_members)
+
+
+def test_cluster_purity_plan_no_corpus_join(spark):
+    """Assignment is a literal-centroid projection: the corpus is never
+    joined or windowed for cell assignment (the only window runs on the
+    |cells| x |labels| counts table, partitioned by cell)."""
+    plan = _plan(spark, "cluster_label_purity")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, plan
+
+
+def test_quality_dup_deciles_accounting(spark):
+    """Deciles partition the corpus (sizes differ by at most 1) and the
+    dup rate is the quotient of the two integer counts."""
+    import pandas as pd
+
+    rows = queries()["quality_dup_deciles"](spark, SF_SMOKE).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    n_docs = len(pd.read_parquet(f"{SF_SMOKE}/documents.parquet"))
+    sizes = [r.n_docs for r in rows]
+    assert sum(sizes) == n_docs
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0 <= r.n_dup_members <= r.n_docs
+        assert r.dup_rate == pytest.approx(r.n_dup_members / r.n_docs)
