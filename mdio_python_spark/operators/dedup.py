@@ -243,16 +243,17 @@ def _bucket_combos(
     )
 
 
-def jaccard_pairs(
+def pair_overlap_counts(
     pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """True n-gram Jaccard for candidate pairs via a shingle-set join.
+    """(doc_a, doc_b, n_common, n_a, n_b): exact set-overlap counts for
+    candidate pairs via the shingle-set join — the shared core of
+    :func:`jaccard_pairs` and :func:`containment_pairs`.
 
     |A ∩ B| from the equi-join on the shingle key; |A| and |B| from per-doc
-    counts (broadcastable); union = |A| + |B| - |A ∩ B|. Exact integer
-    arithmetic, one double divide at the end. Prefers the 8-byte ``sh``
-    hash key (:func:`shingle_hashes`) over raw strings so the join shuffle
-    moves longs.
+    counts (broadcastable). Exact integer arithmetic throughout. Prefers
+    the 8-byte ``sh`` hash key (:func:`shingle_hashes`) over raw strings so
+    the join shuffle moves longs.
     """
     # same preference rule as minhash_signatures: explicit strings win
     key = "shingle" if "shingle" in shingles.columns else "sh"
@@ -270,14 +271,58 @@ def jaccard_pairs(
     return (
         inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """True n-gram Jaccard for candidate pairs via a shingle-set join.
+
+    Union = |A| + |B| - |A ∩ B| over :func:`pair_overlap_counts`'s exact
+    integers; one double divide at the end.
+    """
+    return pair_overlap_counts(pairs, shingles, id_col).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def containment_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Jaccard AND containment for candidate pairs — containment is
+    Broder's asymmetric resemblance (Broder, "On the resemblance and
+    containment of documents", SEQUENCES 1997): |A ∩ B| / min(|A|, |B|).
+
+    A short document quoted wholesale inside a long aggregator page has
+    containment ~1 but Jaccard ~|A|/|B| — the subset-duplication class a
+    symmetric Jaccard threshold silently passes. Since min(|A|,|B|) <=
+    |A ∪ B|, containment >= jaccard always; both come from the same
+    exact overlap counts, so this costs nothing over the Jaccard verify.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard, containment).
+    """
+    ov = pair_overlap_counts(pairs, shingles, id_col)
+    return ov.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+        (
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+        ).alias("containment"),
     )
 
 

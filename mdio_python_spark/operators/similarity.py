@@ -463,6 +463,93 @@ def ivf_cell_assignments(
     )
 
 
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    max_cell: int = 1024,
+) -> DataFrame:
+    """All-vectors kNN graph restricted to IVF cells (nprobe=1): every
+    vector is a query AND a candidate, so unlike :func:`ivf_topk` nothing
+    is broadcast — both sides carry the literal-centroid argmax cell as a
+    pure projection and meet in ONE hash-partitioned equi-join on ``cell``.
+
+    The candidate side is capped at ``max_cell`` sorted ids per cell (the
+    ``DEFAULT_MAX_BUCKET_SIZE`` convention, oracle-mirrored via
+    ``rn <= max_cell``), bounding a degenerate hot cell's fan-out at
+    |cell| x max_cell instead of |cell|^2; the query side is never
+    dropped, so every vector still receives k neighbours. Per-query top-k
+    compiles to WindowGroupLimit.
+
+    Scale notes: the fork into query/candidate sides recomputes the
+    assignment projection — two narrow corpus scans, deliberately NOT
+    persisted (the projection is scan-bound; caching corpus-sized vectors
+    costs more than the second scan). ``n_centroids`` grows with the
+    corpus in a production IVF (cells ~ sqrt(n)), keeping the cap
+    window's per-cell sort and the join fan-out bounded; the cell id
+    doubles as the storage partition key.
+
+    Returns (query_id, candidate_id, cosine, rank).
+    """
+    cents, cnorms = _resolve_centroids(
+        vectors, n_centroids, id_col, vec_col, centroids
+    )
+    assigned = (
+        vectors.select(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_norm")
+        )
+        .withColumn(
+            "_cells", _cell_structs(F.col(vec_col), F.col("_norm"), cents, cnorms)
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "_norm",
+            (-F.array_max("_cells")["ncid"]).alias("cell"),
+        )
+    )
+    wcap = Window.partitionBy("cell").orderBy(id_col)
+    cand = (
+        assigned.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= max_cell)
+        .select(
+            F.col(id_col).alias("candidate_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("_norm").alias("c_norm"),
+            "cell",
+        )
+    )
+    q = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+        "cell",
+    )
+    scored = (
+        q.join(cand, "cell")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cosine", "rank")
+    )
+
+
 def semantic_dedup_drops(
     vectors: DataFrame,
     threshold: float = 0.3,

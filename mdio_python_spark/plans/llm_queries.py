@@ -4491,3 +4491,450 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_cached(
         out, sh, *getattr(ranked, CACHE_ATTR, [])
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5d batch 9: dedup-tuning + ANN-graph QC family
+# ---------------------------------------------------------------------------
+
+_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+_THRESHOLD_SWEEP_ORACLE = f"""
+WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_PAIR_JACCARD_CTES},
+thresholds AS (
+  SELECT CAST(unnest([{", ".join(str(t) for t in _THRESHOLDS)}]) AS DOUBLE)
+         AS threshold
+),
+swept AS (
+  SELECT t.threshold, p.doc_a, p.doc_b
+  FROM pair_jaccard p JOIN thresholds t ON p.jaccard >= t.threshold
+),
+per AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+  FROM swept GROUP BY threshold
+),
+aff AS (
+  SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+  FROM (SELECT threshold, doc_a AS doc_id FROM swept
+        UNION ALL SELECT threshold, doc_b FROM swept)
+  GROUP BY threshold
+)
+SELECT per.threshold, per.n_pairs, aff.n_docs_affected, per.n_docs_dropped
+FROM per JOIN aff ON aff.threshold = per.threshold
+"""
+
+
+@register("dedup_threshold_sweep", _THRESHOLD_SWEEP_ORACLE)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-aggressiveness tuning curve: pair count, affected-doc
+    count, and dropped-doc count (keep-min-id convention: a doc drops iff
+    it is the larger id of some surviving pair) at every candidate
+    Jaccard threshold — all from ONE verified pair set. The curve a
+    curation team reads before fixing the production threshold: where
+    n_docs_dropped elbows is where near-duplication actually lives.
+
+    Scale shape: the expensive work (shingle join + exact Jaccard) runs
+    once; the verified pair set is LSH-bounded (tiny vs corpus) and
+    persisted before the threshold explode forks it into the pair-count
+    and affected-doc aggregates. The x|thresholds| fan-out touches pair
+    rows only, never the corpus."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    verified = (
+        dedup.jaccard_pairs(pairs, sh.distinct())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    swept = verified.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(F.array(*[F.lit(t) for t in _THRESHOLDS])).alias("threshold"),
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    per = swept.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_docs_dropped"),
+    )
+    aff = (
+        swept.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_affected"))
+    )
+    out = per.join(aff, "threshold").select(
+        "threshold", "n_pairs", "n_docs_affected", "n_docs_dropped"
+    )
+    rotate_scoped("llm.dedup_threshold_sweep", sh, verified)
+    return attach_cached(out, sh, verified)
+
+
+_CONTAINMENT_MIN = 0.6
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM candidate_pairs p
+  JOIN shingled a ON a.doc_id = p.doc_a
+  JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(sa.n_shingles AS BIGINT) AS n_a,
+       CAST(sb.n_shingles AS BIGINT) AS n_b,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE) AS jaccard,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(LEAST(sa.n_shingles, sb.n_shingles) AS DOUBLE)
+      >= {_CONTAINMENT_MIN}
+"""
+
+
+@register("containment_dup_pairs", _CONTAINMENT_ORACLE)
+def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder 1997): candidate pairs where
+    |A∩B| / min(|A|,|B|) >= 0.6 — the subset-duplication class (a short
+    doc quoted wholesale inside a long aggregator page) that a symmetric
+    Jaccard threshold silently passes, reported alongside Jaccard so the
+    gap between the two IS the subset signal.
+
+    Scale shape: identical to the Jaccard verify — the containment ratio
+    is one extra double divide over the same exact overlap counts
+    (operators/dedup.py:containment_pairs), so this adds zero joins and
+    zero exchanges to the near-dup DAG."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    out = dedup.containment_pairs(pairs, sh.distinct()).where(
+        F.col("containment") >= _CONTAINMENT_MIN
+    )
+    rotate_scoped("llm.containment_dup_pairs", sh)
+    return attach_cached(out, sh)
+
+
+_EDGE_DENSITY_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_CC_CTES},
+{_PAIR_JACCARD_CTES},
+csize AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM clusters GROUP BY cluster_id
+),
+cedge AS (
+  SELECT c.cluster_id, COUNT(*) AS n_cand
+  FROM candidate_pairs p JOIN clusters c ON c.doc_id = p.doc_a
+  GROUP BY c.cluster_id
+),
+vedge AS (
+  SELECT c.cluster_id, COUNT(*) AS n_ver
+  FROM pair_jaccard j JOIN clusters c ON c.doc_id = j.doc_a
+  WHERE j.jaccard >= 0.5
+  GROUP BY c.cluster_id
+)
+SELECT s.cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(e.n_cand AS BIGINT) AS n_candidate_edges,
+       CAST(COALESCE(v.n_ver, 0) AS BIGINT) AS n_verified_edges,
+       CAST(2 * COALESCE(v.n_ver, 0) AS DOUBLE)
+         / CAST(s.n_members * (s.n_members - 1) AS DOUBLE) AS verified_density
+FROM csize s
+JOIN cedge e ON e.cluster_id = s.cluster_id
+LEFT JOIN vedge v ON v.cluster_id = s.cluster_id
+"""
+
+
+@register("cluster_edge_density", _EDGE_DENSITY_ORACLE, eager=True)
+def q_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaining QC for transitive dedup clusters: per connected component
+    (over raw LSH candidates — the leakage_safe_split convention), the
+    member count, candidate-edge count, verified-edge count (exact
+    Jaccard >= 0.5), and verified-edge density 2E/(n(n-1)). A large
+    cluster with near-zero verified density is the classic MinHash
+    chaining failure (A~B~C with A!~C), and dropping it wholesale
+    destroys unrelated documents — this is the table that decision reads.
+
+    Scale shape: clusters via the O(log n) large-star/small-star
+    fixpoint (eager: the loop runs at construction); edge counts are two
+    pair-side joins (LSH-bounded) + combinable groupBys; the shingle
+    stage persists once and feeds signatures + the Jaccard verify."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    clusters = dedup.connected_components(pairs)
+    verified = dedup.jaccard_pairs(pairs, sh.distinct()).where(
+        F.col("jaccard") >= 0.5
+    )
+    ca = clusters.withColumnRenamed("doc_id", "doc_a")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    cand_cnt = (
+        pairs.join(ca, "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_edges"))
+    )
+    ver_cnt = (
+        verified.join(ca, "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_verified_edges"))
+    )
+    nv = F.coalesce(F.col("n_verified_edges"), F.lit(0)).cast("bigint")
+    out = (
+        sizes.join(cand_cnt, "cluster_id")
+        .join(ver_cnt, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_candidate_edges",
+            nv.alias("n_verified_edges"),
+            (
+                (F.lit(2) * nv).cast("double")
+                / (F.col("n_members") * (F.col("n_members") - 1)).cast("double")
+            ).alias("verified_density"),
+        )
+    )
+    rotate_scoped("llm.cluster_edge_density", sh, pairs)
+    return attach_cached(out, sh, pairs)
+
+
+# shared oracle fragment for the IVF-QC queries: literal-centroid argmax
+# assignment (cent = deterministic id-prefix convention, mirrors
+# _resolve_centroids' TEST/ORACLE default)
+_IVF_ASSIGN_CTES = f"""
+cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+  FROM embeddings, cent
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+)
+"""
+
+_CELL_BALANCE_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES},
+counts AS (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY cell),
+tot AS (SELECT SUM(n_vecs) AS total, COUNT(*) AS n_cells FROM counts)
+SELECT cell,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS frac,
+       CAST(n_vecs * n_cells AS DOUBLE) / CAST(total AS DOUBLE) AS load_factor
+FROM counts, tot
+"""
+
+
+@register("ivf_cell_balance", _CELL_BALANCE_ORACLE)
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance QC: per-cell population, corpus fraction, and
+    load factor (n_vecs x n_cells / total — 1.0 = perfectly balanced).
+    ANN probe latency is governed by the LARGEST cell a query touches,
+    so a load factor of 8 on one cell means 8x tail latency and a
+    hot-cell cap that silently truncates recall — this is the table an
+    index rebuild decision reads (re-fit centroids, or split the cell).
+
+    Scale shape: assignment is the shared literal-centroid argmax
+    projection (no corpus shuffle); ONE combinable groupBy(cell)
+    collapses the corpus to |cells| rows; the total is a broadcast
+    1-row aggregate over those rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    counts = (
+        similarity.ivf_cell_assignments(emb, n_centroids=16)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    )
+    tot = counts.agg(
+        F.sum("n_vecs").alias("_total"),
+        F.count(F.lit(1)).alias("_n_cells"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("_total").cast("double")).alias(
+            "frac"
+        ),
+        (
+            (F.col("n_vecs") * F.col("_n_cells")).cast("double")
+            / F.col("_total").cast("double")
+        ).alias("load_factor"),
+    )
+
+
+_HUBNESS_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES},
+members AS (
+  SELECT vec_id, embedding, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM assign
+),
+topk AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_IVF_COS.format(a="q.embedding", b="a.embedding")} DESC,
+                      a.vec_id) AS rnk
+    FROM assign q JOIN members a
+      ON a.cell = q.cell AND a.vec_id <> q.vec_id AND a.rn <= 1024
+  ) WHERE rnk <= 10
+),
+indeg AS (SELECT candidate_id, COUNT(*) AS n FROM topk GROUP BY candidate_id),
+deg AS (
+  SELECT e.vec_id, COALESCE(i.n, 0) AS in_degree
+  FROM embeddings e LEFT JOIN indeg i ON i.candidate_id = e.vec_id
+)
+SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM deg GROUP BY in_degree
+"""
+
+
+@register("knn_graph_hubness", _HUBNESS_ORACLE)
+def q_knn_graph_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness QC of the k=10 IVF kNN graph: the in-degree distribution
+    over ALL vectors (including in-degree 0 — vectors no neighbour list
+    ever retrieves, invisible to graph-based dedup/retrieval). A heavy
+    right tail (hubs retrieved by thousands of queries) is the classic
+    high-dimensional ANN pathology (Radovanovic et al., JMLR 2010) and
+    the first thing to check before trusting kNN-graph semantic dedup.
+
+    Scale shape: the graph build is similarity.knn_graph — cell
+    assignment as a literal-centroid projection on BOTH sides (nothing
+    broadcast, unlike the bounded-query ivf_topk), one hash exchange on
+    cell, hot-cell cap 1024 (oracle-mirrored), per-query top-k as
+    WindowGroupLimit. In-degree and its distribution are two combinable
+    groupBys; the orphan join is corpus-id vs the bounded degree table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    g = similarity.knn_graph(emb, k=10, n_centroids=16)
+    indeg = g.groupBy("candidate_id").agg(F.count(F.lit(1)).alias("_n"))
+    deg = (
+        emb.select("vec_id")
+        .join(indeg.withColumnRenamed("candidate_id", "vec_id"), "vec_id", "left")
+        .select(
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("in_degree")
+        )
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+
+
+_HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, label AS query_label
+  FROM embeddings WHERE vec_id < 50
+),
+c AS (
+  SELECT vec_id AS candidate_id, embedding AS c_vec, label AS candidate_label
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, query_label, candidate_id, candidate_label,
+         {_DOT.format(a="q_vec", b="c_vec")}
+           / (sqrt({_DOT.format(a="q_vec", b="q_vec")})
+              * sqrt({_DOT.format(a="c_vec", b="c_vec")})) AS cosine
+  FROM c CROSS JOIN q
+  WHERE query_id <> candidate_id AND query_label <> candidate_label
+)
+SELECT query_id, query_label, candidate_id, candidate_label, cosine,
+       CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, candidate_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+@register("hard_negative_mining", _HARD_NEG_ORACLE)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 highest-cosine candidates with a DIFFERENT label — the
+    near-the-margin negatives that make embedding training converge
+    (random negatives are trivially separable; the hardest ones carry
+    the gradient). Exact brute-force scoring over the bounded query set
+    (the embedding_topk_cosine convention); a production run swaps the
+    exact leg for ivf_topk candidates + exact re-rank, same downstream.
+
+    Scale shape: queries broadcast (bounded), candidate scan
+    parallelizes over the corpus, label filter prunes before the rank,
+    top-k compiles to WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("query_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("candidate_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("query_id") != F.col("candidate_id"))
+            & (F.col("query_label") != F.col("candidate_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            similarity.cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            "cosine",
+            "rank",
+        )
+    )

@@ -271,3 +271,54 @@ def test_correlation_is_single_combinable_aggregate(spark):
     plan = _plan(spark, "length_quality_correlation")
     for bad in ("WindowExec", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
+
+
+def test_threshold_sweep_persists_pair_set(spark):
+    """The threshold explode forks the verified pair set into the
+    pair-count and affected-doc aggregates: both must read the persisted
+    shingle AND pair stages from cache (>= 2 cached relations), and the
+    x|thresholds| fan-out must never cartesian against the corpus."""
+    plan = _plan(spark, "dedup_threshold_sweep")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_graph_no_corpus_broadcast(spark):
+    """The all-vectors kNN graph joins query and candidate sides on the
+    cell key as a shuffle equi-join — broadcasting either side would ship
+    the corpus to every executor; the per-query top-k must compile to
+    WindowGroupLimit (rank <= k local pre-filter)."""
+    plan = _plan(spark, "knn_graph_hubness")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cell_balance_single_corpus_scan(spark):
+    """Cell balance is one combinable groupBy over the assignment
+    projection plus a broadcast 1-row total: no shuffle join of the
+    corpus (the 1-row cross join plans as a broadcast NLJ, fine) and
+    no window operators."""
+    plan = _plan(spark, "ivf_cell_balance")
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowExec" not in plan, plan
+
+
+def test_hard_negatives_broadcast_queries_topk(spark):
+    """Hard-negative mining broadcasts the bounded query set against the
+    corpus scan and ranks via WindowGroupLimit."""
+    plan = _plan(spark, "hard_negative_mining")
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_edge_density_persists_shared_stages(spark):
+    """Shingles feed signatures + the Jaccard verify; candidate pairs
+    feed the components, the verify, and the per-cluster edge count —
+    both stages must come from cache, and the pair-side joins must stay
+    equi-joins."""
+    plan = _plan(spark, "cluster_edge_density")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan

@@ -1,0 +1,181 @@
+"""Round-5d batch 9 tests: dedup-tuning + ANN-graph QC family.
+
+Properties the oracle hash-match alone doesn't pin: containment vs
+Jaccard semantics on crafted subset docs, the kNN graph against an
+independent pure-Python left-fold reference, threshold-sweep
+monotonicity, degree conservation, and balance/density invariants.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from mdio_python_spark.operators import dedup, similarity
+from mdio_python_spark.plans.registry import queries
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_subset_doc_scores_one(spark):
+    """A doc whose shingle set is a strict subset of another's has
+    containment exactly 1.0 while Jaccard = |A|/|B| < 1."""
+    short = "alpha beta gamma delta epsilon"  # 3 3-shingles
+    long = short + " zeta eta theta iota kappa"  # 8 3-shingles, superset
+    df = _docs(spark, [(1, short), (2, long)])
+    sh = dedup.shingle_hashes(df, n=3)
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = dedup.containment_pairs(pairs, sh).collect()[0]
+    assert row.n_a == 3 and row.n_b == 8 and row.n_common == 3
+    assert row.containment == 1.0
+    assert row.jaccard == 3.0 / 8.0
+
+
+def test_containment_never_below_jaccard(spark):
+    """min(|A|,|B|) <= |A u B| => containment >= jaccard on every pair."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = dedup.shingle_hashes(docs, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    rows = dedup.containment_pairs(pairs, sh.distinct()).collect()
+    assert rows, "expected candidate pairs at sf0.001"
+    for r in rows:
+        assert r.containment >= r.jaccard - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# knn_graph vs an independent pure-Python left-fold reference
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(a, b):
+    # same accumulation order as similarity.dot's left fold — bit-identical
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def test_knn_graph_matches_python_reference(spark):
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pydict()
+    ids = tbl["vec_id"]
+    vecs = {i: v for i, v in zip(ids, tbl["embedding"])}
+    norms = {i: _fold_dot(v, v) ** 0.5 for i, v in vecs.items()}
+    cents = sorted(i for i in ids if i < 16)
+
+    def cell_of(i):
+        best = max(
+            cents,
+            key=lambda c: (
+                _fold_dot(vecs[i], vecs[c]) / (norms[i] * norms[c]),
+                -c,
+            ),
+        )
+        return best
+
+    cells: dict[int, list[int]] = {}
+    for i in ids:
+        cells.setdefault(cell_of(i), []).append(i)
+    expected = set()
+    k = 5
+    for c, members in cells.items():
+        capped = sorted(members)[:1024]
+        for qid in members:
+            scored = sorted(
+                (
+                    (
+                        -_fold_dot(vecs[qid], vecs[cid])
+                        / (norms[qid] * norms[cid]),
+                        cid,
+                    )
+                    for cid in capped
+                    if cid != qid
+                ),
+            )[:k]
+            for rank, (_, cid) in enumerate(scored, start=1):
+                expected.add((qid, cid, rank))
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {
+        (r.query_id, r.candidate_id, r.rank)
+        for r in similarity.knn_graph(emb, k=k, n_centroids=16).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# declared-query invariants at SF_SMOKE
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = sorted(
+        queries()["dedup_threshold_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert rows and rows[0].threshold == 0.3
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_docs_affected <= lo.n_docs_affected
+        assert hi.n_docs_dropped <= lo.n_docs_dropped
+    for r in rows:
+        # dropped docs are the larger-id endpoints: a subset of affected
+        assert r.n_docs_dropped <= r.n_docs_affected
+        assert r.n_docs_affected <= 2 * r.n_pairs
+
+
+def test_hubness_degree_conservation(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n_vectors = emb.count()
+    n_edges = similarity.knn_graph(emb, k=10, n_centroids=16).count()
+    rows = queries()["knn_graph_hubness"](spark, SF_SMOKE).collect()
+    assert sum(r.n_vecs for r in rows) == n_vectors
+    assert sum(r.in_degree * r.n_vecs for r in rows) == n_edges
+
+
+def test_cell_balance_consistency(spark):
+    rows = queries()["ivf_cell_balance"](spark, SF_SMOKE).collect()
+    total = sum(r.n_vecs for r in rows)
+    emb_count = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    )
+    assert total == emb_count
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-9
+    n_cells = len(rows)
+    for r in rows:
+        assert abs(r.load_factor - r.n_vecs * n_cells / total) < 1e-9
+
+
+def test_edge_density_bounds(spark):
+    rows = queries()["cluster_edge_density"](spark, SF_SMOKE).collect()
+    assert rows, "expected near-dup clusters at sf0.001"
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.n_verified_edges <= r.n_candidate_edges
+        max_edges = r.n_members * (r.n_members - 1) // 2
+        assert r.n_candidate_edges <= max_edges
+        assert 0.0 <= r.verified_density <= 1.0
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = queries()["hard_negative_mining"](spark, SF_SMOKE).collect()
+    assert rows
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r.query_label != r.candidate_label
+        per_query.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_query.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        by_rank = sorted(rs, key=lambda r: r.rank)
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a.cosine >= b.cosine
