@@ -88,6 +88,12 @@ STRESS_QUERIES = (
     # window (purity), and the three-pipeline cross-signal decile rollup
     "cluster_label_purity",
     "quality_dup_deciles",
+    # round-5d batch 9: x|thresholds| pair explode over the persisted
+    # verify set, the all-vectors cell self-join kNN graph (hot-cell
+    # quadratic risk), and the CC + double edge-count rollup (eager)
+    "dedup_threshold_sweep",
+    "knn_graph_hubness",
+    "cluster_edge_density",
 )
 
 

@@ -471,11 +471,12 @@ def knn_graph(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     max_cell: int = 1024,
+    salt: int = 8,
 ) -> DataFrame:
     """All-vectors kNN graph restricted to IVF cells (nprobe=1): every
     vector is a query AND a candidate, so unlike :func:`ivf_topk` nothing
     is broadcast — both sides carry the literal-centroid argmax cell as a
-    pure projection and meet in ONE hash-partitioned equi-join on ``cell``.
+    pure projection and meet in ONE hash-partitioned equi-join.
 
     The candidate side is capped at ``max_cell`` sorted ids per cell (the
     ``DEFAULT_MAX_BUCKET_SIZE`` convention, oracle-mirrored via
@@ -483,6 +484,15 @@ def knn_graph(
     |cell| x max_cell instead of |cell|^2; the query side is never
     dropped, so every vector still receives k neighbours. Per-query top-k
     compiles to WindowGroupLimit.
+
+    A bare join on ``cell`` has only |cells| distinct keys, so with few
+    cells the corpus-sized query side funnels through |cells| tasks (the
+    measured 30x stress knee). Since the CAPPED candidate side is tiny
+    (<= max_cell rows per cell), the classic skew remedy applies at no
+    cost: replicate candidates across ``salt`` shards and salt the query
+    side by id, joining on (cell, salt) — identical pairs (each query
+    meets each candidate exactly once, at the query's salt), |cells| x
+    ``salt`` join keys.
 
     Scale notes: the fork into query/candidate sides recomputes the
     assignment projection — two narrow corpus scans, deliberately NOT
@@ -520,6 +530,9 @@ def knn_graph(
             F.col(vec_col).alias("c_vec"),
             F.col("_norm").alias("c_norm"),
             "cell",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(salt)])
+            ).alias("_salt"),
         )
     )
     q = assigned.select(
@@ -527,9 +540,10 @@ def knn_graph(
         F.col(vec_col).alias("q_vec"),
         F.col("_norm").alias("q_norm"),
         "cell",
+        F.pmod(F.col(id_col), F.lit(salt)).cast("int").alias("_salt"),
     )
     scored = (
-        q.join(cand, "cell")
+        q.join(cand, ["cell", "_salt"])
         .where(F.col("query_id") != F.col("candidate_id"))
         .select(
             "query_id",
