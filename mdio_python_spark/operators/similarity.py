@@ -463,6 +463,40 @@ def ivf_cell_assignments(
     )
 
 
+def norm_health(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-batch health: vector count, near-zero-norm
+    count (norm < 1e-6), non-finite count (NaN/Inf components), and
+    exact-quantized norm min/max/sum (floor(norm x 1e6); the left-fold
+    dot and IEEE sqrt are bit-identical cross-engine so the floor has no
+    tie mode; non-finite rows take the -1 sentinel so NaN never reaches
+    the floor/cast). One scan, one combinable groupBy — all state is
+    integers."""
+    inf = F.lit(float("inf"))
+    bad_any = F.exists(vec_col, lambda x: F.isnan(x) | (F.abs(x) == inf))
+    nrm = norm(F.col(vec_col))
+    per = vectors.select(
+        F.col(label_col).alias("label"),
+        bad_any.cast("int").alias("bad"),
+        F.when(bad_any, F.lit(-1))
+        .otherwise(F.floor(nrm * F.lit(1000000.0)).cast("bigint"))
+        .alias("norm_u"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum((F.col("norm_u") == 0).cast("int")).cast("bigint").alias(
+            "n_zero_norm"
+        ),
+        F.sum("bad").cast("bigint").alias("n_nonfinite"),
+        F.min("norm_u").alias("min_norm_u"),
+        F.max("norm_u").alias("max_norm_u"),
+        F.sum("norm_u").cast("bigint").alias("sum_norm_u"),
+    )
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 10,

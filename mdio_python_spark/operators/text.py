@@ -104,13 +104,19 @@ def _argmax_lang(scores: dict[str, Column]) -> Column:
 
 
 def language_id(
-    df: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "pred_lang",
+    keep_scores: bool = False,
 ) -> DataFrame:
     """Language-ID over a DataFrame, staged for one-pass evaluation:
     project tokens once -> project the 5 marker-hit counts -> argmax over
     plain column refs. Shuffle-free scan; each stage's outputs are computed
     exactly once per row (the naive nested-CASE form re-tokenizes per
-    comparison, ~L^2 splits per row)."""
+    comparison, ~L^2 splits per row).
+
+    ``keep_scores=True`` retains the per-language hit counts as
+    ``s_<lang>`` columns (for margin/confidence QC downstream)."""
     toks = tokens(F.lower(F.col(text_col)))
     staged = df.withColumn("__toks", toks)
     def _hits(marks: tuple[str, ...]):
@@ -122,9 +128,12 @@ def language_id(
     }
     staged = staged.withColumns({f"__s_{lang}": c for lang, c in score_cols.items()})
     pred = _argmax_lang({lang: F.col(f"__s_{lang}") for lang in LANG_MARKERS})
-    return staged.withColumn(out_col, pred).drop(
-        "__toks", *[f"__s_{lang}" for lang in LANG_MARKERS]
-    )
+    out = staged.withColumn(out_col, pred)
+    if keep_scores:
+        return out.withColumnsRenamed(
+            {f"__s_{lang}": f"s_{lang}" for lang in LANG_MARKERS}
+        ).drop("__toks")
+    return out.drop("__toks", *[f"__s_{lang}" for lang in LANG_MARKERS])
 
 
 # ASCII-safe, Java-regex + RE2 compatible PII patterns (no lookarounds)

@@ -4938,3 +4938,338 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5d batch 10: corpus-health QC + tuning curves
+# ---------------------------------------------------------------------------
+
+_DUP_INFLATION_ORACLE = f"""
+WITH per AS (
+  SELECT md5(text) AS h, CAST(len({_TOKS}) AS BIGINT) AS nt FROM documents
+),
+grp AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies, MAX(nt) AS tok
+  FROM per GROUP BY h
+)
+SELECT n_copies,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs,
+       CAST(n_copies * SUM(tok) AS BIGINT) AS total_tokens,
+       CAST((n_copies - 1) * SUM(tok) AS BIGINT) AS excess_tokens
+FROM grp GROUP BY n_copies
+"""
+
+
+@register("dup_inflation_curve", _DUP_INFLATION_ORACLE)
+def q_dup_inflation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-duplication inflation histogram (Lee et al., ACL 2022's
+    'how much of the corpus is c-fold duplicated' table): per
+    copy-multiplicity c, the group/doc counts and the token mass —
+    total_tokens is what storage pays, excess_tokens is what exact dedup
+    recovers. The first number a dedup budget meeting asks for.
+
+    Scale shape: two chained combinable groupBys (text hash -> copy
+    count); tokens counted once per doc on the same scan; no joins, no
+    windows — all exact integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        F.md5("text").alias("h"),
+        text.token_count(F.col("text")).alias("nt"),
+    )
+    grp = per.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.max("nt").alias("tok"),
+    )
+    return grp.groupBy("n_copies").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        (F.col("n_copies") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        (F.col("n_copies") * F.sum("tok")).cast("bigint").alias("total_tokens"),
+        ((F.col("n_copies") - 1) * F.sum("tok"))
+        .cast("bigint")
+        .alias("excess_tokens"),
+    )
+
+
+_PREFIX_ORACLE = f"""
+WITH per AS (
+  SELECT {sql_hash64("array_to_string(list_slice(" + _TOKS + ", 1, 8), ' ')")}
+           AS prefix_hash,
+         source, lang
+  FROM documents
+)
+SELECT prefix_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM per GROUP BY prefix_hash HAVING COUNT(*) >= 2
+"""
+
+
+@register("boilerplate_prefix_groups", _PREFIX_ORACLE)
+def q_boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by shared document OPENING: docs
+    sharing their first 8 tokens (lowercased) grouped by prefix hash —
+    a multi-source prefix group is a scraped template (cookie banners,
+    licence headers) that per-doc dedup misses when the bodies differ.
+    Complements segment_dedup_stats (any-position) by anchoring at the
+    document head, where templates live.
+
+    Scale shape: prefix hashes as 8-byte longs from one scan; one
+    combinable groupBy; the >= 2 filter prunes the output to actual
+    groups."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(text.tokens(F.lower(F.trim(F.col("text")))), 1, 8), " "
+    )
+    per = docs.select(
+        hash64(prefix).alias("prefix_hash"), "source", "lang"
+    )
+    return (
+        per.groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+_CONFUSION_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{sql} AS s_{lang}" for lang, sql in sorted(_SCORES.items()))}
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_zh > GREATEST(s_de, s_en, s_es, s_fr) THEN 'zh'
+              WHEN s_fr > GREATEST(s_de, s_en, s_es) THEN 'fr'
+              WHEN s_es > GREATEST(s_de, s_en) THEN 'es'
+              WHEN s_en > s_de THEN 'en'
+              ELSE 'de' END AS pred_lang,
+         list_sort([s_de, s_en, s_es, s_fr, s_zh]) AS ss
+  FROM scored
+)
+SELECT lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ss[5] = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_signal,
+       CAST(SUM(ss[5] - ss[4]) AS BIGINT) AS sum_margin
+FROM pred GROUP BY lang, pred_lang
+"""
+
+
+@register("langid_confusion_matrix", _CONFUSION_ORACLE)
+def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID QC: the (declared lang x predicted lang) confusion
+    matrix with two confidence signals per cell — n_zero_signal (docs
+    where every marker score was 0, so the prediction is the vacuous
+    tie-break default) and sum_margin (total top1-top2 score gap; a
+    low-margin cell is where the heuristic is guessing). The table read
+    before trusting pred_lang for per-language curation decisions.
+
+    Scale shape: one scan (staged marker counts), one combinable
+    groupBy(lang, pred_lang) to a |langs|^2 table; margins are exact
+    integer differences of hit counts."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.language_id(docs, keep_scores=True)
+    langs = sorted(text.LANG_MARKERS)
+    arr = F.sort_array(F.array(*[F.col(f"s_{lang}") for lang in langs]))
+    n = len(langs)
+    per = scored.select(
+        "lang",
+        "pred_lang",
+        arr[n - 1].alias("_top"),
+        (arr[n - 1] - arr[n - 2]).alias("_margin"),
+    )
+    return per.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("_top") == 0).cast("int")).cast("bigint").alias(
+            "n_zero_signal"
+        ),
+        F.sum("_margin").cast("bigint").alias("sum_margin"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH {_bpe_chain_ctes(_BPE_STEPS)},
+    bpe_occurrences AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(tk) AS word
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+      ) WHERE word <> ''
+    ),
+    bpe_final_counts AS (
+      SELECT word,
+             (length(sym) - length(replace(sym, {_BPE_SEP2}, ''))) // 2 + 1 AS k
+      FROM bpe_sym_{_BPE_STEPS}
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(c.k) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(c.k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+    FROM bpe_occurrences o
+    JOIN bpe_final_counts c USING (word)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE symbols per whitespace word) per
+    language under the freshly trained merge list — the tokenizer-equity
+    audit (Rust et al., ACL 2021): a language with 2x the fertility pays
+    2x the sequence length for the same content, so a shared-budget
+    training run silently under-trains it. Same train-then-apply DAG as
+    bpe_tokenized_docs, rolled up by language instead of document.
+
+    Scale shape: the merge training is the declarative 6-step chain
+    (combinable aggregates + 1-row argmax broadcasts); apply joins token
+    occurrences to the vocab-bounded symbol counts; the lang join rides
+    doc_id before the final combinable groupBy(lang)."""
+    from mdio_python_spark.operators import bpe
+    from mdio_python_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs)
+    _merges, final = bpe.train_merges(wc, _BPE_STEPS, scope="llm.bpe_fertility")
+    occ = docs.select(
+        "doc_id",
+        F.explode(_tokens(F.lower(F.trim(F.col("text"))))).alias("word"),
+    ).where(F.col("word") != "")
+    counts = final.select("word", bpe.sym_count(F.col("sym")).alias("_k"))
+    return (
+        occ.join(counts, "word")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_k").cast("bigint").alias("n_bpe_tokens"),
+            (
+                F.sum("_k").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+_NORM_HEALTH_ORACLE = f"""
+WITH per AS (
+  SELECT label,
+         CASE WHEN len(list_filter(embedding,
+                                   x -> isnan(x) OR isinf(x))) > 0
+              THEN 1 ELSE 0 END AS bad,
+         CASE WHEN len(list_filter(embedding,
+                                   x -> isnan(x) OR isinf(x))) > 0
+              THEN -1
+              ELSE CAST(floor(sqrt({_DOT.format(a="embedding", b="embedding")})
+                              * 1000000.0) AS BIGINT) END AS norm_u
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN norm_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
+       MIN(norm_u) AS min_norm_u,
+       MAX(norm_u) AS max_norm_u,
+       CAST(SUM(norm_u) AS BIGINT) AS sum_norm_u
+FROM per GROUP BY label
+"""
+
+
+@register("embedding_norm_health", _NORM_HEALTH_ORACLE)
+def q_embedding_norm_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-batch health QC per label: vector count, near-zero-norm
+    count (norm < 1e-6 — dead encoder outputs), non-finite count
+    (NaN/Inf components — the classic fp16-overflow symptom), and
+    exact-quantized norm min/max/sum (floor(norm x 1e6); the left-fold
+    dot and IEEE sqrt are bit-identical cross-engine, so the floor has
+    no tie mode). Collapsed norms or a nonzero NaN count mean the
+    embedding run is broken and every ANN/SemDeDup decision downstream
+    inherits it — this is the gate before any of them run.
+
+    Scale shape: one scan, one combinable groupBy(label); all state is
+    integers."""
+    return similarity.norm_health(_t(spark, sf_dir, "embeddings"))
+
+
+_DECON_SIZES = (4, 8, 13)
+
+
+def _decon_curve_oracle() -> str:
+    legs = []
+    for n in _DECON_SIZES:
+        legs.append(f"""
+tg_{n} AS (
+  SELECT DISTINCT doc_id, unnest({_ngram_list_sql(n)}) AS gram
+  FROM documents WHERE {_EVAL_HASH} % 20 <> 0
+),
+eg_{n} AS (
+  SELECT DISTINCT unnest({_ngram_list_sql(n)}) AS gram
+  FROM documents WHERE {_EVAL_HASH} % 20 = 0
+),
+leg_{n} AS (
+  SELECT CAST({n} AS BIGINT) AS ngram_n,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated_docs,
+         CAST(SUM(c) AS BIGINT) AS n_gram_hits,
+         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+  FROM (
+    SELECT t.doc_id, COUNT(e.gram) AS c
+    FROM tg_{n} t LEFT JOIN eg_{n} e USING (gram)
+    GROUP BY t.doc_id
+  )
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM leg_{n}" for n in _DECON_SIZES)
+    return f"WITH {','.join(legs)}\n{union}"
+
+
+@register("decontamination_ngram_curve", _decon_curve_oracle())
+def q_decontamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sensitivity curve: train-vs-eval overlap at
+    n-gram sizes 4 / 8 / 13 (the GPT-3 appendix used 13; stricter
+    pipelines use 8; 4 is the paranoid bound). The n that the
+    contamination rate elbows at IS the filter-tuning decision — too
+    small flags common phrases, too large misses paraphrased leaks.
+
+    Scale shape: one leg per n — each is the proven contamination DAG
+    (broadcast eval grams as 8-byte hashes, one corpus scan + combinable
+    groupBy, per-doc rollup is LSH-free); legs collapse to 1-row
+    aggregates before the 3-row union. The x3 corpus scans are the
+    honest cost of three gram sizes (gram sets at different n share
+    nothing)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = curation.eval_split_pred()
+    train, ev = docs.where(~pred), docs.where(pred)
+    legs = []
+    for n in _DECON_SIZES:
+        c = curation.contamination(train, ev, n=n)
+        legs.append(
+            c.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.col("contaminated").cast("int"))
+                .cast("bigint")
+                .alias("n_contaminated_docs"),
+                F.sum("n_contaminated").cast("bigint").alias("n_gram_hits"),
+                (
+                    F.sum(F.col("contaminated").cast("int")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("contamination_rate"),
+            ).select(
+                F.lit(n).cast("bigint").alias("ngram_n"),
+                "n_docs",
+                "n_contaminated_docs",
+                "n_gram_hits",
+                "contamination_rate",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

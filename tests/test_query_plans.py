@@ -322,3 +322,47 @@ def test_edge_density_persists_shared_stages(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dup_inflation_curve", "langid_confusion_matrix", "embedding_norm_health"],
+)
+def test_scan_only_qc_queries_no_joins_or_windows(spark, name):
+    """The round-5d scan-rollup QC family: one corpus scan into
+    combinable groupBys — any join or window operator appearing here
+    means someone broke the shape."""
+    plan = _plan(spark, name)
+    for bad in (
+        "WindowExec",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert bad not in plan, f"{name}: {bad}\n{plan}"
+
+
+def test_prefix_groups_combinable_rollup(spark):
+    """Prefix hashes roll up in one groupBy (the countDistincts expand,
+    they don't join); no windows, no joins."""
+    plan = _plan(spark, "boilerplate_prefix_groups")
+    for bad in ("WindowExec", "SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_decon_curve_broadcasts_eval_grams_all_legs(spark):
+    """Every n-gram leg must broadcast its eval gram set; the corpus
+    side is never the build side of a shuffle join."""
+    plan = _plan(spark, "decontamination_ngram_curve")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_fertility_no_cartesian(spark):
+    """The fertility rollup rides the bpe train-then-apply chain (1-row
+    argmax broadcasts are expected) — but never a real cartesian and
+    never a window."""
+    plan = _plan(spark, "tokenizer_fertility_by_lang")
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowExec" not in plan, plan

@@ -179,3 +179,106 @@ def test_hard_negatives_exclude_same_label(spark):
         by_rank = sorted(rs, key=lambda r: r.rank)
         for a, b in zip(by_rank, by_rank[1:]):
             assert a.cosine >= b.cosine
+
+
+# ---------------------------------------------------------------------------
+# batch 10: corpus-health QC + tuning curves
+# ---------------------------------------------------------------------------
+
+
+def test_dup_inflation_conserves_docs_and_tokens(spark):
+    rows = queries()["dup_inflation_curve"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_docs == r.n_copies * r.n_groups
+        # excess = total - one kept copy's worth
+        assert r.excess_tokens == r.total_tokens * (r.n_copies - 1) // r.n_copies
+
+
+def test_prefix_groups_crafted_template(spark):
+    from mdio_python_spark.operators import text as text_ops
+    from mdio_python_spark.functions.scalars import hash64
+
+    tmpl = "this site uses cookies to improve your experience"
+    df = spark.createDataFrame(
+        [
+            (1, tmpl + " alpha body", "en", "web"),
+            (2, tmpl + " beta body entirely different", "en", "crawl"),
+            (3, "unrelated document text with other words", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    prefix = F.array_join(
+        F.slice(text_ops.tokens(F.lower(F.trim(F.col("text")))), 1, 8), " "
+    )
+    per = df.select(hash64(prefix).alias("ph"), "source")
+    grouped = (
+        per.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("source").alias("s"))
+        .where(F.col("n") >= 2)
+        .collect()
+    )
+    assert len(grouped) == 1
+    assert grouped[0].n == 2 and grouped[0].s == 2
+
+
+def test_langid_confusion_totals(spark):
+    rows = queries()["langid_confusion_matrix"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_zero_signal <= r.n_docs
+        assert r.sum_margin >= 0
+
+
+def test_fertility_at_least_one(spark):
+    rows = queries()["tokenizer_fertility_by_lang"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_words
+        assert r.fertility >= 1.0
+
+
+def test_norm_health_clean_and_poisoned(spark):
+    # clean corpus: zero non-finite, consistent totals
+    rows = queries()["embedding_norm_health"](spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    for r in rows:
+        assert r.n_nonfinite == 0
+        assert 0 <= r.min_norm_u <= r.max_norm_u
+
+    # crafted poison: one NaN vector, one zero vector, one unit vector
+    crafted = spark.createDataFrame(
+        [
+            (1, [float("nan"), 1.0], 0),
+            (2, [0.0, 0.0], 0),
+            (3, [1.0, 0.0], 0),
+            (4, [3.0, 4.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.label: r
+        for r in similarity.norm_health(crafted).collect()
+    }
+    assert out[0].n_nonfinite == 1
+    assert out[0].n_zero_norm == 1
+    assert out[0].min_norm_u == -1  # NaN sentinel, never floor(NaN)
+    assert out[0].max_norm_u == 1000000  # unit vector
+    assert out[1].min_norm_u == 5000000  # 3-4-5 triangle
+
+
+def test_decontamination_curve_monotone_in_n(spark):
+    """A shared 13-gram implies shared 8- and 4-grams (subspans), so
+    contaminated-doc counts are non-increasing in n; so are docs-with-
+    any-n-gram counts (longer grams need longer docs)."""
+    rows = sorted(
+        queries()["decontamination_ngram_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.ngram_n,
+    )
+    assert [r.ngram_n for r in rows] == [4, 8, 13]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_contaminated_docs <= lo.n_contaminated_docs
+        assert hi.n_docs <= lo.n_docs
