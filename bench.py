@@ -94,6 +94,17 @@ STRESS_QUERIES = (
     "dedup_threshold_sweep",
     "knn_graph_hubness",
     "cluster_edge_density",
+    # round-5d batch 10: x3 corpus gram scans (decon curve), the bpe
+    # train+apply chain grouped by lang, and the exact-dup histogram
+    "decontamination_ngram_curve",
+    "tokenizer_fertility_by_lang",
+    "dup_inflation_curve",
+    # round-5d batch 11: corpus posexplode -> (label, dim) collapse
+    # (anisotropy), broadcast-centroid fold + per-vec max (margin),
+    # token explode -> grouped two-phase top-k (zipf)
+    "embedding_anisotropy",
+    "embedding_label_margin",
+    "zipf_head_share",
 )
 
 

@@ -497,6 +497,110 @@ def norm_health(
     )
 
 
+def label_margin(
+    vectors: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid-margin rollup: for every vector, the cosine to
+    its OWN label's centroid minus the best cosine to any OTHER label's
+    centroid; reported per label as the count and share of
+    positive-margin members — the silhouette-lite separability audit run
+    before trusting labels for purity/eval metrics (a label whose
+    members mostly sit closer to a foreign centroid is mislabeled or the
+    encoder can't see the distinction).
+
+    Exactness: components quantize once (floor(v x 1e6) -> DECIMAL);
+    centroid sums, the query-centroid dots (a zip_with product fold with
+    a DECIMAL(38,0) accumulator), and both norm squares are exact
+    integers — cosine is one final IEEE chain, so margins compare
+    identically cross-engine. Cosine's scale invariance absorbs both the
+    quantization scale and the 1/n centroid division.
+
+    Scale shape: centroid sums are one scan-side posexplode into a
+    combinable groupBy(label, dim) -> |labels| x dim rows, read ONCE by
+    the single cents aggregate (array rebuild + norm in one groupBy, so
+    no persist is needed — no fork exists); the |labels|-row
+    centroid-array table broadcasts into the corpus scan, dots fold
+    row-side with no shuffle, and the per-vector max-over-labels
+    collapses map-side (the broadcast join emits a vector's |labels|
+    rows inside one partition) before the final combinable
+    groupBy(label)."""
+    q10 = lambda c: F.floor(c.cast("double") * F.lit(1000000.0)).cast(  # noqa: E731
+        "decimal(10,0)"
+    )
+    xq = F.transform(F.col(vec_col), q10)
+    xnorm2 = F.aggregate(
+        F.transform(xq, lambda a: (a * a).cast("decimal(21,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+    base = vectors.select(
+        F.col(id_col),
+        F.col(label_col).alias("own_label"),
+        xq.alias("_xq"),
+        xnorm2.alias("_xn2"),
+    ).where(F.col("_xn2") > 0)
+
+    comp = vectors.select(
+        F.col(label_col).alias("c_label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    ).select(
+        "c_label", "dim", q10(F.col("_v")).cast("decimal(18,0)").alias("_vq")
+    )
+    sums = comp.groupBy("c_label", "dim").agg(
+        F.sum("_vq").cast("decimal(18,0)").alias("s")
+    )
+    cents = sums.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            lambda st: st["s"],
+        ).alias("c_arr"),
+        F.sum((F.col("s") * F.col("s")).cast("decimal(37,0)")).alias("_cn2"),
+    )
+
+    dot_q = F.aggregate(
+        F.zip_with(
+            F.col("_xq"),
+            F.col("c_arr"),
+            lambda a, b: (a * b).cast("decimal(29,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: acc + v,
+    )
+    cos_q = dot_q.cast("double") / (
+        F.sqrt(F.col("_xn2").cast("double")) * F.sqrt(F.col("_cn2").cast("double"))
+    )
+    scored = base.join(F.broadcast(cents), how="cross").select(
+        F.col(id_col),
+        "own_label",
+        "c_label",
+        cos_q.alias("_cos"),
+    )
+    per_vec = scored.groupBy(id_col, "own_label").agg(
+        F.max(F.when(F.col("c_label") == F.col("own_label"), F.col("_cos"))).alias(
+            "_own"
+        ),
+        F.max(F.when(F.col("c_label") != F.col("own_label"), F.col("_cos"))).alias(
+            "_other"
+        ),
+    )
+    pos = (F.col("_own") > F.col("_other")).cast("int")
+    out = (
+        per_vec.where(F.col("_other").isNotNull())
+        .groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(pos).cast("bigint").alias("n_positive_margin"),
+            (F.sum(pos).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "margin_share"
+            ),
+        )
+    )
+    return out
+
+
 def knn_graph(
     vectors: DataFrame,
     k: int = 10,

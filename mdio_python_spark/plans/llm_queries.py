@@ -5273,3 +5273,254 @@ def q_decontamination_ngram_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-5d batch 11: embedding geometry + vocabulary statistics
+# ---------------------------------------------------------------------------
+
+_ANISOTROPY_ORACLE = """
+WITH base AS (
+  SELECT label, embedding,
+         sqrt({dot}) AS nrm
+  FROM embeddings
+  WHERE sqrt({dot}) > 0
+),
+comp0 AS (
+  SELECT label, nrm,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM base
+),
+comp AS (
+  SELECT label, dim,
+         CAST(floor((CAST(v AS DOUBLE) / nrm) * 1000000.0)
+              AS DECIMAL(18,0)) AS uq
+  FROM comp0
+),
+sums AS (
+  SELECT label, dim, CAST(SUM(uq) AS DECIMAL(18,0)) AS s
+  FROM comp GROUP BY label, dim
+),
+ss AS (
+  SELECT label, SUM(CAST(s * s AS DECIMAL(37,0))) AS sumsq
+  FROM sums GROUP BY label
+),
+cnt AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM base GROUP BY label)
+SELECT c.label, c.n_vecs,
+       (CAST(s.sumsq AS DOUBLE) / 1000000000000.0 - CAST(c.n_vecs AS DOUBLE))
+         / CAST(c.n_vecs * (c.n_vecs - 1) AS DOUBLE) AS avg_pairwise_cosine
+FROM cnt c JOIN ss s ON s.label = c.label
+WHERE c.n_vecs >= 2
+""".format(dot=_DOT.format(a="embedding", b="embedding"))
+
+
+@register("embedding_anisotropy", _ANISOTROPY_ORACLE)
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding anisotropy: the expected pairwise cosine
+    within a label, via the unit-sum identity
+    avg_{i != j} cos(x_i, x_j) = (|sum u_i|^2 - n) / (n(n-1)) with
+    u = x/|x| — Ethayarajh (EMNLP 2019)'s anisotropy diagnostic without
+    materializing a single pair. High anisotropy across ALL labels means
+    the encoder collapsed into a narrow cone (every cosine looks ~0.9
+    and ANN/SemDeDup thresholds are meaningless); per-label values show
+    cluster tightness. Unit components quantize once (floor(u x 1e6):
+    the per-row norm divide is IEEE-identical cross-engine, floor has no
+    tie mode), so the metric is the exactly-defined quantized estimator
+    — both engines compute the identical number.
+
+    Scale shape: scan-side posexplode -> ONE combinable groupBy(label,
+    dim) collapsing the corpus to |labels| x dim rows; everything after
+    is tiny exact-decimal arithmetic (the source_centroid_cosine
+    precision ladder: DECIMAL(18,0) sums, (37,0) squares)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = similarity.norm(F.col("embedding"))
+    base = emb.where(nrm > 0).select(
+        "label", "embedding", nrm.alias("_n")
+    )
+    comp = base.select(
+        "label", "_n", F.posexplode("embedding").alias("dim", "_v")
+    ).select(
+        "label",
+        "dim",
+        F.floor((F.col("_v").cast("double") / F.col("_n")) * F.lit(1000000.0))
+        .cast("decimal(18,0)")
+        .alias("uq"),
+    )
+    sums = comp.groupBy("label", "dim").agg(
+        F.sum("uq").cast("decimal(18,0)").alias("s")
+    )
+    ss = sums.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(37,0)")).alias("sumsq")
+    )
+    cnt = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    return (
+        cnt.join(F.broadcast(ss), "label")
+        .where(F.col("n_vecs") >= 2)
+        .select(
+            "label",
+            "n_vecs",
+            (
+                (
+                    F.col("sumsq").cast("double") / F.lit(1000000000000.0)
+                    - F.col("n_vecs").cast("double")
+                )
+                / (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
+            ).alias("avg_pairwise_cosine"),
+        )
+    )
+
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKS}) AS token FROM documents
+),
+tok2 AS (SELECT lang, token FROM tok WHERE token <> ''),
+c AS (SELECT lang, token, COUNT(*) AS n FROM tok2 GROUP BY 1, 2),
+r AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token) AS rk
+  FROM c
+),
+head AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_top100
+  FROM r WHERE rk <= 100 GROUP BY lang
+),
+tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens_total,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+  FROM c GROUP BY lang
+)
+SELECT t.lang, t.n_tokens_total, t.n_distinct_tokens, h.n_top100,
+       CAST(h.n_top100 AS DOUBLE) / CAST(t.n_tokens_total AS DOUBLE)
+         AS head_share
+FROM tot t JOIN head h ON h.lang = t.lang
+"""
+
+
+@register("zipf_head_share", _ZIPF_ORACLE)
+def q_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head concentration per language: the fraction of all token
+    occurrences held by the top-100 types — the transcendental-free
+    Zipf audit (a healthy natural-language corpus concentrates ~40-60%
+    in the head; near-1.0 means templated/boilerplate text, near-0
+    means shredded or non-linguistic content). Directly feeds vocab
+    sizing: head_share is what a V=100 vocabulary would cover.
+
+    Scale shape: one token explode into a combinable (lang, token)
+    count; the vocab-sized count table persists once and feeds the
+    two-phase grouped top-k (retrieval.grouped_topk — no single-task
+    window even for a dominant language) and the per-lang totals; the
+    final join is |langs|-sized and broadcast."""
+    from pyspark import StorageLevel
+
+    from mdio_python_spark.operators import retrieval
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(text.tokens(F.lower(F.trim(F.col("text"))))).alias("token"),
+    ).where(F.col("token") != "")
+    counts = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    top = retrieval.grouped_topk(counts, ["lang"], "n", "token", k=100)
+    head = top.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_top100"))
+    tot = counts.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+    )
+    out = tot.join(F.broadcast(head), "lang").select(
+        "lang",
+        "n_tokens_total",
+        "n_distinct_tokens",
+        "n_top100",
+        (
+            F.col("n_top100").cast("double")
+            / F.col("n_tokens_total").cast("double")
+        ).alias("head_share"),
+    )
+    rotate_scoped("llm.zipf_head_share", counts)
+    return attach_cached(out, counts)
+
+
+_LABEL_MARGIN_ORACLE = """
+WITH comp0 AS (
+  SELECT label AS c_label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+sums AS (
+  SELECT c_label, dim,
+         CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                       AS DECIMAL(10,0))) AS DECIMAL(18,0)) AS s
+  FROM comp0 GROUP BY c_label, dim
+),
+cents AS (
+  SELECT c_label, list(s ORDER BY dim) AS c_arr,
+         SUM(CAST(s * s AS DECIMAL(37,0))) AS cn2
+  FROM sums GROUP BY c_label
+),
+base AS (
+  SELECT vec_id, label AS own_label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                     AS DECIMAL(10,0))) AS xq
+  FROM embeddings
+),
+basen AS (
+  SELECT vec_id, own_label, xq,
+         list_reduce(
+           list_prepend(CAST(0 AS DECIMAL(38,0)),
+             list_transform(xq, a -> CAST(a * a AS DECIMAL(21,0)))),
+           (x, y) -> x + y) AS xn2
+  FROM base
+),
+scored AS (
+  SELECT b.vec_id, b.own_label, c.c_label,
+         CAST(list_reduce(
+                list_prepend(CAST(0 AS DECIMAL(38,0)),
+                  list_transform(generate_series(1, len(b.xq)),
+                    i -> CAST(b.xq[i] * c.c_arr[i] AS DECIMAL(29,0)))),
+                (x, y) -> x + y) AS DOUBLE)
+           / (sqrt(CAST(b.xn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE)))
+           AS cosv
+  FROM basen b CROSS JOIN cents c
+  WHERE b.xn2 > 0
+),
+per_vec AS (
+  SELECT vec_id, own_label,
+         MAX(CASE WHEN c_label = own_label THEN cosv END) AS own,
+         MAX(CASE WHEN c_label <> own_label THEN cosv END) AS other
+  FROM scored GROUP BY vec_id, own_label
+)
+SELECT own_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN own > other THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive_margin,
+       CAST(SUM(CASE WHEN own > other THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS margin_share
+FROM per_vec
+WHERE other IS NOT NULL
+GROUP BY own_label
+"""
+
+
+@register("embedding_label_margin", _LABEL_MARGIN_ORACLE)
+def q_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separability audit (silhouette-lite): per label, the share
+    of members whose cosine to their OWN label centroid beats their best
+    cosine to any OTHER label's centroid — run before trusting labels
+    for cluster-purity metrics or classifier training data. All
+    arithmetic before the final IEEE cosine chain is exact decimal, so
+    the margin comparisons are bit-identical cross-engine
+    (operators/similarity.py:label_margin documents the ladder and the
+    broadcast/map-side-combine plan shape)."""
+    return similarity.label_margin(_t(spark, sf_dir, "embeddings"))

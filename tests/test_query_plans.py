@@ -366,3 +366,34 @@ def test_fertility_no_cartesian(spark):
     plan = _plan(spark, "tokenizer_fertility_by_lang")
     assert "CartesianProduct" not in plan, plan
     assert "WindowExec" not in plan, plan
+
+
+def test_anisotropy_combinable_collapse(spark):
+    """The corpus collapses in ONE combinable groupBy(label, dim); the
+    |labels|-row tail joins broadcast; no windows anywhere."""
+    plan = _plan(spark, "embedding_anisotropy")
+    assert "BroadcastHashJoin" in plan, plan
+    for bad in ("WindowExec", "SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_zipf_persists_count_fork(spark):
+    """The (lang, token) count table feeds the grouped top-k AND the
+    totals: both must read it from cache; top-k compiles to
+    WindowGroupLimit; the final |langs| join broadcasts."""
+    plan = _plan(spark, "zipf_head_share")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_label_margin_broadcast_centroids_no_corpus_shuffle_joins(spark):
+    """Centroid arrays broadcast into the corpus scan (the cross join is
+    the |labels|-row broadcast NLJ, fine); dots fold row-side so the only
+    corpus exchanges are the combinable aggregates — never a sort-merge
+    join, never a window."""
+    plan = _plan(spark, "embedding_label_margin")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for bad in ("WindowExec", "SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, plan

@@ -282,3 +282,73 @@ def test_decontamination_curve_monotone_in_n(spark):
     for lo, hi in zip(rows, rows[1:]):
         assert hi.n_contaminated_docs <= lo.n_contaminated_docs
         assert hi.n_docs <= lo.n_docs
+
+
+# ---------------------------------------------------------------------------
+# batch 11: embedding geometry + vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def test_anisotropy_crafted_limits(spark):
+    """Two identical unit vectors -> avg pairwise cosine ~ 1; two
+    orthogonal unit vectors -> ~ 0 (quantization error <= ~2e-6)."""
+    rows = {
+        r.label: r
+        for r in queries()["embedding_anisotropy"](spark, SF_SMOKE).collect()
+    }
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert sum(r.n_vecs for r in rows.values()) == emb.count()
+    for r in rows.values():
+        assert -1.000001 <= r.avg_pairwise_cosine <= 1.000001
+
+    import duckdb
+
+    crafted = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [1.0, 0.0], 1),
+            (4, [0.0, 2.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    crafted.createOrReplaceTempView("_aniso_crafted")
+    # replicate the declared computation on the crafted rows via DuckDB
+    from mdio_python_spark.plans.llm_queries import _ANISOTROPY_ORACLE
+
+    pdf = crafted.toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    got = {
+        int(r[0]): float(r[2])
+        for r in con.execute(_ANISOTROPY_ORACLE).fetchall()
+    }
+    assert abs(got[0] - 1.0) < 1e-5
+    assert abs(got[1] - 0.0) < 1e-5
+
+
+def test_zipf_head_share_invariants(spark):
+    rows = queries()["zipf_head_share"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_top100 <= r.n_tokens_total
+        assert 0.0 < r.head_share <= 1.0
+        if r.n_distinct_tokens <= 100:
+            assert r.head_share == 1.0
+
+
+def test_label_margin_crafted_separable(spark):
+    crafted = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 0),  # mislabeled: sits in label 1's cone
+            (4, [0.1, 0.9], 1),
+            (5, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.label: r for r in similarity.label_margin(crafted).collect()}
+    assert out[0].n_vecs == 3 and out[0].n_positive_margin == 2
+    assert out[1].n_vecs == 2 and out[1].n_positive_margin == 2
+    assert abs(out[0].margin_share - 2 / 3) < 1e-12
