@@ -5524,3 +5524,156 @@ def q_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:label_margin documents the ladder and the
     broadcast/map-side-combine plan shape)."""
     return similarity.label_margin(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5d batch 12: pipeline QC compositions (packing, retrieval legs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "packing_boundary_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+      FROM d WHERE n_tokens > 0
+    ),
+    p AS (
+      SELECT n_tokens,
+             (cum_before + n_tokens - 1) // 2048
+               - cum_before // 2048 + 1 AS n_seqs_spanned
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tokens) + 2047) // 2048 AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN n_seqs_spanned > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crossing_docs,
+           CAST(SUM(CASE WHEN n_seqs_spanned > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS crossing_rate,
+           CAST(CASE WHEN SUM(n_tokens) % 2048 = 0 THEN 2048
+                     ELSE SUM(n_tokens) % 2048 END AS BIGINT)
+             AS last_seq_fill
+    FROM p
+    """,
+)
+def q_packing_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QC over the 2048-token training stream: document count
+    and token mass, sequence count, boundary-crossing documents (split
+    across sequences — they lose attention context at the cut; the
+    crossing RATE is what decides pad-vs-split policy), and the final
+    sequence's fill. One combinable 1-row aggregate over the
+    range-partitioned prefix-sum DAG (operators/packing.py — the global
+    ordinal never serializes through one task)."""
+    from mdio_python_spark.operators.packing import pack_sequences
+
+    p = pack_sequences(_t(spark, sf_dir, "documents"), 2048)
+    crossing = (F.col("n_seqs_spanned") > 1).cast("int")
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(crossing).cast("bigint").alias("n_crossing_docs"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens + 2047) DIV 2048").cast("bigint").alias("n_sequences"),
+        "n_crossing_docs",
+        (
+            F.col("n_crossing_docs").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("crossing_rate"),
+        F.when(F.col("n_tokens") % 2048 == 0, F.lit(2048))
+        .otherwise(F.col("n_tokens") % 2048)
+        .cast("bigint")
+        .alias("last_seq_fill"),
+    )
+
+
+def _leg_agreement_oracle() -> str:
+    cos = _IVF_COS.format(a="embedding", b="q_vec")
+    return f"""
+    WITH {_bm25_oracle(k=20, final_select=False)},
+    q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    vec_scored AS (
+      SELECT vec_id AS doc_id, {cos} AS cos
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM vec_scored
+      ) WHERE rank <= 20
+    ),
+    j AS (
+      SELECT l.doc_id, l.rank AS rl, v.rank AS rv
+      FROM lex l JOIN vec v USING (doc_id)
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(COUNT(*) AS DOUBLE) / CAST(40 - COUNT(*) AS DOUBLE)
+             AS jaccard_at_k,
+           CAST(COALESCE(SUM(ABS(rl - rv)), 0) AS BIGINT) AS sum_rank_gap
+    FROM j
+    """
+
+
+@register("retrieval_leg_agreement", _leg_agreement_oracle())
+def q_retrieval_leg_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval leg agreement: overlap (Jaccard@20) and rank
+    displacement between the BM25 top-20 and the cosine top-20 for the
+    fixed query pair — the QC that decides whether RRF fusion is doing
+    work (near-total overlap: the vector leg adds nothing; near-zero:
+    the fusion constant dominates and needs tuning). Same two retriever
+    DAGs as hybrid_search_rrf (both corpus-shuffle-free), one tiny
+    inner join and a 1-row aggregate on top."""
+    from mdio_python_spark.operators.ranking import constant_partition
+    from mdio_python_spark.operators.retrieval import bm25_topk
+    from mdio_python_spark.operators.similarity import _lfold_norm, _lit_vec
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select(
+        "doc_id", F.col("rank").alias("rl")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    scored = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            similarity.dot(F.col("embedding"), _lit_vec(qv))
+            / (similarity.norm(F.col("embedding")) * F.lit(_lfold_norm(qv)))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    vec = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", F.col("rank").alias("rv"))
+    )
+    j = lex.join(vec, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.coalesce(F.sum(F.abs(F.col("rl") - F.col("rv"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_rank_gap"),
+    )
+    return agg.select(
+        F.lit(20).cast("bigint").alias("k"),
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.lit(40) - F.col("n_common")).cast("double")
+        ).alias("jaccard_at_k"),
+        "sum_rank_gap",
+    )

@@ -1510,3 +1510,85 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("decile_orders"),
     )
     return attach_cached(out, *getattr(ranked, CACHE_ATTR, []))
+
+
+_STALENESS_CASE = """
+CASE WHEN view_us IS NULL THEN 'unmatched'
+     WHEN lag_us < 60000000 THEN '<1m'
+     WHEN lag_us < 600000000 THEN '1-10m'
+     WHEN lag_us < 3600000000 THEN '10-60m'
+     WHEN lag_us < 86400000000 THEN '1-24h'
+     ELSE '>24h' END
+"""
+
+
+@register(
+    "asof_staleness_buckets",
+    f"""
+    WITH e AS ({_EVENTS_US}),
+    p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, us AS view_us FROM e WHERE event_type = 'view'),
+    j AS (
+      SELECT p.us - v.view_us AS lag_us, v.view_us
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.us >= v.view_us
+    ),
+    b AS (SELECT {_STALENESS_CASE} AS staleness_bucket FROM j),
+    c AS (
+      SELECT staleness_bucket, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM b GROUP BY staleness_bucket
+    ),
+    t AS (SELECT SUM(n_events) AS total FROM c)
+    SELECT staleness_bucket, n_events,
+           CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    """,
+)
+def q_asof_staleness_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution staleness distribution: purchases bucketed by the age
+    of their as-of-matched view (<1m / 1-10m / 10-60m / 1-24h / >24h /
+    unmatched) — the table that tunes an attribution WINDOW (an as-of
+    join without a max-lag bound credits week-old views; this shows what
+    share of attributions each candidate bound would keep). Reuses the
+    skew-guarded bucketed as-of DAG; the bucket CASE and rollup add one
+    combinable groupBy over a 6-row table plus a broadcast total."""
+    from mdio_python_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").drop("event_type")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("view_us")
+    )
+    j = asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_us="us",
+        right_us="view_us",
+        payload_cols=["view_us"],
+        bucket_us=3_600_000_000,
+    ).select((F.col("us") - F.col("view_us")).alias("lag_us"), "view_us")
+    lag = F.col("lag_us")
+    bucket = (
+        F.when(F.col("view_us").isNull(), F.lit("unmatched"))
+        .when(lag < 60_000_000, F.lit("<1m"))
+        .when(lag < 600_000_000, F.lit("1-10m"))
+        .when(lag < 3_600_000_000, F.lit("10-60m"))
+        .when(lag < 86_400_000_000, F.lit("1-24h"))
+        .otherwise(F.lit(">24h"))
+    )
+    c = (
+        j.select(bucket.alias("staleness_bucket"))
+        .groupBy("staleness_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    t = c.agg(F.sum("n_events").alias("_total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "staleness_bucket",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("_total").cast("double")).alias(
+            "share"
+        ),
+    )

@@ -397,3 +397,30 @@ def test_label_margin_broadcast_centroids_no_corpus_shuffle_joins(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     for bad in ("WindowExec", "SortMergeJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_staleness_buckets_single_corpus_exchange(spark):
+    """The staleness rollup rides the bucketed as-of DAG (union + one
+    (user, bucket) window) — no join operator on the corpus, one tiny
+    broadcast total."""
+    plan = _plan(spark, "asof_staleness_buckets")
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_packing_stats_range_partitioned_ordinal(spark):
+    """The 1-row packing summary must inherit the two-phase prefix sum —
+    never a bare global window over the corpus."""
+    plan = _plan(spark, "packing_boundary_stats")
+    assert "Exchange rangepartitioning" in plan, plan
+    # the only allowed single-partition exchange is the final 1-row agg
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_leg_agreement_no_corpus_join(spark):
+    """Both retriever legs are corpus-shuffle-free; the agreement join
+    runs on two top-20 lists (broadcast-able) with WindowGroupLimit on
+    both rank windows."""
+    plan = _plan(spark, "retrieval_leg_agreement")
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -352,3 +352,43 @@ def test_label_margin_crafted_separable(spark):
     assert out[0].n_vecs == 3 and out[0].n_positive_margin == 2
     assert out[1].n_vecs == 2 and out[1].n_positive_margin == 2
     assert abs(out[0].margin_share - 2 / 3) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# batch 12: pipeline QC compositions
+# ---------------------------------------------------------------------------
+
+
+def test_staleness_buckets_partition_purchases(spark):
+    rows = queries()["asof_staleness_buckets"](spark, SF_SMOKE).collect()
+    valid = {"unmatched", "<1m", "1-10m", "10-60m", "1-24h", ">24h"}
+    assert {r.staleness_bucket for r in rows} <= valid
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    from mdio_python_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_purchases = ev.where(F.col("event_type") == "purchase").count()
+    assert sum(r.n_events for r in rows) == n_purchases
+
+
+def test_packing_boundary_stats_consistent_with_pack(spark):
+    from mdio_python_spark.operators.packing import pack_sequences
+    from mdio_python_spark.sources.tables import load_table
+
+    row = queries()["packing_boundary_stats"](spark, SF_SMOKE).collect()[0]
+    p = pack_sequences(load_table(spark, SF_SMOKE, "documents"), 2048).collect()
+    assert row.n_docs == len(p)
+    assert row.n_tokens == sum(r.n_tokens for r in p)
+    assert row.n_crossing_docs == sum(1 for r in p if r.n_seqs_spanned > 1)
+    assert row.n_sequences == (row.n_tokens + 2047) // 2048
+    assert 1 <= row.last_seq_fill <= 2048
+    assert row.n_tokens == 2048 * (row.n_sequences - 1) + row.last_seq_fill
+
+
+def test_leg_agreement_bounds(spark):
+    row = queries()["retrieval_leg_agreement"](spark, SF_SMOKE).collect()[0]
+    assert 0 <= row.n_common <= 20
+    assert 0.0 <= row.jaccard_at_k <= 1.0
+    assert row.sum_rank_gap >= 0
+    if row.n_common == 0:
+        assert row.sum_rank_gap == 0
