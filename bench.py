@@ -105,6 +105,10 @@ STRESS_QUERIES = (
     "embedding_anisotropy",
     "embedding_label_margin",
     "zipf_head_share",
+    # round-5d batch 12: prefix-sum packing rollup and the bucketed
+    # as-of staleness rollup
+    "packing_boundary_stats",
+    "asof_staleness_buckets",
 )
 
 

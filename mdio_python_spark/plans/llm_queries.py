@@ -4572,7 +4572,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_affected"))
     )
-    out = per.join(aff, "threshold").select(
+    out = per.join(F.broadcast(aff), "threshold").select(
         "threshold", "n_pairs", "n_docs_affected", "n_docs_dropped"
     )
     rotate_scoped("llm.dedup_threshold_sweep", sh, verified)
@@ -4716,8 +4716,8 @@ def q_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nv = F.coalesce(F.col("n_verified_edges"), F.lit(0)).cast("bigint")
     out = (
-        sizes.join(cand_cnt, "cluster_id")
-        .join(ver_cnt, "cluster_id", "left")
+        sizes.join(F.broadcast(cand_cnt), "cluster_id")
+        .join(F.broadcast(ver_cnt), "cluster_id", "left")
         .select(
             "cluster_id",
             "n_members",

@@ -281,6 +281,7 @@ def test_threshold_sweep_persists_pair_set(spark):
     plan = _plan(spark, "dedup_threshold_sweep")
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # 6-row threshold join broadcasts
 
 
 def test_knn_graph_no_corpus_broadcast(spark):
@@ -320,8 +321,8 @@ def test_edge_density_persists_shared_stages(spark):
     equi-joins."""
     plan = _plan(spark, "cluster_edge_density")
     assert plan.count("InMemoryTableScan") >= 2, plan
-    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        assert bad not in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in plan, plan  # cluster-sized rollups broadcast
 
 
 @pytest.mark.parametrize(
