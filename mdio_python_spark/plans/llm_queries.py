@@ -5677,3 +5677,130 @@ def q_retrieval_leg_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard_at_k"),
         "sum_rank_gap",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5d batch 13: split / hash / shard health audits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "eval_split_balance",
+    f"""
+    WITH b AS (
+      SELECT source, lang,
+             CASE WHEN {_EVAL_HASH} % 20 = 0 THEN 1 ELSE 0 END AS is_eval
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_eval) AS BIGINT) AS n_eval,
+           CAST(SUM(is_eval) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS eval_share
+    FROM b GROUP BY source, lang
+    """,
+)
+def q_eval_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split bias audit: the held-out eval split's share per
+    (source, lang) stratum — every decontamination / DSIR / leakage
+    query in this registry trusts that the salted-hash split is an
+    unbiased ~1/20 of EVERY stratum, and this is the table that checks
+    it (a stratum far from 0.05 means id structure correlates with the
+    hash — the split salt must change). One scan, one combinable
+    groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    is_eval = curation.eval_split_pred().cast("int")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(is_eval).cast("bigint").alias("n_eval"),
+        (F.sum(is_eval).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "eval_share"
+        ),
+    )
+
+
+@register(
+    "simhash_bit_balance",
+    f"""
+    WITH {_simhash_cte(16)},
+    bits AS (
+      SELECT b.bit, (s.simhash >> b.bit) & 1 AS v
+      FROM sim s CROSS JOIN (
+        SELECT unnest(generate_series(0, 15)) AS bit
+      ) b
+    )
+    SELECT CAST(bit AS BIGINT) AS bit,
+           CAST(SUM(v) AS BIGINT) AS n_set,
+           CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS set_share
+    FROM bits GROUP BY bit
+    """,
+)
+def q_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-health audit for the SimHash family: per signature bit, the
+    fraction of documents with the bit set. Every banding scheme's
+    collision math assumes ~uniform bits; a stuck or skewed bit (share
+    far from 0.5) silently halves a band's effective width and floods
+    the candidate generator. The 16-element bit explode touches the
+    |docs| x 16 projection of the already-computed signature — one
+    combinable groupBy(bit)."""
+    sim = dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+    bits = sim.select(
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        F.col("simhash").alias("_h"),
+    ).select("bit", F.expr("shiftright(_h, CAST(bit AS INT)) & 1").alias("v"))
+    return bits.groupBy("bit").agg(
+        F.sum("v").cast("bigint").alias("n_set"),
+        (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "set_share"
+        ),
+    )
+
+
+@register(
+    "shard_balance_qc",
+    f"""
+    WITH m AS (
+      SELECT {sql_hash64("'shard' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM m GROUP BY shard
+    ),
+    t AS (SELECT SUM(n_tokens) AS total FROM per)
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_tokens * 16 AS DOUBLE) / CAST(total AS DOUBLE)
+             AS token_load_factor
+    FROM per, t
+    """,
+)
+def q_shard_balance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for the epoch-shuffle manifest: docs and
+    token mass per shard with the token load factor (1.0 = perfectly
+    balanced) — the straggler check before a training run trusts the
+    16-shard layout (readers advance in lockstep, so epoch time is the
+    SLOWEST shard's token count). Same salted shard hash as
+    training_order_manifest; one scan, one combinable groupBy, one
+    broadcast total."""
+    from mdio_python_spark.operators.curation import split_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        split_hash(F.col("doc_id"), "shard", 16).alias("shard"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    t = per.agg(F.sum("n_tokens").alias("_total"))
+    return per.crossJoin(F.broadcast(t)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (
+            (F.col("n_tokens") * F.lit(16)).cast("double")
+            / F.col("_total").cast("double")
+        ).alias("token_load_factor"),
+    )

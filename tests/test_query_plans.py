@@ -425,3 +425,15 @@ def test_leg_agreement_no_corpus_join(spark):
     plan = _plan(spark, "retrieval_leg_agreement")
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["eval_split_balance", "simhash_bit_balance", "shard_balance_qc"]
+)
+def test_health_audits_scan_rollup_shape(spark, name):
+    """The split/hash/shard audits are scan -> combinable groupBy (+ a
+    broadcast 1-row total for the shard case): no windows, no shuffle
+    joins."""
+    plan = _plan(spark, name)
+    for bad in ("WindowExec", "SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, f"{name}: {bad}\n{plan}"

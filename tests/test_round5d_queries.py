@@ -392,3 +392,46 @@ def test_leg_agreement_bounds(spark):
     assert row.sum_rank_gap >= 0
     if row.n_common == 0:
         assert row.sum_rank_gap == 0
+
+
+# ---------------------------------------------------------------------------
+# batch 13: split / hash / shard health audits
+# ---------------------------------------------------------------------------
+
+
+def test_eval_split_balance_totals(spark):
+    rows = queries()["eval_split_balance"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_eval <= r.n_docs
+    # corpus-wide share should be in a loose binomial band around 1/20
+    total = sum(r.n_docs for r in rows)
+    n_eval = sum(r.n_eval for r in rows)
+    assert 0.02 <= n_eval / total <= 0.10
+
+
+def test_simhash_bit_balance_covers_all_bits(spark):
+    rows = {r.bit: r for r in queries()["simhash_bit_balance"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(16))
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    for r in rows.values():
+        assert 0 <= r.n_set <= n
+        assert abs(r.set_share - r.n_set / n) < 1e-12
+
+
+def test_shard_balance_matches_manifest_shards(spark):
+    rows = queries()["shard_balance_qc"](spark, SF_SMOKE).collect()
+    assert {r.shard for r in rows} <= set(range(16))
+    # shard assignment must agree with training_order_manifest's
+    manifest = queries()["training_order_manifest"](spark, SF_SMOKE)
+    m_counts = {
+        r.shard: r.n for r in manifest.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    q_counts = {r.shard: r.n_docs for r in rows}
+    assert q_counts == m_counts
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert abs(r.token_load_factor - r.n_tokens * 16 / total) < 1e-9
