@@ -5804,3 +5804,232 @@ def q_shard_balance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("_total").cast("double")
         ).alias("token_load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5d batch 14: the ANN method shootout
+# ---------------------------------------------------------------------------
+
+
+def _shootout_oracle() -> str:
+    from mdio_python_spark.operators.similarity import sql_random_project
+
+    exact_cos = (
+        f"{_DOT.format(a='q_vec', b='c_vec')}"
+        f" / (sqrt({_DOT.format(a='q_vec', b='q_vec')})"
+        f" * sqrt({_DOT.format(a='c_vec', b='c_vec')}))"
+    )
+    frags = sql_random_project(out_dim=8, in_dim=64)
+    rp_cols = ", ".join(f"{frag} AS rp_{j}" for j, frag in enumerate(frags))
+    rp_bucket = " + ".join(
+        f"CASE WHEN rp_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(8)
+    )
+
+    def topk_cte(scored: str) -> str:
+        return f"""(
+  SELECT query_id, candidate_id FROM (
+    SELECT query_id, candidate_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, candidate_id) AS rnk
+    FROM {scored}
+  ) WHERE rnk <= 10
+)"""
+
+    def agg_cte(name: str, label: str) -> str:
+        return f"""(
+  SELECT '{label}' AS method,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN t.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN t.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+  FROM exact_topk e
+  LEFT JOIN {name} t
+    ON t.query_id = e.query_id AND t.candidate_id = e.candidate_id
+)"""
+
+    return f"""
+WITH eq AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 50
+),
+ec AS (SELECT vec_id AS candidate_id, embedding AS c_vec FROM embeddings),
+exact_scored AS (
+  SELECT query_id, candidate_id, {exact_cos} AS cosine
+  FROM ec CROSS JOIN eq WHERE query_id <> candidate_id
+),
+exact_topk AS {topk_cte("exact_scored")},
+sq AS (
+  SELECT vec_id AS query_id, embedding AS q_vec,
+         {_BUCKET_SQL.format(v="embedding")} AS bucket
+  FROM embeddings WHERE vec_id < 50
+),
+sc AS (
+  SELECT vec_id AS candidate_id, embedding AS c_vec,
+         {_BUCKET_SQL.format(v="embedding")} AS bucket
+  FROM embeddings
+),
+sign_scored AS (
+  SELECT query_id, candidate_id, {exact_cos} AS cosine
+  FROM sc JOIN sq USING (bucket) WHERE query_id <> candidate_id
+),
+sign_topk AS {topk_cte("sign_scored")},
+mq AS ({_multiband_cte("mq", "query_id", "q_vec", "WHERE vec_id < 50")}),
+mc AS ({_multiband_cte("mc", "candidate_id", "c_vec", "")}),
+mb_matched AS (
+  SELECT query_id, candidate_id, band_id, {exact_cos} AS cosine
+  FROM mc JOIN mq USING (band_id, bucket) WHERE query_id <> candidate_id
+),
+mb_pairs AS (
+  SELECT query_id, candidate_id, MAX(cosine) AS cosine
+  FROM mb_matched GROUP BY query_id, candidate_id
+),
+mb_topk AS {topk_cte("mb_pairs")},
+rp_proj AS (SELECT vec_id, embedding, {rp_cols} FROM embeddings),
+rp_b AS (
+  SELECT vec_id, embedding, CAST({rp_bucket} AS BIGINT) AS bucket FROM rp_proj
+),
+rq AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, bucket
+  FROM rp_b WHERE vec_id < 50
+),
+rc AS (SELECT vec_id AS candidate_id, embedding AS c_vec, bucket FROM rp_b),
+rp_scored AS (
+  SELECT query_id, candidate_id, {exact_cos} AS cosine
+  FROM rc JOIN rq USING (bucket) WHERE query_id <> candidate_id
+),
+rp_topk AS {topk_cte("rp_scored")},
+cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+  FROM embeddings, cent
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_vec, CAST(cid AS BIGINT) AS cell
+  FROM embeddings q, cent
+  WHERE q.vec_id < 50
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY {_IVF_COS.format(a="q.embedding", b="cent_vec")} DESC, cid) <= 4
+),
+ivf_scored AS (
+  SELECT query_id, a.vec_id AS candidate_id,
+         {_IVF_COS.format(a="q_vec", b="a.embedding")} AS cosine
+  FROM assign a JOIN probes p ON a.cell = p.cell
+  WHERE query_id <> a.vec_id
+),
+ivf_topk AS {topk_cte("ivf_scored")},
+agg_sign AS {agg_cte("sign_topk", "sign_bucket")},
+agg_mb AS {agg_cte("mb_topk", "multiband")},
+agg_rp AS {agg_cte("rp_topk", "rp_bucket")},
+agg_ivf AS {agg_cte("ivf_topk", "ivf_nprobe4")}
+SELECT * FROM agg_sign
+UNION ALL SELECT * FROM agg_mb
+UNION ALL SELECT * FROM agg_rp
+UNION ALL SELECT * FROM agg_ivf
+"""
+
+
+@register("ann_method_shootout", _shootout_oracle())
+def q_ann_method_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'which index do I deploy' table: aggregate recall@10 of every
+    ANN method the engine ships — axis-aligned sign buckets, 4-band
+    hyperplane OR-amplification, JL random-projection buckets, and
+    IVF-flat at nprobe=4 — against ONE persisted exact brute-force
+    top-10 over the sampled query set. ann_tuning_curve sweeps one
+    method's knob; this compares the methods at fixed budget, which is
+    the decision actually made first.
+
+    Scale shape: the four candidate generators are the existing bucketed
+    legs (each corpus-side prunable by its bucket/cell key); the exact
+    leg persists once and feeds all four 1-row leg aggregates
+    (persist-the-fork — four consumers); each leg join touches
+    n_queries x 10 rows per side with the ANN side broadcast."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+    from mdio_python_spark.operators.similarity import random_project, sign_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 50)
+    exact = (
+        similarity.cosine_topk(qs, emb, k=10)
+        .select("query_id", "candidate_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    sign = similarity.bucketed_topk(qs, emb, k=10, bits=6).select(
+        "query_id", "candidate_id"
+    )
+    multi = similarity.multiband_topk(qs, emb, k=10, bits=6, bands=4).select(
+        "query_id", "candidate_id"
+    )
+    proj = random_project(emb, out_dim=8, in_dim=64).withColumn(
+        "bucket",
+        sign_bucket(F.array(*[F.col(f"rp_{j}") for j in range(8)]), 8),
+    )
+    rq = proj.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    rc = proj.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("c_vec"),
+        "bucket",
+    )
+    rp_scored = (
+        rc.join(F.broadcast(rq), "bucket")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            similarity.cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    rp = (
+        rp_scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "candidate_id")
+    )
+    ivf = similarity.ivf_topk(qs, emb, k=10, n_centroids=16, nprobe=4).select(
+        "query_id", "candidate_id"
+    )
+
+    def leg(approx: DataFrame, label: str) -> DataFrame:
+        hit = approx.withColumn("_hit", F.lit(1))
+        return (
+            exact.join(F.broadcast(hit), ["query_id", "candidate_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(label).alias("method"),
+                "n_exact",
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact").cast("double")
+                ).alias("recall"),
+            )
+        )
+
+    out = (
+        leg(sign, "sign_bucket")
+        .unionAll(leg(multi, "multiband"))
+        .unionAll(leg(rp, "rp_bucket"))
+        .unionAll(leg(ivf, "ivf_nprobe4"))
+    )
+    rotate_scoped("llm.ann_method_shootout", exact)
+    return attach_cached(out, exact)

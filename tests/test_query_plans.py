@@ -437,3 +437,13 @@ def test_health_audits_scan_rollup_shape(spark, name):
     plan = _plan(spark, name)
     for bad in ("WindowExec", "SortMergeJoin", "CartesianProduct"):
         assert bad not in plan, f"{name}: {bad}\n{plan}"
+
+
+def test_shootout_shares_exact_leg(spark):
+    """The exact brute-force truth leg persists once and feeds all four
+    method aggregates (>= 4 cache reads); no true cartesian (the exact
+    leg's broadcast NLJ over the bounded query set is the deliberate
+    audit baseline)."""
+    plan = _plan(spark, "ann_method_shootout")
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "CartesianProduct" not in plan, plan

@@ -435,3 +435,21 @@ def test_shard_balance_matches_manifest_shards(spark):
     total = sum(r.n_tokens for r in rows)
     for r in rows:
         assert abs(r.token_load_factor - r.n_tokens * 16 / total) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# batch 14: ANN method shootout
+# ---------------------------------------------------------------------------
+
+
+def test_shootout_methods_and_dominance(spark):
+    rows = {r.method: r for r in queries()["ann_method_shootout"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"sign_bucket", "multiband", "rp_bucket", "ivf_nprobe4"}
+    n_exact = {r.n_exact for r in rows.values()}
+    assert len(n_exact) == 1  # same truth set for every method
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_exact
+        assert abs(r.recall - r.n_hits / r.n_exact) < 1e-12
+    # multiband's band 0 IS sign_bucket's bucketing, so its candidate set
+    # is a superset and exact-top-10 members can never be displaced:
+    assert rows["multiband"].n_hits >= rows["sign_bucket"].n_hits
