@@ -243,8 +243,60 @@ def _bucket_combos(
     )
 
 
+def minhash_agreement_filter(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    min_agree: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Discard candidate pairs whose MinHash signatures agree on fewer
+    than ``min_agree`` of the ``num_hashes`` components — the free
+    Jaccard ESTIMATE the signature already paid for, applied before the
+    expensive exact shingle-join verify.
+
+    This is a RECALL KNOB, not an exact bound (unlike the size-ratio
+    bound in :func:`pair_overlap_counts`): E[agree/K] = J, so a pair at
+    true Jaccard J fails ``min_agree = b_rows + m`` with probability
+    ~P[Binom(K - b_rows, J) < m] (the ``b_rows`` hashes of its matching
+    LSH band agree by construction). At the default (K=8, 2-row bands,
+    min_agree=3) a pair exactly AT a 0.5 threshold is falsely dropped
+    with p = 0.5^6 ≈ 1.6%, and a real near-dup at J = 0.9 with p = 1e-6
+    — while band collisions between unrelated docs (J ≈ 0, agree = 2)
+    drop for free. Production near-dup systems run this exact shape
+    (estimate-gate, then verify survivors). Callers that mirror the
+    filter in a cross-engine oracle get deterministic, engine-identical
+    semantics: both engines compute the same hashes, so the same pairs
+    pass.
+
+    Cost: two hash joins of the (LSH-bounded, tiny) pair set against the
+    K-longs-per-doc signature table — nothing corpus-sized moves.
+    """
+    sa = signatures.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh_{k}").alias(f"_a{k}") for k in range(num_hashes)],
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh_{k}").alias(f"_b{k}") for k in range(num_hashes)],
+    )
+    agree = None
+    for k in range(num_hashes):
+        term = (F.col(f"_a{k}") == F.col(f"_b{k}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(agree >= F.lit(min_agree))
+        .select("doc_a", "doc_b")
+    )
+
+
 def pair_overlap_counts(
-    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, n_a, n_b): exact set-overlap counts for
     candidate pairs via the shingle-set join — the shared core of
@@ -254,36 +306,67 @@ def pair_overlap_counts(
     counts (broadcastable). Exact integer arithmetic throughout. Prefers
     the 8-byte ``sh`` hash key (:func:`shingle_hashes`) over raw strings so
     the join shuffle moves longs.
+
+    ``min_jaccard`` applies the PROVABLE size-ratio prefilter before the
+    expensive intersection join: J(A,B) <= min(|A|,|B|) / max(|A|,|B|)
+    (the intersection is at most the smaller set; the union at least the
+    larger), so a pair whose size ratio is already below the threshold
+    cannot pass a ``jaccard >= min_jaccard`` filter downstream — dropping
+    it here is output-identical BY THEOREM for such callers (monotone
+    double rounding preserves <=: rnd(J) <= rnd(bound)). Unlike the
+    MinHash estimate gate this discards no borderline pair, at any data
+    distribution. Pairs are joined to the per-doc sizes FIRST (tiny join)
+    and only survivors expand into the per-shingle intersection join.
     """
     # same preference rule as minhash_signatures: explicit strings win
     key = "shingle" if "shingle" in shingles.columns else "sh"
     if key not in shingles.columns:
         raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sized = pairs.join(
+        sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed(
+            "n_shingles", "n_a"
+        ),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+            "n_shingles", "n_b"
+        ),
+        "doc_b",
+    )
+    if min_jaccard is not None:
+        sized = sized.where(
+            F.least("n_a", "n_b").cast("double")
+            / F.greatest("n_a", "n_b").cast("double")
+            >= F.lit(float(min_jaccard))
+        )
     a = shingles.withColumnRenamed(id_col, "doc_a")
     b = shingles.withColumnRenamed(id_col, "doc_b")
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", key])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        sized.join(a, "doc_a")
+        .join(b, ["doc_b", key])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
     )
 
 
 def jaccard_pairs(
-    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """True n-gram Jaccard for candidate pairs via a shingle-set join.
 
     Union = |A| + |B| - |A ∩ B| over :func:`pair_overlap_counts`'s exact
-    integers; one double divide at the end.
+    integers; one double divide at the end. ``min_jaccard`` enables the
+    provable size-ratio prefilter (see :func:`pair_overlap_counts`):
+    callers that filter ``jaccard >= min_jaccard`` downstream get an
+    identical result with provably-hopeless pairs never entering the
+    intersection join.
     """
-    return pair_overlap_counts(pairs, shingles, id_col).select(
+    return pair_overlap_counts(pairs, shingles, id_col, min_jaccard).select(
         "doc_a",
         "doc_b",
         (

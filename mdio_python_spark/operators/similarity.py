@@ -511,7 +511,9 @@ def label_margin(
     members mostly sit closer to a foreign centroid is mislabeled or the
     encoder can't see the distinction).
 
-    Exactness: components quantize once (floor(v x 1e6) -> DECIMAL);
+    Exactness: components quantize once (floor(v x 1e6) -> DECIMAL;
+    inputs are bounded |v| < 1e4 and the bound is asserted loudly, see
+    below); the
     centroid sums, the query-centroid dots (a zip_with product fold with
     a DECIMAL(38,0) accumulator), and both norm squares are exact
     integers — cosine is one final IEEE chain, so margins compare
@@ -530,7 +532,25 @@ def label_margin(
     q10 = lambda c: F.floor(c.cast("double") * F.lit(1000000.0)).cast(  # noqa: E731
         "decimal(10,0)"
     )
-    xq = F.transform(F.col(vec_col), q10)
+    # Input-bound guard: |v| >= 1e4 overflows the DECIMAL(10,0) quantize —
+    # Spark (non-ANSI) would silently null it while DuckDB raises, so
+    # pathological embeddings would diverge cross-engine instead of
+    # failing loudly. assert_true is evaluated as THE when-condition (not
+    # a prunable side column), so a violating row raises in both engines.
+    _in_bound = F.assert_true(
+        F.coalesce(
+            F.array_max(
+                F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double")))
+            ),
+            F.lit(0.0),
+        )
+        < F.lit(10000.0),
+        F.lit(
+            "label_margin: embedding component magnitude >= 1e4 overflows "
+            "the DECIMAL(10,0) quantization ladder; rescale the embeddings"
+        ),
+    ).isNull()
+    xq = F.when(_in_bound, F.transform(F.col(vec_col), q10))
     xnorm2 = F.aggregate(
         F.transform(xq, lambda a: (a * a).cast("decimal(21,0)")),
         F.lit(0).cast("decimal(38,0)"),
@@ -649,6 +669,11 @@ def knn_graph(
         vectors.select(
             F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_norm")
         )
+        # zero-norm vectors have no defined cosine (NaN would silently
+        # poison every rank they touch): exclude them from the graph —
+        # they surface downstream as in-degree-0 rows in hubness QC
+        # (oracle-mirrored in _HUBNESS_ORACLE's live CTE)
+        .where(F.col("_norm") > 0)
         .withColumn(
             "_cells", _cell_structs(F.col(vec_col), F.col("_norm"), cents, cnorms)
         )
@@ -673,12 +698,17 @@ def knn_graph(
             ).alias("_salt"),
         )
     )
+    # salt on the id's HASH, not the raw id: any id type works (a string
+    # doc_id would fail pmod analysis with an opaque error) and routing
+    # stays uniform for strided ids. Routing only — each query still
+    # meets each candidate exactly once (candidates replicate across all
+    # salts), so the output is identical for any salt function.
     q = assigned.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("_norm").alias("q_norm"),
         "cell",
-        F.pmod(F.col(id_col), F.lit(salt)).cast("int").alias("_salt"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int").alias("_salt"),
     )
     scored = (
         q.join(cand, ["cell", "_salt"])

@@ -93,13 +93,16 @@ _BANDS_CTE = f"""
   )
 """
 
-# exact Jaccard for candidate_pairs via the shingle-set join — shared by
-# every oracle that verifies LSH candidates (mirror of dedup.jaccard_pairs)
-_PAIR_JACCARD_CTES = """
+# exact Jaccard for candidate pairs via the shingle-set join — shared by
+# every oracle that verifies LSH candidates (mirror of dedup.jaccard_pairs);
+# parameterized on the pair source so estimate-gated pipelines
+# (near_dup_jaccard) reuse the identical verify fragment
+def _pair_jaccard_ctes(src: str = "candidate_pairs") -> str:
+    return f"""
   sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id),
   inter AS (
     SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
-    FROM candidate_pairs p
+    FROM {src} p
     JOIN shingled a ON a.doc_id = p.doc_a
     JOIN shingled b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
     GROUP BY p.doc_a, p.doc_b
@@ -112,6 +115,25 @@ _PAIR_JACCARD_CTES = """
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
+  )
+"""
+
+
+_PAIR_JACCARD_CTES = _pair_jaccard_ctes()
+
+# MinHash-agreement estimate gate (mirror of dedup.minhash_agreement_filter
+# at min_agree=3): candidate pairs keep only if >=3 of the 8 signature
+# components agree — deterministic in both engines (same hashes), so the
+# gate is part of the declared query's semantics, not an approximation gap
+_EST_PAIRS_CTE = f"""
+  est_pairs AS (
+    SELECT p.doc_a, p.doc_b
+    FROM candidate_pairs p
+    JOIN signatures sa ON sa.doc_id = p.doc_a
+    JOIN signatures sb ON sb.doc_id = p.doc_b
+    WHERE {" + ".join(
+        f"(CASE WHEN sa.mh_{k} = sb.mh_{k} THEN 1 ELSE 0 END)" for k in range(8)
+    )} >= 3
   )
 """
 
@@ -196,13 +218,26 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_jaccard",
     f"""
-    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_PAIR_JACCARD_CTES}
+    WITH {_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_BANDS_CTE}, {_EST_PAIRS_CTE},
+    {_pair_jaccard_ctes("est_pairs")}
     SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.5
     """,
 )
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
-    exact Jaccard verify at 0.5 — the canonical training-data dedup DAG.
+    MinHash-estimate gate -> exact Jaccard verify at 0.5 — the canonical
+    training-data dedup DAG in its deployed shape (estimate-gate, then
+    verify survivors).
+
+    The exact verify dominated the 100x stress point (VERDICT r5 item 5),
+    so two prefilters run before the shingle-intersection join: the
+    signature-agreement gate (>= 3 of 8 components; drops incidental band
+    collisions — measured 24% of candidates at sf0.1, zero true pairs —
+    and is ORACLE-MIRRORED, so it is deterministic declared semantics,
+    with the recall trade quantified in
+    dedup.minhash_agreement_filter's docstring) and the provable
+    size-ratio bound (J <= min/max sizes — output-identical by theorem
+    given the final jaccard >= 0.5 filter, hence NOT in the oracle).
 
     Scale shape: every branch (signatures, set sizes, intersection sides)
     reads ONE PERSISTED repartition(doc_id) exchange of the hashed
@@ -224,7 +259,8 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    out = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
+    gated = dedup.minhash_agreement_filter(pairs, sig, num_hashes=8, min_agree=3)
+    out = dedup.jaccard_pairs(gated, hashed.distinct(), min_jaccard=0.5).where(
         F.col("jaccard") >= 0.5
     )
     rotate_scoped("near_dup_jaccard", hashed)
@@ -1980,44 +2016,145 @@ def q_embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
-    """IVF cell bound x PQ-code ADC scoring, composed from the verified
-    `_IVF_ORACLE` and `_pq_oracle` fragments: per-pair ADC terms are the
-    SAME left fold the Spark side precomputes into per-query lookup
-    tables, so literal-lookup and SQL-computed sums are bit-equal."""
+# ---------------------------------------------------------------------------
+# Fit-once / serve-many ANN (round 6): serving queries read the COMMITTED
+# canonical model artifacts (artifacts/models/*.parquet, trained by
+# tools/fit_models.py on the sf0.01 embeddings — see operators/model_store).
+# The iterative fit itself is timed separately by the *_model_fit queries
+# in plans/model_queries.py; serving is a pure projection whose oracle
+# reads the SAME artifact via read_parquet, so the fitted family is now
+# DuckDB-oracle-paired (the fit, not SQL-expressible, keeps a local gate).
+# ---------------------------------------------------------------------------
+
+def _artifact_cent_cte() -> str:
+    """Centroid CTE reconstructing (cid, cent_vec) from the canonical IVF
+    artifact — drop-in for _IVF_ORACLE's id-prefix `cent`."""
+    from mdio_python_spark.operators.model_store import IVF_CENTROIDS_PATH
+
+    return f"""cent AS (
+      SELECT CAST(centroid_id AS BIGINT) AS cid,
+             list(value ORDER BY dim) AS cent_vec
+      FROM read_parquet('{IVF_CENTROIDS_PATH}')
+      GROUP BY centroid_id
+    )"""
+
+
+def _artifact_cb_cte() -> str:
+    """Codebook CTE reconstructing (m, code_pos, cw) subvectors from the
+    canonical PQ artifact."""
+    from mdio_python_spark.operators.model_store import PQ_CODEBOOKS_PATH
+
+    return f"""cb AS (
+      SELECT CAST(subspace AS BIGINT) AS m, CAST(code AS BIGINT) AS code_pos,
+             list(value ORDER BY dim) AS cw
+      FROM read_parquet('{PQ_CODEBOOKS_PATH}')
+      GROUP BY subspace, code
+    )"""
+
+
+def _ivf_serve_oracle() -> str:
+    """`_IVF_ORACLE` with artifact centroids: same assignment, probe, and
+    rank logic — the `list_reduce` folds are bit-equal to Spark's
+    plan-literal folds because the artifact stores exact doubles."""
+    return f"""
+    WITH {_artifact_cent_cte()},
+    assign AS (
+      SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+      FROM embeddings, cent
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_vec, CAST(cid AS BIGINT) AS cell
+      FROM embeddings q, cent
+      WHERE q.vec_id < 50
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_IVF_COS.format(a="q.embedding", b="cent_vec")} DESC, cid) <= 4
+    ),
+    scored AS (
+      SELECT query_id, a.vec_id AS candidate_id, a.cell,
+             {_IVF_COS.format(a="q_vec", b="a.embedding")} AS cosine
+      FROM assign a JOIN probes p ON a.cell = p.cell
+      WHERE query_id <> a.vec_id
+    )
+    SELECT query_id, candidate_id, cell, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, candidate_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+def _pq_serve_oracle() -> str:
+    """PQ encode + ADC against the canonical codebook artifact: per
+    subspace, codewords ARE the stored subvectors (vs `_pq_oracle`'s
+    slices of id-prefix rows); the implicit query vector is the
+    concatenation of each subspace's code-0 codeword, exactly what the
+    Spark serve query slices out of the loaded books."""
+    subs = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        d_ec = _L2SQ.format(
+            a=f"list_slice(e.embedding, {lo}, {hi})", b="c.cw"
+        )
+        d_qc = _L2SQ.format(a="q.q_vec", b="c.cw")
+        subs.append(
+            f"""sub{m} AS (
+      SELECT e.vec_id, c.code_pos AS code_{m}, {d_qc} AS t{m}
+      FROM embeddings e, cb c,
+           (SELECT cw AS q_vec FROM cb WHERE m = {m} AND code_pos = 0) q
+      WHERE c.m = {m}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id ORDER BY {d_ec}, c.code_pos) = 1
+    )"""
+        )
+    adc = " + ".join(f"t{m}" for m in range(_PQ_M))
+    joins = " ".join(f"JOIN sub{m} USING (vec_id)" for m in range(1, _PQ_M))
+    return f"""
+    WITH {_artifact_cb_cte()},
+    {", ".join(subs)}
+    SELECT vec_id, {", ".join(f"code_{m}" for m in range(_PQ_M))},
+           {adc} AS adc_dist
+    FROM sub0 {joins}
+    """
+
+
+def _ivfpq_serve_oracle() -> str:
+    """IVF cell bound x PQ-code ADC scoring, both from the canonical
+    artifacts: per-pair ADC terms are the SAME left fold the Spark side
+    precomputes into per-query lookup tables, so literal-lookup and
+    SQL-computed sums are bit-equal."""
     subs, terms, joins = [], [], []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
         d_ec = _L2SQ.format(
-            a=f"list_slice(e.embedding, {lo}, {hi})",
-            b=f"list_slice(c.embedding, {lo}, {hi})",
+            a=f"list_slice(e.embedding, {lo}, {hi})", b="c.cw"
         )
         subs.append(
             f"""sub{m} AS (
-      SELECT e.vec_id, CAST(c.code_pos AS BIGINT) AS code_{m}
+      SELECT e.vec_id, c.code_pos AS code_{m}
       FROM embeddings e, cb c
+      WHERE c.m = {m}
       QUALIFY ROW_NUMBER() OVER (
         PARTITION BY e.vec_id ORDER BY {d_ec}, c.code_pos) = 1
     )"""
         )
         terms.append(
             _L2SQ.format(
-                a=f"list_slice(p.q_vec, {lo}, {hi})",
-                b=f"list_slice(cb{m}.embedding, {lo}, {hi})",
+                a=f"list_slice(p.q_vec, {lo}, {hi})", b=f"cb{m}.cw"
             )
         )
-        joins.append(f"JOIN cb cb{m} ON cb{m}.code_pos = a.code_{m}")
+        joins.append(
+            f"JOIN cb cb{m} ON cb{m}.m = {m} AND cb{m}.code_pos = a.code_{m}"
+        )
     code_joins = " ".join(
         f"JOIN sub{m} USING (vec_id)" for m in range(1, _PQ_M)
     )
     return f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings WHERE vec_id < 16
-    ),
-    cb AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_pos, embedding
-      FROM embeddings WHERE vec_id < {_PQ_K}
-    ),
+    WITH {_artifact_cent_cte()},
+    {_artifact_cb_cte()},
     assign AS (
       SELECT vec_id, CAST(cid AS BIGINT) AS cell
       FROM embeddings, cent
@@ -2053,75 +2190,71 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register("embedding_ivfpq_adc", _ivfpq_oracle(), eager=True)
+@register("embedding_ivfpq_adc", _ivfpq_serve_oracle())
 def q_embedding_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ — the full Jegou et al. system, composed: Voronoi cells
-    bound which candidates each query scores (4-probe of 16 cells), PQ
-    codes bound what crosses the probe join (4 codes instead of the
-    64-dim vector), and ADC scores each candidate with 4 lookup-adds
-    against per-query literal tables. This is the deployed shape of
-    billion-vector ANN at 100 TB: shuffled bytes per candidate drop
-    ~20x and every distance stays a left-fold double
-    (operators/similarity.py:ivfpq_topk)."""
+    """IVF-PQ serving — the full Jegou et al. system with the FITTED
+    canonical model: Voronoi cells bound which candidates each query
+    scores (4-probe of 16 fitted cells), PQ codes bound what crosses the
+    probe join (4 codes instead of the 64-dim vector), and ADC scores
+    each candidate with 4 lookup-adds against per-query literal tables.
+    This is the deployed shape of billion-vector ANN at 100 TB: the model
+    is read from the persisted artifact (fit-once/serve-many — nobody
+    refits per query), shuffled bytes per candidate drop ~20x, and every
+    distance stays a left-fold double (operators/similarity.py:ivfpq_topk,
+    operators/model_store.py)."""
+    from mdio_python_spark.operators.model_store import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
     from mdio_python_spark.operators.similarity import ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         emb.where(F.col("vec_id") < 50), emb,
         k=3, n_centroids=16, nprobe=4,
-        n_subspaces=_PQ_M, n_codes=_PQ_K,
+        centroids=load_ivf_centroids(),
+        codebooks=load_pq_codebooks(),
     )
 
 
-@register(
-    "embedding_ivf_fitted",
-    "local:tests/test_similarity_fitted.py::test_ivf_fitted_query_exact",
-    eager=True,
-)
+@register("embedding_ivf_fitted", _ivf_serve_oracle())
 def q_embedding_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN with PRODUCTION-path centroids: Lloyd k-means (cosine)
-    fitted on a deterministic hash sample of the corpus, broadcast as
-    literals into the same shuffle-free assignment projection the
-    id-prefix variant uses. The iterative fit is not SQL-expressible, so
-    the exact gate is the named local test (pure-Python mirror of the
-    fold-exact fit + probe + rank)."""
-    from mdio_python_spark.operators.similarity import (
-        ivf_fit_centroids,
-        ivf_topk,
-    )
+    """IVF-flat serving with PRODUCTION-path centroids read from the
+    persisted model artifact (fit-once/serve-many): the Lloyd-fitted
+    centroids enter as plan literals into the same shuffle-free
+    assignment projection the id-prefix variant uses. The fit leg is
+    `ivf_model_fit` (plans/model_queries.py); serving is oracle-paired —
+    DuckDB reads the same artifact via read_parquet."""
+    from mdio_python_spark.operators.model_store import load_ivf_centroids
+    from mdio_python_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = ivf_fit_centroids(emb, n_centroids=8, iters=2, sample_mod=2)
     return ivf_topk(
-        emb.where(F.col("vec_id") < 50), emb, k=3, nprobe=3, centroids=cents
+        emb.where(F.col("vec_id") < 50), emb, k=3, nprobe=4,
+        centroids=load_ivf_centroids(),
     )
 
 
-@register(
-    "embedding_pq_fitted",
-    "local:tests/test_similarity_fitted.py::test_pq_fitted_query_exact",
-    eager=True,
-)
+@register("embedding_pq_fitted", _pq_serve_oracle())
 def q_embedding_pq_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encode + ADC with PRODUCTION-path codebooks: per-subspace
-    squared-L2 Lloyd k-means on a hash sample (Jegou et al. §III.A), then
-    the same pure-projection encode and literal-table ADC scoring as
-    ``embedding_pq_adc``. Local exact gate (iterative fit, no SQL)."""
+    """PQ encode + ADC serving with PRODUCTION-path codebooks read from
+    the persisted model artifact (fit-once/serve-many): pure-projection
+    encode and literal-table ADC scoring against a fixed query (the
+    concatenated code-0 codewords). The per-subspace Lloyd fit leg is
+    `pq_model_fit` (plans/model_queries.py); serving is oracle-paired."""
+    from mdio_python_spark.operators.model_store import load_pq_codebooks
     from mdio_python_spark.operators.similarity import (
-        fit_pq_codebooks,
         pq_adc_distance,
         pq_encode,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    books, sub = fit_pq_codebooks(
-        emb, n_subspaces=_PQ_M, n_codes=_PQ_K, iters=2, sample_mod=2
-    )
-    q_vec = [x for m in range(_PQ_M) for x in books[m][0]]
+    books, sub = load_pq_codebooks()
+    q_vec = [x for m in range(len(books)) for x in books[m][0]]
     codes = pq_encode(emb, books, sub)
     return codes.select(
         "vec_id",
-        *[f"code_{m}" for m in range(_PQ_M)],
+        *[f"code_{m}" for m in range(len(books))],
         pq_adc_distance(codes, q_vec, books, sub).alias("adc_dist"),
     )
 
@@ -4555,24 +4688,31 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.jaccard_pairs(pairs, sh.distinct())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # carry an INTEGER threshold index through the explode and join the
+    # two aggregates on it — float-equality joins are correct only while
+    # both sides materialize the identical literal; any future derived
+    # threshold (arithmetic, config parse) would silently mis-join. The
+    # double is projected back only in the final select.
     swept = verified.select(
         "doc_a",
         "doc_b",
         "jaccard",
-        F.explode(F.array(*[F.lit(t) for t in _THRESHOLDS])).alias("threshold"),
+        F.posexplode(F.array(*[F.lit(t) for t in _THRESHOLDS])).alias(
+            "t_idx", "threshold"
+        ),
     ).where(F.col("jaccard") >= F.col("threshold"))
-    per = swept.groupBy("threshold").agg(
+    per = swept.groupBy("t_idx", "threshold").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.countDistinct("doc_b").cast("bigint").alias("n_docs_dropped"),
     )
     aff = (
         swept.select(
-            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+            "t_idx", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         )
-        .groupBy("threshold")
+        .groupBy("t_idx")
         .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs_affected"))
     )
-    out = per.join(F.broadcast(aff), "threshold").select(
+    out = per.join(F.broadcast(aff), "t_idx").select(
         "threshold", "n_pairs", "n_docs_affected", "n_docs_dropped"
     )
     rotate_scoped("llm.dedup_threshold_sweep", sh, verified)
@@ -4772,19 +4912,25 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: assignment is the shared literal-centroid argmax
     projection (no corpus shuffle); ONE combinable groupBy(cell)
-    collapses the corpus to |cells| rows; the total is a broadcast
-    1-row aggregate over those rows."""
+    collapses the corpus to |cells| rows, PERSISTED before the total
+    fork — the repo's persist-the-fork rule (the round-5 advisor caught
+    the unpersisted counts->total fork executing the assignment scan
+    twice); the total is a broadcast 1-row aggregate over the cached
+    |cells| rows."""
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     emb = _t(spark, sf_dir, "embeddings")
     counts = (
         similarity.ivf_cell_assignments(emb, n_centroids=16)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .persist()
     )
     tot = counts.agg(
         F.sum("n_vecs").alias("_total"),
         F.count(F.lit(1)).alias("_n_cells"),
     )
-    return counts.crossJoin(F.broadcast(tot)).select(
+    out = counts.crossJoin(F.broadcast(tot)).select(
         "cell",
         "n_vecs",
         (F.col("n_vecs").cast("double") / F.col("_total").cast("double")).alias(
@@ -4795,14 +4941,22 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("_total").cast("double")
         ).alias("load_factor"),
     )
+    rotate_scoped("llm.ivf_cell_balance", counts)
+    return attach_cached(out, counts)
 
 
 _HUBNESS_ORACLE = f"""
 WITH {_IVF_ASSIGN_CTES},
+live AS (
+  -- mirror of knn_graph's zero-norm exclusion: cosine is undefined for
+  -- zero vectors, so they join the graph on neither side (they still
+  -- count below as in-degree-0 rows)
+  SELECT * FROM assign WHERE {_DOT.format(a="embedding", b="embedding")} > 0
+),
 members AS (
   SELECT vec_id, embedding, cell,
          ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-  FROM assign
+  FROM live
 ),
 topk AS (
   SELECT query_id, candidate_id FROM (
@@ -4811,7 +4965,7 @@ topk AS (
              PARTITION BY q.vec_id
              ORDER BY {_IVF_COS.format(a="q.embedding", b="a.embedding")} DESC,
                       a.vec_id) AS rnk
-    FROM assign q JOIN members a
+    FROM live q JOIN members a
       ON a.cell = q.cell AND a.vec_id <> q.vec_id AND a.rn <= 1024
   ) WHERE rnk <= 10
 ),
@@ -5782,20 +5936,28 @@ def q_shard_balance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced) — the straggler check before a training run trusts the
     16-shard layout (readers advance in lockstep, so epoch time is the
     SLOWEST shard's token count). Same salted shard hash as
-    training_order_manifest; one scan, one combinable groupBy, one
-    broadcast total."""
+    training_order_manifest; one scan, one combinable groupBy into a
+    PERSISTED 16-row table (persist-the-fork: the broadcast total must
+    not re-run the corpus scan — round-5 advisor item), one broadcast
+    total."""
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
     from mdio_python_spark.operators.curation import split_hash
 
     docs = _t(spark, sf_dir, "documents")
-    per = docs.select(
-        split_hash(F.col("doc_id"), "shard", 16).alias("shard"),
-        text.token_count(F.col("text")).alias("n_tokens"),
-    ).groupBy("shard").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    per = (
+        docs.select(
+            split_hash(F.col("doc_id"), "shard", 16).alias("shard"),
+            text.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .persist()
     )
     t = per.agg(F.sum("n_tokens").alias("_total"))
-    return per.crossJoin(F.broadcast(t)).select(
+    out = per.crossJoin(F.broadcast(t)).select(
         "shard",
         "n_docs",
         "n_tokens",
@@ -5804,6 +5966,8 @@ def q_shard_balance_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("_total").cast("double")
         ).alias("token_load_factor"),
     )
+    rotate_scoped("llm.shard_balance_qc", per)
+    return attach_cached(out, per)
 
 
 # ---------------------------------------------------------------------------

@@ -1579,16 +1579,25 @@ def q_asof_staleness_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(lag < 86_400_000_000, F.lit("1-24h"))
         .otherwise(F.lit(">24h"))
     )
+    # persist-the-fork: the <=6-row bucket count feeds both the output
+    # and the broadcast total — without the persist the full as-of DAG
+    # (union + window + carry join over the corpus) executes twice
+    # (round-5 advisor item)
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
     c = (
         j.select(bucket.alias("staleness_bucket"))
         .groupBy("staleness_bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .persist()
     )
     t = c.agg(F.sum("n_events").alias("_total"))
-    return c.crossJoin(F.broadcast(t)).select(
+    out = c.crossJoin(F.broadcast(t)).select(
         "staleness_bucket",
         "n_events",
         (F.col("n_events").cast("double") / F.col("_total").cast("double")).alias(
             "share"
         ),
     )
+    rotate_scoped("q.asof_staleness_buckets", c)
+    return attach_cached(out, c)

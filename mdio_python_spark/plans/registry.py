@@ -85,8 +85,11 @@ def oracle_sql() -> dict[str, str]:
 
 def _ensure_loaded() -> None:
     """Import every query module exactly once (registration side effect)."""
+    # model_queries imports LAST: the round-6 fit-leg queries append to
+    # the registry without shifting any earlier query's natural position.
     from mdio_python_spark.plans import (  # noqa: F401
         llm_queries,
         queries,
         seismic_queries,
     )
+    from mdio_python_spark.plans import model_queries  # noqa: F401

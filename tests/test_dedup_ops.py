@@ -344,3 +344,59 @@ def test_incremental_dedup_cap_keeps_new_side_in_degenerate_bucket(spark):
     # new doc from every bucket; per-side cap must still generate pairs
     kept = incremental_dedup(new, existing, max_bucket_size=8).collect()
     assert kept == []  # the near-dup IS caught and dropped
+
+
+def test_size_bound_prefilter_output_identical(spark):
+    """pair_overlap_counts(min_jaccard=t) must equal the unfiltered
+    variant AFTER a jaccard >= t filter — the prefilter's provable
+    no-op contract (J <= min/max sizes)."""
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),          # near-dup of 1
+            (3, "a b c"),                     # tiny: size bound kills vs 1
+            (4, "p q r s t u v w x y z a b c d e f g h i j k l m n"),
+        ],
+    )
+    sh = dedup.shingle_hashes(df, n=3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "doc_a long, doc_b long"
+    )
+    t = 0.5
+
+    def final(ov):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+            for r in ov.collect()
+            if r.n_common / (r.n_a + r.n_b - r.n_common) >= t
+        )
+
+    plain = final(dedup.pair_overlap_counts(pairs, sh))
+    filtered = final(dedup.pair_overlap_counts(pairs, sh, min_jaccard=t))
+    assert plain == filtered and plain  # non-empty: (1,2) survives
+
+
+def test_minhash_agreement_filter_recall_and_drop(spark):
+    """Identical docs agree on all 8 components (always kept); docs with
+    disjoint shingle sets agree on ~none (dropped at min_agree=3); the
+    filter preserves the (doc_a, doc_b) schema."""
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),           # identical to 1
+            (3, "z y x w v u t s r q"),       # disjoint from 1
+        ],
+    )
+    sh = dedup.shingle_hashes(df, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_agreement_filter(
+            pairs, sig, num_hashes=8, min_agree=3
+        ).collect()
+    }
+    assert (1, 2) in kept
+    assert (1, 3) not in kept

@@ -1,22 +1,24 @@
-"""Exact local gates for the fitted (production-training-path) ANN
-queries: ``embedding_ivf_fitted`` and ``embedding_pq_fitted``.
+"""Exact local gates for the fitted-ANN SERVING queries
+(``embedding_ivf_fitted`` / ``embedding_pq_fitted``) — now the
+fit-once/serve-many path: serving reads the committed canonical model
+artifact (``operators/model_store``), so these mirrors load the SAME
+artifact and reproduce the entire serving pipeline in pure Python —
+probe/assign, encode, ADC, ranking — with the identical left-fold
+arithmetic; outputs must match bit-for-bit.
 
-The iterative k-means fit is not SQL-expressible, so these queries are
-gated here instead of DuckDB: a pure-Python mirror reproduces the ENTIRE
-pipeline — sampled Lloyd fit (cosine for IVF, squared-L2 for PQ, with the
-same left-fold arithmetic and exact-decimal mean semantics as the Spark
-plans), probe/assign, and ranking — and the full query output must match
-bit-for-bit.
+(The fit leg's exact gates live in tests/test_model_store.py; these
+serving queries are additionally DuckDB-oracle-paired, the oracle
+reading the artifact via read_parquet.)
 """
 
 from __future__ import annotations
 
 import math
-from decimal import ROUND_HALF_UP, Decimal
 
-from pyspark.sql import functions as F
-
-from mdio_python_spark.operators.similarity import hash_sample
+from mdio_python_spark.operators.model_store import (
+    load_ivf_centroids,
+    load_pq_codebooks,
+)
 from mdio_python_spark.plans.registry import registry
 from mdio_python_spark.sources.tables import load_table
 
@@ -44,43 +46,6 @@ def _l2sq(a, b) -> float:
     return acc
 
 
-def _dmean(values, scale=8) -> float:
-    """Mirror of lloyd_step's dsum(val, 8)/count exact-decimal mean."""
-    q = Decimal(1).scaleb(-scale)
-    total = sum(
-        Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP) for v in values
-    )
-    return float(total) / float(len(values))
-
-
-def _py_kmeans(sample: dict[int, list], k: int, iters: int, metric: str):
-    """Mirror of kmeans_fit: k lowest-id init (renumbered 0..k-1), Lloyd
-    iterations with cosine-argmax / l2-argmin assignment (ties -> lowest
-    cid) and exact-decimal per-dim means; empty clusters keep centroids."""
-    ids = sorted(sample)
-    cents = [[float(x) for x in sample[i]] for i in ids[:k]]
-    for _ in range(iters):
-        members: dict[int, list] = {c: [] for c in range(k)}
-        for i in ids:
-            vec = sample[i]
-            if metric == "cosine":
-                vn = _norm(vec)
-                best = max(
-                    range(k),
-                    key=lambda c: (_dot(vec, cents[c]) / (vn * _norm(cents[c])), -c),
-                )
-            else:
-                best = min(range(k), key=lambda c: (_l2sq(vec, cents[c]), c))
-            members[best].append(vec)
-        for c in range(k):
-            if members[c]:
-                dim = len(members[c][0])
-                cents[c] = [
-                    _dmean([v[d] for v in members[c]]) for d in range(dim)
-                ]
-    return cents
-
-
 def _load(spark):
     rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
     return {int(r.vec_id): list(r.embedding) for r in rows}
@@ -89,18 +54,7 @@ def _load(spark):
 def test_ivf_fitted_query_exact(spark):
     out = registry()["embedding_ivf_fitted"].fn(spark, SF).toPandas()
     vecs = _load(spark)
-    emb = load_table(spark, SF, "embeddings")
-    sampled = sorted(
-        int(r.vec_id) for r in hash_sample(emb, 2).select("vec_id").collect()
-    )
-    cents = _py_kmeans({i: vecs[i] for i in sampled}, k=8, iters=2, metric="cosine")
-
-    def cell_of(vec):
-        vn = _norm(vec)
-        scored = [
-            (_dot(vec, c) / (vn * _norm_lit(c)), -cid) for cid, c in enumerate(cents)
-        ]
-        return -max(scored)[1]
+    cents = load_ivf_centroids()  # the committed canonical model
 
     def _norm_lit(c):
         # ivf_topk folds centroid norms driver-side (_lfold_norm) — same fold
@@ -109,15 +63,22 @@ def test_ivf_fitted_query_exact(spark):
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
+    def cell_of(vec):
+        vn = _norm(vec)
+        scored = [
+            (_dot(vec, c) / (vn * _norm_lit(c)), -cid) for cid, c in cents
+        ]
+        return -max(scored)[1]
+
     cand_cell = {i: cell_of(v) for i, v in vecs.items()}
     expect = []
     for qid in (i for i in sorted(vecs) if i < 50):
         qv = vecs[qid]
         qn = _norm(qv)
         probes = sorted(
-            ((_dot(qv, c) / (qn * _norm_lit(c)), -cid) for cid, c in enumerate(cents)),
+            ((_dot(qv, c) / (qn * _norm_lit(c)), -cid) for cid, c in cents),
             reverse=True,
-        )[:3]
+        )[:4]
         cells = {-p[1] for p in probes}
         scored = [
             (
@@ -147,15 +108,9 @@ def test_ivf_fitted_query_exact(spark):
 def test_pq_fitted_query_exact(spark):
     out = registry()["embedding_pq_fitted"].fn(spark, SF).toPandas()
     vecs = _load(spark)
-    emb = load_table(spark, SF, "embeddings")
-    sampled = sorted(
-        int(r.vec_id) for r in hash_sample(emb, 2).select("vec_id").collect()
-    )
-    m_sub, n_codes, sub = 4, 8, 16
-    books = []
-    for m in range(m_sub):
-        sliced = {i: vecs[i][m * sub : (m + 1) * sub] for i in sampled}
-        books.append(_py_kmeans(sliced, k=n_codes, iters=2, metric="l2"))
+    books, sub = load_pq_codebooks()  # the committed canonical model
+    m_sub = len(books)
+    n_codes = len(books[0])
     q_vec = [x for m in range(m_sub) for x in books[m][0]]
 
     by_id = out.set_index("vec_id")
