@@ -109,6 +109,11 @@ STRESS_QUERIES = (
     # as-of staleness rollup
     "packing_boundary_stats",
     "asof_staleness_buckets",
+    # round 6: the sqrt(n)-cell configurations (VERDICT r5 item 4) — the
+    # whole point is the stress curve: join-key count grows with the
+    # corpus, so these should beat the fixed-16-cell cap-bound asymptote
+    "knn_graph_hubness_scaled",
+    "semantic_dedup_scaled",
 )
 
 

@@ -6197,3 +6197,140 @@ def q_ann_method_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rotate_scoped("llm.ann_method_shootout", exact)
     return attach_cached(out, exact)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: sqrt(n)-scaled cell configurations (VERDICT r5 item 4)
+#
+# The declared knn_graph_hubness / semantic_dedup_drops pin n_centroids=16
+# (oracle-mirrored), which bounds the kNN cell join at |cells| x salt keys
+# and makes the 100x stress point cap-bound linear. Production IVF grows
+# cells ~ sqrt(n); these variants exercise that configuration end-to-end:
+# cells = max(16, floor(sqrt(|corpus|))), assignment via the broadcast
+# centroid-TABLE strategy (ivf_cell_assignments_join — a k~hundreds literal
+# tree would degrade codegen), everything downstream unchanged. eager=True:
+# the cell count derives from a corpus count at build time.
+# ---------------------------------------------------------------------------
+
+_SCALED_NC_CTE = """nc AS (
+  SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k
+  FROM embeddings
+)"""
+
+
+def _scaled_assign_ctes() -> str:
+    """Dynamic-cell assignment CTEs: centroid prefix sized by the corpus
+    count, zero-norm vectors excluded (the ivf_cell_assignments_join
+    convention, mirrored)."""
+    return f"""{_SCALED_NC_CTE},
+cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec FROM embeddings
+  WHERE vec_id < (SELECT k FROM nc)
+),
+live AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {_DOT.format(a="embedding", b="embedding")} > 0
+),
+assign AS (
+  SELECT vec_id, embedding, CAST(cid AS BIGINT) AS cell
+  FROM live, cent
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY vec_id
+    ORDER BY {_IVF_COS.format(a="embedding", b="cent_vec")} DESC, cid) = 1
+)"""
+
+
+_HUBNESS_SCALED_ORACLE = f"""
+WITH {_scaled_assign_ctes()},
+members AS (
+  SELECT vec_id, embedding, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM assign
+),
+topk AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS candidate_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_IVF_COS.format(a="q.embedding", b="a.embedding")} DESC,
+                      a.vec_id) AS rnk
+    FROM assign q JOIN members a
+      ON a.cell = q.cell AND a.vec_id <> q.vec_id AND a.rn <= 1024
+  ) WHERE rnk <= 10
+),
+indeg AS (SELECT candidate_id, COUNT(*) AS n FROM topk GROUP BY candidate_id),
+deg AS (
+  SELECT e.vec_id, COALESCE(i.n, 0) AS in_degree
+  FROM embeddings e LEFT JOIN indeg i ON i.candidate_id = e.vec_id
+)
+SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM deg GROUP BY in_degree
+"""
+
+
+@register("knn_graph_hubness_scaled", _HUBNESS_SCALED_ORACLE, eager=True)
+def q_knn_graph_hubness_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness QC of the kNN graph under the PRODUCTION cell sizing:
+    cells = max(16, floor(sqrt(n))) so expected cell population — and the
+    per-cell pair fan-out the hot-cell cap guards — stays ~sqrt(n) as the
+    corpus grows, and the join-key count |cells| x salt grows with the
+    data instead of capping parallelism at 128 keys (the r5 stress
+    asymptote). Assignment via the broadcast centroid-table strategy
+    (similarity.ivf_cell_assignments_join: k-row broadcast + map-side
+    argmax groupBy — bit-equal to the literal path, scalable in k)."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(16, int(math.floor(math.sqrt(n))))
+    g = similarity.knn_graph(emb, k=10, n_centroids=k_cells, assign="join")
+    indeg = g.groupBy("candidate_id").agg(F.count(F.lit(1)).alias("_n"))
+    deg = (
+        emb.select("vec_id")
+        .join(indeg.withColumnRenamed("candidate_id", "vec_id"), "vec_id", "left")
+        .select(
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("in_degree")
+        )
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+
+
+_SEMDEDUP_SCALED_ORACLE = f"""
+WITH {_scaled_assign_ctes()},
+members AS (
+  SELECT vec_id, embedding, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM assign
+),
+verified AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM members a JOIN members b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+   AND a.rn <= 1024 AND b.rn <= 1024
+  WHERE {_IVF_COS.format(a="a.embedding", b="b.embedding")} >= 0.3
+)
+SELECT vec_b AS drop_id, MIN(vec_a) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_near_dups
+FROM verified GROUP BY vec_b
+"""
+
+
+@register("semantic_dedup_scaled", _SEMDEDUP_SCALED_ORACLE, eager=True)
+def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the PRODUCTION cell sizing (cells ~ sqrt(n), the
+    Abbas et al. deployment shape): per-cell population stays ~sqrt(n),
+    so the capped in-cell pair generation keeps a bounded budget as the
+    corpus grows instead of saturating 16 fixed cells. Assignment via
+    the broadcast centroid-table strategy; verify and keep-min-id drop
+    semantics identical to semantic_dedup_drops."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(16, int(math.floor(math.sqrt(n))))
+    return similarity.semantic_dedup_drops(
+        emb, threshold=0.3, n_centroids=k_cells, assign="join"
+    )

@@ -253,3 +253,33 @@ def test_random_project_matches_numpy(spark):
     # sanity: the matrix is balanced-ish (not all same sign)
     flat = [s for row in signs for s in row]
     assert 0.3 < (sum(1 for s in flat if s > 0) / len(flat)) < 0.7
+
+
+def test_assignment_join_matches_literal(spark):
+    """ivf_cell_assignments_join is a physical-strategy swap only: cell
+    assignments (and the knn_graph built on them) must be BIT-identical
+    to the literal-centroid path at the same k."""
+    from mdio_python_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = {
+        (r.vec_id, r.cell)
+        for r in similarity.ivf_cell_assignments(emb, n_centroids=16).collect()
+    }
+    joined = {
+        (r.vec_id, r.cell)
+        for r in similarity.ivf_cell_assignments_join(emb, 16).collect()
+    }
+    assert lit == joined
+
+    g_lit = sorted(
+        (r.query_id, r.candidate_id, r.cosine, r.rank)
+        for r in similarity.knn_graph(emb, k=5, n_centroids=16).collect()
+    )
+    g_join = sorted(
+        (r.query_id, r.candidate_id, r.cosine, r.rank)
+        for r in similarity.knn_graph(
+            emb, k=5, n_centroids=16, assign="join"
+        ).collect()
+    )
+    assert g_lit == g_join  # bitwise double equality via tuple compare

@@ -66,3 +66,30 @@ def test_builder_idempotent_marker(spark, tmp_path):
         json.loads((tmp_path / "x2" / "_STRESS_MARKER.json").read_text())
         == before
     )
+
+
+def test_seismic_stress_cube_parses(tmp_path, spark):
+    """The vectorized stress-cube writer must produce a cube the engine
+    reads identically to the struct-packed test factory layout: file
+    info, trace count, header fields, and sample decode all line up."""
+    import numpy as np
+
+    from tools.stress_seismic import build_cube
+
+    from mdio_python_spark.sources import segy
+
+    path = str(tmp_path / "cube.sgy")
+    n = build_cube(path, n_inline=4, n_crossline=3, n_samples=8)
+    info = segy.segy_file_info(path)
+    assert info.num_traces == n == 12
+    assert info.samples_per_trace == 8
+    assert info.data_format == 5
+    df = segy.read_traces(
+        spark, info, fields=["inline", "crossline", "cdp_x"], include_samples=True
+    )
+    rows = df.orderBy("inline", "crossline").collect()
+    assert [(r.inline, r.crossline) for r in rows] == [
+        (il, xl) for il in range(1, 5) for xl in range(1, 4)
+    ]
+    assert rows[0].cdp_x == 700000 + 1 * 100 + 1 * 3
+    assert all(np.isfinite(rows[0].samples))
