@@ -977,7 +977,7 @@ def incremental_dedup(
     )
     shingle_sets = sh_old.distinct().unionByName(sh_new.distinct())
     drops = (
-        jaccard_pairs(pairs, shingle_sets, id_col)
+        jaccard_pairs(pairs, shingle_sets, id_col, min_jaccard=jaccard_threshold)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("doc_b").alias(id_col))
         .distinct()

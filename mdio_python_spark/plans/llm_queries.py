@@ -807,9 +807,9 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
-        F.col("jaccard") >= 0.5
-    )
+    verified = dedup.jaccard_pairs(
+        pairs, hashed.distinct(), min_jaccard=0.5
+    ).where(F.col("jaccard") >= 0.5)
     drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact_keep.join(drops, "doc_id", "left_anti")
 
@@ -3021,9 +3021,9 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
-        F.col("jaccard") >= 0.5
-    )
+    verified = dedup.jaccard_pairs(
+        pairs, hashed.distinct(), min_jaccard=0.5
+    ).where(F.col("jaccard") >= 0.5)
     src = docs.select("doc_id", "source")
     m = verified.join(
         src.withColumnsRenamed({"doc_id": "doc_a", "source": "_sa"}), "doc_a"
@@ -3634,7 +3634,7 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, num_hashes=8, rows_per_band=1
     ).persist(StorageLevel.MEMORY_AND_DISK)
     truth = (
-        dedup.jaccard_pairs(cand1, shingle_sets)
+        dedup.jaccard_pairs(cand1, shingle_sets, min_jaccard=0.5)
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
         .withColumn("_t", F.lit(1))
@@ -3837,9 +3837,9 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
-        F.col("jaccard") >= 0.5
-    )
+    verified = dedup.jaccard_pairs(
+        pairs, hashed.distinct(), min_jaccard=0.5
+    ).where(F.col("jaccard") >= 0.5)
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_va"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_vb"))
     out = (
@@ -4096,9 +4096,9 @@ def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=4)
-    out = dedup.jaccard_pairs(pairs, hashed.distinct()).where(
-        F.col("jaccard") >= 0.7
-    )
+    out = dedup.jaccard_pairs(
+        pairs, hashed.distinct(), min_jaccard=0.7
+    ).where(F.col("jaccard") >= 0.7)
     rotate_scoped("char_shingle_near_dup", hashed)
     return attach_cached(out, hashed)
 
@@ -4596,9 +4596,9 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.shingle_hashes(docs, n=3).repartition("doc_id").persist()
     sig = dedup.minhash_signatures(sh, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(pairs, sh.distinct()).where(
-        F.col("jaccard") >= 0.5
-    )
+    verified = dedup.jaccard_pairs(
+        pairs, sh.distinct(), min_jaccard=0.5
+    ).where(F.col("jaccard") >= 0.5)
     dups = (
         verified.select(F.col("doc_a").alias("doc_id"))
         .unionAll(verified.select(F.col("doc_b").alias("doc_id")))
@@ -4684,8 +4684,11 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = dedup.minhash_signatures(sh, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    # size-bound prefilter at the SWEEP'S MINIMUM threshold: a pair
+    # whose size ratio is below min(_THRESHOLDS) cannot pass any row of
+    # the sweep — provably output-identical for every threshold.
     verified = (
-        dedup.jaccard_pairs(pairs, sh.distinct())
+        dedup.jaccard_pairs(pairs, sh.distinct(), min_jaccard=min(_THRESHOLDS))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # carry an INTEGER threshold index through the explode and join the
@@ -4837,9 +4840,9 @@ def q_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     clusters = dedup.connected_components(pairs)
-    verified = dedup.jaccard_pairs(pairs, sh.distinct()).where(
-        F.col("jaccard") >= 0.5
-    )
+    verified = dedup.jaccard_pairs(
+        pairs, sh.distinct(), min_jaccard=0.5
+    ).where(F.col("jaccard") >= 0.5)
     ca = clusters.withColumnRenamed("doc_id", "doc_a")
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
