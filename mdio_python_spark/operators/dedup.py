@@ -292,6 +292,41 @@ def minhash_agreement_filter(
     )
 
 
+def minhash_agreement_counts(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, agree): how many of the ``num_hashes`` MinHash
+    components agree for each candidate pair — the raw estimator behind
+    :func:`minhash_agreement_filter`'s gate (E[agree/K] = J), exposed as
+    a value so QC queries can CALIBRATE the gate against exact Jaccard
+    (which agree levels carry real near-dups, how many pairs each level
+    would drop) instead of trusting the binomial model blindly.
+
+    Same cost shape as the filter: two hash joins of the LSH-bounded pair
+    set against the K-longs-per-doc signature table.
+    """
+    sa = signatures.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh_{k}").alias(f"_a{k}") for k in range(num_hashes)],
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh_{k}").alias(f"_b{k}") for k in range(num_hashes)],
+    )
+    agree = None
+    for k in range(num_hashes):
+        term = (F.col(f"_a{k}") == F.col(f"_b{k}")).cast("int")
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.cast("int").alias("agree"))
+    )
+
+
 def pair_overlap_counts(
     pairs: DataFrame,
     shingles: DataFrame,

@@ -93,3 +93,7 @@ def _ensure_loaded() -> None:
         seismic_queries,
     )
     from mdio_python_spark.plans import model_queries  # noqa: F401
+
+    # qc_queries imports AFTER model_queries (round-6b gate-QC batch):
+    # same append-only rule.
+    from mdio_python_spark.plans import qc_queries  # noqa: F401

@@ -400,3 +400,33 @@ def test_minhash_agreement_filter_recall_and_drop(spark):
     }
     assert (1, 2) in kept
     assert (1, 3) not in kept
+
+
+def test_minhash_agreement_counts_match_filter_semantics(spark):
+    """The exposed agree COUNT is consistent with the filter: identical
+    docs agree on all 8 components, disjoint docs on fewer than 3, and
+    filtering counts >= min_agree reproduces the filter's kept set."""
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),           # identical to 1
+            (3, "z y x w v u t s r q"),       # disjoint from 1
+        ],
+    )
+    sh = dedup.shingle_hashes(df, n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    counts = {
+        (r.doc_a, r.doc_b): r.agree
+        for r in dedup.minhash_agreement_counts(pairs, sig, num_hashes=8).collect()
+    }
+    assert counts[(1, 2)] == 8
+    assert counts[(1, 3)] < 3
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_agreement_filter(
+            pairs, sig, num_hashes=8, min_agree=3
+        ).collect()
+    }
+    assert kept == {p for p, a in counts.items() if a >= 3}
