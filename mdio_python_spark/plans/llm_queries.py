@@ -2121,11 +2121,13 @@ def _pq_serve_oracle() -> str:
     """
 
 
-def _ivfpq_serve_oracle() -> str:
+def _ivfpq_serve_oracle(k: int = 3) -> str:
     """IVF cell bound x PQ-code ADC scoring, both from the canonical
     artifacts: per-pair ADC terms are the SAME left fold the Spark side
     precomputes into per-query lookup tables, so literal-lookup and
-    SQL-computed sums are bit-equal."""
+    SQL-computed sums are bit-equal. ``k`` parameterizes the final
+    top-k so the two-stage rerank query can reuse this chain as its
+    shortlist stage (plans/pipeline_queries.py)."""
     subs, terms, joins = [], [], []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
@@ -2186,7 +2188,7 @@ def _ivfpq_serve_oracle() -> str:
       SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY adc_dist, candidate_id) AS INT) AS rank
       FROM scored
-    ) WHERE rank <= 3
+    ) WHERE rank <= {k}
     """
 
 

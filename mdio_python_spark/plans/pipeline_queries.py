@@ -1,0 +1,333 @@
+"""Training-pipeline composition queries (round 6d, appended last):
+two-stage ANN serving, embedding compression QC, data mixing, and a PII
+rollup — the operations that sit BETWEEN the engine's primitives in a
+real 100-TB data-curation deployment.
+
+- ``pq_shortlist_rerank``: the deployed retrieval shape — a cheap
+  IVF-PQ ADC shortlist (10 per query, from the committed fit-once model
+  artifacts) re-ranked by exact cosine to top-3. ADC bounds what crosses
+  the probe join (4 codes per candidate); the exact fold runs only on
+  the tiny shortlist.
+- ``int8_quant_error``: per-vector symmetric int8 quantization QC —
+  scale, reconstruction MSE, max abs error, clipped-element count. The
+  go/no-go table before shipping a 4x-smaller embedding store.
+- ``token_budget_allocation``: data mixing — alpha=0.5 temperature
+  shares over per-source token counts allocate a half-corpus training
+  budget; epochs = allocation / available. sqrt keeps the share math
+  IEEE-correctly-rounded in both engines (the temperature_resample
+  rule); the share denominator is an order-independent decimal sum.
+- ``pii_density_by_source``: per-source counts of URL/email/phone spans
+  and affected-document share — which ingestion sources need redaction
+  attention (same regex set as ``text_redaction``).
+
+Registration order: imported after every earlier module
+(`registry._ensure_loaded`), so no existing query's natural registry
+position moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mdio_python_spark.functions.determinism import dec, sql_dsum
+from mdio_python_spark.plans.llm_queries import _IVF_COS, _TOKS, _ivfpq_serve_oracle
+from mdio_python_spark.plans.registry import register
+from mdio_python_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_SHORTLIST_K = 10
+_RERANK_K = 3
+
+
+def _rerank_oracle() -> str:
+    """Two-stage oracle: the full IVF-PQ serve chain (artifact model,
+    rank <= 10) as a nested-WITH shortlist, then exact-cosine re-rank —
+    the cosine fold is the same left-fold spelling Spark's ``cosine``
+    helper evaluates, so values are bit-equal."""
+    cos = _IVF_COS.format(a="eq.embedding", b="ec.embedding")
+    return f"""
+    WITH shortlist AS (
+      SELECT * FROM ({_ivfpq_serve_oracle(_SHORTLIST_K)}) s
+    ),
+    reranked AS (
+      SELECT s.query_id, s.candidate_id, s.adc_dist, {cos} AS exact_cosine
+      FROM shortlist s
+      JOIN embeddings eq ON eq.vec_id = s.query_id
+      JOIN embeddings ec ON ec.vec_id = s.candidate_id
+    )
+    SELECT query_id, candidate_id, adc_dist, exact_cosine, rerank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY exact_cosine DESC, candidate_id) AS INT) AS rerank
+      FROM reranked
+    ) WHERE rerank <= {_RERANK_K}
+    """
+
+
+@register("pq_shortlist_rerank", _rerank_oracle())
+def q_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval in its deployed shape: IVF-PQ ADC shortlist
+    (10 per query) from the committed fit-once model artifacts, then
+    exact-cosine re-rank to top-3. Scale design: the corpus-sized leg is
+    the ADC stage (4 codes per candidate cross the probe join, never the
+    vector); the exact fold and its window run on |queries| x 10 rows —
+    the shortlist join back to embeddings broadcasts the tiny shortlist,
+    so the rerank adds one corpus scan and no corpus shuffle."""
+    from mdio_python_spark.operators.model_store import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+    from mdio_python_spark.operators.similarity import cosine, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    short = ivfpq_topk(
+        emb.where(F.col("vec_id") < 50), emb,
+        k=_SHORTLIST_K, n_centroids=16, nprobe=4,
+        centroids=load_ivf_centroids(),
+        codebooks=load_pq_codebooks(),
+    )
+    qv = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("c_vec")
+    )
+    reranked = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "candidate_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            "adc_dist",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("exact_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_cosine").desc(), F.col("candidate_id")
+    )
+    return (
+        reranked.withColumn("rerank", F.row_number().over(w).cast("int"))
+        .where(F.col("rerank") <= _RERANK_K)
+        .select("query_id", "candidate_id", "adc_dist", "exact_cosine", "rerank")
+    )
+
+
+# int8 quantization: q_i = floor(v_i/scale + 0.5) clamped to [-127, 127],
+# scale = max|v|/127 — every step an IEEE double op both engines evaluate
+# identically; the error fold is the repo's standard left fold.
+_Q8 = (
+    "GREATEST(-127.0, LEAST(127.0, "
+    "floor(CAST({v} AS DOUBLE) / sc + 0.5)))"
+)
+
+
+def _int8_oracle() -> str:
+    q = _Q8.format(v="embedding[i]")
+    err = f"(CAST(embedding[i] AS DOUBLE) - {q} * sc)"
+    raw = "floor(abs(CAST(embedding[i] AS DOUBLE)) / sc + 0.5)"
+    return f"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS sc
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN sc = 0 THEN CAST(0.0 AS DOUBLE) ELSE sc END AS quant_scale,
+           CASE WHEN sc = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)),
+                 i -> {err} * {err})), (x, y) -> x + y)
+             / len(embedding) END AS mse,
+           CASE WHEN sc = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+             list_aggregate(list_transform(generate_series(1, len(embedding)),
+               i -> abs({err})), 'max') END AS max_abs_err,
+           CASE WHEN sc = 0 THEN CAST(0 AS BIGINT) ELSE
+             CAST(len(list_filter(generate_series(1, len(embedding)),
+               i -> {raw} > 127.0)) AS BIGINT) END AS n_clipped
+    FROM scaled
+    """
+
+
+@register("int8_quant_error", _int8_oracle())
+def q_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization QC: scale = max|v|/127,
+    q = round-half-up(v/scale) clamped to [-127, 127]; reports the
+    reconstruction MSE, max abs error, and how many elements the clamp
+    touched. Pure projection (zero shuffles, zero joins) — the shape of
+    a full-corpus compression audit before shipping a 4x-smaller
+    embedding store. Zero vectors (scale 0) quantize to themselves with
+    zero error rather than dividing by zero."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = lambda x: x.cast("double")  # noqa: E731
+    sc = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(v(x)))) / F.lit(127.0)
+    ).alias("sc")
+    scaled = emb.select("vec_id", "embedding", sc)
+    scv = F.col("sc")
+
+    def q8(x):
+        return F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(v(x) / scv + F.lit(0.5)).cast("double")),
+        )
+
+    def err(x):
+        return v(x) - q8(x) * scv
+
+    zero = scv == 0
+    mse = (
+        F.aggregate(
+            F.transform("embedding", lambda x: err(x) * err(x)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size("embedding")
+    )
+    max_err = F.array_max(F.transform("embedding", lambda x: F.abs(err(x))))
+    clipped = F.size(
+        F.filter(
+            "embedding",
+            lambda x: F.floor(F.abs(v(x)) / scv + F.lit(0.5)).cast("double")
+            > F.lit(127.0),
+        )
+    ).cast("long")
+    return scaled.select(
+        "vec_id",
+        F.when(zero, F.lit(0.0)).otherwise(scv).alias("quant_scale"),
+        F.when(zero, F.lit(0.0)).otherwise(mse).alias("mse"),
+        F.when(zero, F.lit(0.0)).otherwise(max_err).alias("max_abs_err"),
+        F.when(zero, F.lit(0).cast("long")).otherwise(clipped).alias("n_clipped"),
+    )
+
+
+_MIX_FRACTION = 0.5  # train on half the corpus' tokens
+
+
+def _mixing_oracle() -> str:
+    return f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT {sql_dsum("sqrt(CAST(n_tokens AS DOUBLE))", 8)} AS w_total,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+      FROM counts
+    )
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) / w_total AS token_share,
+           CAST(floor(floor({_MIX_FRACTION} * CAST(tok_total AS DOUBLE))
+                * (sqrt(CAST(n_tokens AS DOUBLE)) / w_total)) AS BIGINT)
+             AS alloc_tokens,
+           CAST(floor(floor({_MIX_FRACTION} * CAST(tok_total AS DOUBLE))
+                * (sqrt(CAST(n_tokens AS DOUBLE)) / w_total)) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM counts, tot
+    """
+
+
+@register("token_budget_allocation", _mixing_oracle())
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: allocate a training token budget (half the corpus)
+    across sources by alpha=0.5 temperature shares — small sources are
+    up-weighted, large ones capped, epochs-per-source fall out as
+    allocation / available. One combinable corpus agg to a
+    sources-sized table; the share denominator is an order-independent
+    decimal sum of sqrt weights (sqrt because alpha=0.5 stays
+    IEEE-correctly-rounded cross-engine — the temperature_resample
+    rule). The tiny per-source rollup is persisted before the total
+    fork so the corpus DAG runs once (the asof_staleness_buckets
+    rule)."""
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    counts = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).alias("n_tokens"),
+        )
+        .persist()
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = counts.agg(
+        F.sum(dec(w, 8)).cast("double").alias("w_total"),
+        F.sum("n_tokens").alias("tok_total"),
+    )
+    budget = F.floor(F.lit(_MIX_FRACTION) * F.col("tok_total").cast("double"))
+    share = w / F.col("w_total")
+    alloc = F.floor(budget.cast("double") * share)
+    out = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        alloc.cast("bigint").alias("alloc_tokens"),
+        (alloc.cast("double") / F.col("n_tokens").cast("double")).alias("epochs"),
+    )
+    rotate_scoped("token_budget_allocation", counts)
+    return attach_cached(out, counts)
+
+
+def _pii_oracle() -> str:
+    url = "len(regexp_extract_all(text, 'https?://[^\\s]+'))"
+    email = (
+        "len(regexp_extract_all(text,"
+        " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))"
+    )
+    phone = (
+        "len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))"
+    )
+    return f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM({url}) AS BIGINT) AS n_urls,
+           CAST(SUM({email}) AS BIGINT) AS n_emails,
+           CAST(SUM({phone}) AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN {url} + {email} + {phone} > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM({url} + {email} + {phone}) AS DOUBLE) * 1000.0
+             / CAST(COUNT(*) AS DOUBLE) AS pii_per_kdoc
+    FROM documents GROUP BY source
+    """
+
+
+@register("pii_density_by_source", _pii_oracle())
+def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction triage: per ingestion source, URL/email/phone span
+    counts, affected-document count, and spans per thousand docs — which
+    sources need PII attention (same regex set as ``text_redaction``).
+    One combinable groupBy; regex counting happens in the scan stage."""
+    from mdio_python_spark.operators.text import EMAIL_RE, PHONE_RE, URL_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    url = F.regexp_count(t, F.lit(URL_RE)).cast("long")
+    email = F.regexp_count(t, F.lit(EMAIL_RE)).cast("long")
+    phone = F.regexp_count(t, F.lit(PHONE_RE)).cast("long")
+    per_doc = docs.select(
+        "source",
+        url.alias("u"),
+        email.alias("e"),
+        phone.alias("p"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("u").alias("n_urls"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum(
+            ((F.col("u") + F.col("e") + F.col("p")) > 0).cast("long")
+        ).alias("n_docs_with_pii"),
+        (
+            F.sum(F.col("u") + F.col("e") + F.col("p")).cast("double")
+            * F.lit(1000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pii_per_kdoc"),
+    )

@@ -97,3 +97,6 @@ def _ensure_loaded() -> None:
     # qc_queries imports AFTER model_queries (round-6b gate-QC batch):
     # same append-only rule.
     from mdio_python_spark.plans import qc_queries  # noqa: F401
+
+    # pipeline_queries appends the round-6d batch after qc_queries.
+    from mdio_python_spark.plans import pipeline_queries  # noqa: F401
