@@ -68,28 +68,30 @@ def _rerank_oracle() -> str:
     """
 
 
-@register("pq_shortlist_rerank", _rerank_oracle())
-def q_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage retrieval in its deployed shape: IVF-PQ ADC shortlist
-    (10 per query) from the committed fit-once model artifacts, then
-    exact-cosine re-rank to top-3. Scale design: the corpus-sized leg is
-    the ADC stage (4 codes per candidate cross the probe join, never the
-    vector); the exact fold and its window run on |queries| x 10 rows —
-    the shortlist join back to embeddings broadcasts the tiny shortlist,
-    so the rerank adds one corpus scan and no corpus shuffle."""
+def _fitted_shortlist(emb: DataFrame) -> DataFrame:
+    """IVF-PQ ADC shortlist (rank <= 10 per query) from the committed
+    fit-once model artifacts — the stage shared by the rerank query and
+    the recall-gain QC."""
     from mdio_python_spark.operators.model_store import (
         load_ivf_centroids,
         load_pq_codebooks,
     )
-    from mdio_python_spark.operators.similarity import cosine, ivfpq_topk
+    from mdio_python_spark.operators.similarity import ivfpq_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    short = ivfpq_topk(
+    return ivfpq_topk(
         emb.where(F.col("vec_id") < 50), emb,
         k=_SHORTLIST_K, n_centroids=16, nprobe=4,
         centroids=load_ivf_centroids(),
         codebooks=load_pq_codebooks(),
     )
+
+
+def _exact_rerank(short: DataFrame, emb: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a shortlist to top-3: the fold and its
+    window run on |queries| x 10 rows; the broadcast shortlist join back
+    to embeddings adds one corpus scan and no corpus shuffle."""
+    from mdio_python_spark.operators.similarity import cosine
+
     qv = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
@@ -97,7 +99,10 @@ def q_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("c_vec")
     )
     reranked = (
-        short.join(F.broadcast(qv), "query_id")
+        # the shortlist (|queries| x 10 rows) is the build side against
+        # the corpus-sized candidate scan — hint it explicitly so the
+        # initial plan is already the broadcast join AQE would discover
+        F.broadcast(short.join(F.broadcast(qv), "query_id"))
         .join(cv, "candidate_id")
         .select(
             "query_id",
@@ -114,6 +119,107 @@ def q_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rerank") <= _RERANK_K)
         .select("query_id", "candidate_id", "adc_dist", "exact_cosine", "rerank")
     )
+
+
+@register("pq_shortlist_rerank", _rerank_oracle())
+def q_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval in its deployed shape: IVF-PQ ADC shortlist
+    (10 per query) from the committed fit-once model artifacts, then
+    exact-cosine re-rank to top-3. Scale design: the corpus-sized leg is
+    the ADC stage (4 codes per candidate cross the probe join, never the
+    vector); the exact fold and its window run on |queries| x 10 rows —
+    the shortlist join back to embeddings broadcasts the tiny shortlist,
+    so the rerank adds one corpus scan and no corpus shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _exact_rerank(_fitted_shortlist(emb), emb)
+
+
+def _recall_gain_oracle() -> str:
+    cos = _IVF_COS.format(a="q.embedding", b="e.embedding")
+    return f"""
+    WITH shortlist AS (
+      SELECT * FROM ({_ivfpq_serve_oracle(_SHORTLIST_K)}) s
+    ),
+    reranked AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT s.query_id, s.candidate_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY {_IVF_COS.format(a="eq.embedding", b="ec.embedding")}
+                   DESC, s.candidate_id) AS rr
+        FROM shortlist s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings ec ON ec.vec_id = s.candidate_id
+      ) WHERE rr <= {_RERANK_K}
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS candidate_id
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {cos} DESC, e.vec_id) <= {_RERANK_K}
+    ),
+    hits AS (
+      SELECT x.query_id,
+             SUM(CASE WHEN a.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS adc_hits,
+             SUM(CASE WHEN r.candidate_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS rerank_hits
+      FROM exact x
+      LEFT JOIN shortlist a ON a.query_id = x.query_id
+        AND a.candidate_id = x.candidate_id AND a.rank <= {_RERANK_K}
+      LEFT JOIN reranked r ON r.query_id = x.query_id
+        AND r.candidate_id = x.candidate_id
+      GROUP BY x.query_id
+    )
+    SELECT query_id,
+           CAST(adc_hits AS DOUBLE) / {_RERANK_K}.0 AS recall_adc,
+           CAST(rerank_hits AS DOUBLE) / {_RERANK_K}.0 AS recall_rerank
+    FROM hits
+    """
+
+
+@register("rerank_recall_gain", _recall_gain_oracle())
+def q_rerank_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the exact re-rank earn its corpus scan? Per query: recall@3
+    of the ADC-only top-3 vs the reranked top-3, both against the exact
+    brute-force top-3. One shortlist computation (persisted — it is
+    |queries| x 10 rows) serves the ADC leg, the rerank leg, and the
+    comparison joins; the exact leg is the same broadcast-query corpus
+    scan the recall QC family uses."""
+    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+    from mdio_python_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    short = _fitted_shortlist(emb).persist()
+    exact = cosine_topk(
+        emb.where(F.col("vec_id") < 50), emb, k=_RERANK_K
+    ).select("query_id", "candidate_id").persist()
+    adc3 = short.where(F.col("rank") <= _RERANK_K).select(
+        "query_id", "candidate_id", F.lit(1).alias("adc_hit")
+    )
+    rr3 = _exact_rerank(short, emb).select(
+        "query_id", "candidate_id", F.lit(1).alias("rr_hit")
+    )
+    hits = (
+        exact.join(adc3, ["query_id", "candidate_id"], "left")
+        .join(rr3, ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("adc_hit", F.lit(0))).alias("adc_hits"),
+            F.sum(F.coalesce("rr_hit", F.lit(0))).alias("rerank_hits"),
+        )
+    )
+    out = hits.select(
+        "query_id",
+        (F.col("adc_hits").cast("double") / F.lit(float(_RERANK_K))).alias(
+            "recall_adc"
+        ),
+        (F.col("rerank_hits").cast("double") / F.lit(float(_RERANK_K))).alias(
+            "recall_rerank"
+        ),
+    )
+    rotate_scoped("rerank_recall_gain", short, exact)
+    return attach_cached(out, short, exact)
 
 
 # int8 quantization: q_i = floor(v_i/scale + 0.5) clamped to [-127, 127],

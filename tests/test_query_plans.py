@@ -447,3 +447,58 @@ def test_shootout_shares_exact_leg(spark):
     plan = _plan(spark, "ann_method_shootout")
     assert plan.count("InMemoryTableScan") >= 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_int8_quant_is_pure_projection(spark):
+    """The quantization audit never shuffles: per-vector folds in the
+    scan stage, no exchange of any kind."""
+    plan = _plan(spark, "int8_quant_error")
+    assert "Exchange" not in plan, plan
+
+
+def test_pii_density_single_exchange(spark):
+    """PII rollup = scan-stage regex counts + ONE combinable hash
+    exchange on source."""
+    plan = _plan(spark, "pii_density_by_source")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "WindowExec" not in plan, plan
+
+
+def test_soft_dedup_weights_no_corpus_window(spark):
+    """Spark side is groupBy + join — the oracle's window is DuckDB
+    idiom only; a corpus-wide Window partition must never appear."""
+    plan = _plan(spark, "soft_dedup_weights")
+    assert "WindowExec" not in plan and "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rerank_broadcasts_shortlist(spark):
+    """Two-stage retrieval: the tiny shortlist must be the broadcast
+    build side against the corpus candidate scan — never a sort-merge
+    join over the embeddings."""
+    plan = _plan(spark, "pq_shortlist_rerank")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mixing_allocation_broadcast_total(spark):
+    """Data mixing: per-source rollup persists once; the 1-row total
+    joins back via broadcast — no shuffle join anywhere."""
+    plan = _plan(spark, "token_budget_allocation")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_gate_calibration", "jaccard_bin_histogram", "gate_false_drop_audit"],
+)
+def test_gate_qc_pair_discipline(spark, name):
+    """The gate-QC family inherits near_dup_jaccard's shape: in-bucket
+    pair generation (no corpus self-join) over ONE persisted shingle
+    exchange."""
+    plan = _plan(spark, name)
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, f"{name}: {bad}\n{plan}"
+    assert "InMemoryTableScan" in plan, plan
