@@ -114,6 +114,17 @@ STRESS_QUERIES = (
     # corpus, so these should beat the fixed-16-cell cap-bound asymptote
     "knn_graph_hubness_scaled",
     "semantic_dedup_scaled",
+    # round 6c/6d: gate-QC calibration (near_dup plan shape with the
+    # agree join and ungated verify — the heaviest of the QC trio),
+    # two-stage retrieval (ADC corpus leg + broadcast rerank; the recall
+    # QC adds the brute-force exact leg), the corpus groupBy+join weights,
+    # the zero-exchange quantization audit, and the regex-scan rollup
+    "minhash_gate_calibration",
+    "pq_shortlist_rerank",
+    "rerank_recall_gain",
+    "soft_dedup_weights",
+    "int8_quant_error",
+    "pii_density_by_source",
 )
 
 
