@@ -168,13 +168,24 @@ def run_stress(scale: int, out_name: str, only: list[str] | None = None) -> None
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = base_dir
+    errors: dict[str, str] = {}
     for name in only or STRESS_QUERIES:
         spec = regs[name]
-        spec.fn(spark, warm_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()  # warm codegen
-        base_s = _timed(spark, spec.fn, base_dir, eager=spec.eager)
-        scaled_s = _timed(spark, spec.fn, scaled_dir, eager=spec.eager)
+        # per-query isolation (round 6): a query that dies at the scaled
+        # SF — e.g. the statically-misplanned corpus broadcast the 100x
+        # row caught — must cost one entry, not the whole row (the first
+        # 100x attempt died 29 queries in and wrote nothing)
+        try:
+            spec.fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # warm codegen
+            base_s = _timed(spark, spec.fn, base_dir, eager=spec.eager)
+            scaled_s = _timed(spark, spec.fn, scaled_dir, eager=spec.eager)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"  {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
         ratio = scaled_s / max(base_s, 1e-6)
         report[name] = {
             "base_s": round(base_s, 3),
@@ -195,12 +206,15 @@ def run_stress(scale: int, out_name: str, only: list[str] | None = None) -> None
         "queries": report,
         "superlinear": superlinear,
     }
+    if errors:
+        out["errors"] = errors
     path = Path(__file__).resolve().parent / out_name
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps({
         "metric": "stress_scale_ratio",
         "scale": scale,
         "n_queries": len(report),
+        "n_errors": len(errors),
         "superlinear": superlinear,
         "detail": out_name,
     }))

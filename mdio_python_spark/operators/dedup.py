@@ -352,6 +352,17 @@ def pair_overlap_counts(
     MinHash estimate gate this discards no borderline pair, at any data
     distribution. Pairs are joined to the per-doc sizes FIRST (tiny join)
     and only survivors expand into the per-shingle intersection join.
+
+    Join-strategy pinning: the shingle and per-doc-size relations are
+    CORPUS-sized, but they sit under an unmaterialized cached subtree
+    whose static size estimate is garbage — at 100x the planner
+    "broadcast" them (a multi-GiB BroadcastExchange that exceeded
+    spark.driver.maxResultSize and killed the driver; caught by the
+    round-6 stress row). AQE can upgrade a shuffle join to broadcast
+    with measured sizes but can never demote a statically-chosen
+    broadcast, so every corpus-sided relation here carries a ``merge``
+    hint: sort-merge is the strategy that holds at any scale, and AQE
+    still coalesces/skew-splits its shuffles at runtime.
     """
     # same preference rule as minhash_signatures: explicit strings win
     key = "shingle" if "shingle" in shingles.columns else "sh"
@@ -359,14 +370,14 @@ def pair_overlap_counts(
         raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sized = pairs.join(
-        sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed(
-            "n_shingles", "n_a"
-        ),
+        sizes.withColumnRenamed(id_col, "doc_a")
+        .withColumnRenamed("n_shingles", "n_a")
+        .hint("merge"),
         "doc_a",
     ).join(
-        sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
-            "n_shingles", "n_b"
-        ),
+        sizes.withColumnRenamed(id_col, "doc_b")
+        .withColumnRenamed("n_shingles", "n_b")
+        .hint("merge"),
         "doc_b",
     )
     if min_jaccard is not None:
@@ -375,8 +386,8 @@ def pair_overlap_counts(
             / F.greatest("n_a", "n_b").cast("double")
             >= F.lit(float(min_jaccard))
         )
-    a = shingles.withColumnRenamed(id_col, "doc_a")
-    b = shingles.withColumnRenamed(id_col, "doc_b")
+    a = shingles.withColumnRenamed(id_col, "doc_a").hint("merge")
+    b = shingles.withColumnRenamed(id_col, "doc_b").hint("merge")
     return (
         sized.join(a, "doc_a")
         .join(b, ["doc_b", key])

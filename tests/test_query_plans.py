@@ -281,7 +281,10 @@ def test_threshold_sweep_persists_pair_set(spark):
     plan = _plan(spark, "dedup_threshold_sweep")
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "CartesianProduct" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan  # 6-row threshold join broadcasts
+    # the 6-row threshold join must broadcast; the shingle-verify joins
+    # are deliberately merge-hinted SMJ (round 6: a static broadcast of
+    # the corpus-sided shingle relation killed the 100x row)
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_knn_graph_no_corpus_broadcast(spark):
@@ -321,8 +324,11 @@ def test_edge_density_persists_shared_stages(spark):
     equi-joins."""
     plan = _plan(spark, "cluster_edge_density")
     assert plan.count("InMemoryTableScan") >= 2, plan
-    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
-        assert bad not in plan, plan  # cluster-sized rollups broadcast
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+    # cluster-sized rollups broadcast; the shingle-verify joins are
+    # deliberately merge-hinted SMJ (see test_threshold_sweep pin)
+    assert "BroadcastHashJoin" in plan, plan
 
 
 @pytest.mark.parametrize(
@@ -502,3 +508,31 @@ def test_gate_qc_pair_discipline(spark, name):
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, f"{name}: {bad}\n{plan}"
     assert "InMemoryTableScan" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["near_dup_jaccard", "char_shingle_near_dup", "minhash_gate_calibration"]
+)
+def test_shingle_verify_never_statically_broadcast(spark, name):
+    """Round-6 regression pin for the 100x driver kill: the exact-verify
+    intersection joins must never let the static planner broadcast the
+    corpus-sided shingle relation (unmaterialized-cache estimates are
+    garbage; AQE cannot demote a static broadcast). The merge hints in
+    pair_overlap_counts force SMJ there — so the plan must contain SMJ
+    on the (doc, sh) keys and NO BroadcastExchange whose build side
+    reads the cached shingle relation raw."""
+    plan = _plan(spark, name)
+    assert "SortMergeJoin" in plan, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if len(nxt) - len(nxt.lstrip()) <= depth:
+                break
+            sub.append(nxt)
+        subtree = "\n".join(sub)
+        raw_cache = "InMemoryTableScan" in subtree and "HashAggregate" not in subtree
+        assert not raw_cache, f"corpus cache broadcast in {name}:\n{subtree}"
