@@ -39,6 +39,34 @@ def release_cached(df: DataFrame, blocking: bool = False) -> None:
     setattr(df, CACHE_ATTR, [])
 
 
+def eager(df: DataFrame) -> DataFrame:
+    """Materialize a persisted DataFrame NOW (one cheap ``count()``) and
+    return it, so every plan built against it afterwards sees MEASURED
+    ``InMemoryRelation`` statistics instead of the child plan's static
+    estimates.
+
+    Why this matters (round-6 100x driver kill): an *unmaterialized*
+    cached relation reports its child's optimistic ``sizeInBytes`` to the
+    static planner. At 100x corpus scale that estimate came in under
+    ``spark.sql.autoBroadcastJoinThreshold`` for a multi-GiB shingle
+    relation, the planner picked a broadcast join, and the
+    BroadcastExchange blew past ``spark.driver.maxResultSize`` — and AQE
+    can *upgrade* a shuffle join to broadcast at runtime but can never
+    *demote* a statically-chosen broadcast, so there is no runtime safety
+    net for that mis-plan. Once the cache is materialized,
+    ``InMemoryRelation.computeStats`` returns the actual cached bytes:
+    tiny relations still broadcast (statically or via AQE), corpus-sized
+    ones sort-merge — the scale-correct choice at every SF, without
+    blanket strategy hints that overpay when a side really is small.
+
+    The count is ~free: the first consumer was going to materialize the
+    cache anyway; doing it eagerly just moves that work before dependent
+    plan construction (one extra job submission, no extra data pass).
+    """
+    df.count()
+    return df
+
+
 _SCOPED_PREV: dict[str, list[DataFrame]] = {}
 
 

@@ -353,16 +353,25 @@ def pair_overlap_counts(
     distribution. Pairs are joined to the per-doc sizes FIRST (tiny join)
     and only survivors expand into the per-shingle intersection join.
 
-    Join-strategy pinning: the shingle and per-doc-size relations are
-    CORPUS-sized, but they sit under an unmaterialized cached subtree
-    whose static size estimate is garbage — at 100x the planner
-    "broadcast" them (a multi-GiB BroadcastExchange that exceeded
-    spark.driver.maxResultSize and killed the driver; caught by the
-    round-6 stress row). AQE can upgrade a shuffle join to broadcast
-    with measured sizes but can never demote a statically-chosen
-    broadcast, so every corpus-sided relation here carries a ``merge``
-    hint: sort-merge is the strategy that holds at any scale, and AQE
-    still coalesces/skew-splits its shuffles at runtime.
+    Join-strategy contract (round-7, replacing round-6's blanket
+    ``merge`` hints): the shingle and per-doc-size relations here are
+    CORPUS-sized. When they sit under an *unmaterialized* cached subtree
+    the static planner sees the child's optimistic size estimate — at
+    100x it "broadcast" them (a multi-GiB BroadcastExchange that
+    exceeded spark.driver.maxResultSize and killed the driver; caught by
+    the round-6 stress row), and AQE can never demote a statically
+    chosen broadcast. Round 6 fixed that with ``merge`` hints on every
+    corpus-sided relation, which also forbade AQE's legitimate runtime
+    SMJ->BHJ upgrade when a side IS measured-small (the entire 1.15x
+    sf0.1 regression vs r5). Round 7 fixes the STATS instead of the
+    strategy: callers that persist the shingle fork must materialize it
+    before dependent plan construction (``caching.eager`` — one cheap
+    count), so the planner sees MEASURED InMemoryRelation sizes and
+    makes the scale-correct choice at every SF: tiny shingle sets
+    broadcast, corpus-sized ones sort-merge, and the LSH-bounded pair
+    side stays free for AQE's runtime upgrade.
+    ``tests/test_query_plans.py::test_pair_overlap_stats_drive_strategy``
+    pins the mechanism in both directions.
     """
     # same preference rule as minhash_signatures: explicit strings win
     key = "shingle" if "shingle" in shingles.columns else "sh"
@@ -370,14 +379,14 @@ def pair_overlap_counts(
         raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sized = pairs.join(
-        sizes.withColumnRenamed(id_col, "doc_a")
-        .withColumnRenamed("n_shingles", "n_a")
-        .hint("merge"),
+        sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed(
+            "n_shingles", "n_a"
+        ),
         "doc_a",
     ).join(
-        sizes.withColumnRenamed(id_col, "doc_b")
-        .withColumnRenamed("n_shingles", "n_b")
-        .hint("merge"),
+        sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+            "n_shingles", "n_b"
+        ),
         "doc_b",
     )
     if min_jaccard is not None:
@@ -386,8 +395,8 @@ def pair_overlap_counts(
             / F.greatest("n_a", "n_b").cast("double")
             >= F.lit(float(min_jaccard))
         )
-    a = shingles.withColumnRenamed(id_col, "doc_a").hint("merge")
-    b = shingles.withColumnRenamed(id_col, "doc_b").hint("merge")
+    a = shingles.withColumnRenamed(id_col, "doc_a")
+    b = shingles.withColumnRenamed(id_col, "doc_b")
     return (
         sized.join(a, "doc_a")
         .join(b, ["doc_b", key])
@@ -939,16 +948,22 @@ def incremental_dedup(
     )
     new2 = exact_dedup(new1, text_col, id_col)
 
+    from mdio_python_spark.operators.caching import eager
+
     cached: list[DataFrame] = []
-    sh_new = shingle_hashes(new2, n, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh_new = eager(
+        shingle_hashes(new2, n, text_col, id_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     cached.append(sh_new)
     if existing_shingles is not None:
         sh_old = existing_shingles
     else:
-        sh_old = shingle_hashes(existing_docs, n, text_col, id_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+        sh_old = eager(
+            shingle_hashes(existing_docs, n, text_col, id_col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
         cached.append(sh_old)
     rotate_scoped("dedup.incremental_shingles", *cached)

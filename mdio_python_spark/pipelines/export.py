@@ -29,6 +29,7 @@ def store_to_segy(
     selection_mask: DataFrame | None = None,
     num_partitions: int | None = None,
     staging=None,
+    stage_clock: dict | None = None,
 ) -> int:
     """Export the store back to SEG-Y; returns the trace count written.
 
@@ -82,5 +83,6 @@ def store_to_segy(
         num_partitions=num_partitions,
         n_rows=n,
         staging=staging,
+        stage_clock=stage_clock,
     )
     return n

@@ -256,7 +256,16 @@ def segy_to_store(
     overrides: GridOverrides | None = None,
     header_spec: dict[str, tuple[int, str]] | None = None,
     block_size: int = 10_000,
+    stage_clock: dict | None = None,
 ) -> Dataset:
+    import time as _time
+
+    def _mark(key: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if stage_clock is not None:
+            stage_clock[key] = round(now - t0, 3)
+        return now
+
     overrides = overrides or GridOverrides()
     schema = SchemaResolver().resolve(template, overrides)
 
@@ -304,9 +313,16 @@ def segy_to_store(
     # and run detection/QC/dim jobs against the cache.
     headers_raw = scan(include_samples=False).persist()
     try:
+        # materialize the cache eagerly: dependent plans (detection aggs,
+        # QC, dim tables) see MEASURED InMemoryRelation stats, and the
+        # header-scan cost lands in its own stage clock
+        t0 = _time.perf_counter()
+        headers_raw.count()
+        t0 = _mark("header_scan_s", t0)
         plan = _build_strategy_plan(spark, headers_raw, schema, overrides)
         headers = _apply_plan(headers_raw, plan)
         spatial = schema.spatial_dims
+        t0 = _mark("strategies_s", t0)
 
         # grid QC (A6/A7) on the transformed headers
         qc = stats.grid_sparsity(headers, spatial).collect()[0]
@@ -317,6 +333,7 @@ def segy_to_store(
         dupes = grid.duplicate_cells(headers, spatial).limit(1).collect()
         if dupes:
             raise GridTraceCountError(f"duplicate dim tuple: {dupes[0].asDict()}")
+        t0 = _mark("grid_qc_s", t0)
 
         # A2: dim tables, collected once to tiny literals — pass 2 joins
         # broadcast against these, and the store write re-uses them.
@@ -325,6 +342,7 @@ def segy_to_store(
         }
         dim_sizes = {d: dim_tables[d].count() for d in spatial}
         header_cols = headers.columns
+        t0 = _mark("dim_tables_s", t0)
     finally:
         headers_raw.unpersist()
 
@@ -365,7 +383,9 @@ def segy_to_store(
         {d: template_chunks[d] for d in spatial},
         info.samples_per_trace,
     )
+    t0 = _time.perf_counter()
     store.write_data(full, dim_tables, store_path, chunks)
+    _mark("pivot_write_s", t0)
 
     srow = obs.get
     count = srow["count"] or 0

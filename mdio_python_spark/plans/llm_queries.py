@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from mdio_python_spark.functions.scalars import hash64, sql_hash64
 from mdio_python_spark.operators import curation, dedup, similarity, text
+from mdio_python_spark.operators.caching import eager
 from mdio_python_spark.plans.registry import register
 from mdio_python_spark.sources.tables import load_table
 
@@ -222,6 +223,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_pair_jaccard_ctes("est_pairs")}
     SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.5
     """,
+    eager=True,
 )
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
@@ -252,7 +254,7 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = (
+    hashed = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -372,6 +374,7 @@ def _bands_from(sig: str, alias: str) -> str:
     SELECT doc_id, lang, source, n_chars FROM new2
     WHERE doc_id NOT IN (SELECT doc_b FROM drops)
     """,
+    eager=True,
 )
 def q_incremental_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: the odd-id half of the corpus plays
@@ -765,7 +768,7 @@ LEFT JOIN k USING (lang)
 """
 
 
-@register("corpus_curation_funnel", _CURATION_ORACLE)
+@register("corpus_curation_funnel", _CURATION_ORACLE, eager=True)
 def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composition every training-data
     pipeline actually runs, as ONE declared DAG: quality filter (token
@@ -800,7 +803,7 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reliable under AQE here. Persist under the caching.py contract:
     # measured 120s -> 15s on the 10x stress corpus (hashes are 16-byte
     # rows, ~10% of the text they replace).
-    hashed = (
+    hashed = eager(
         dedup.shingle_hashes(exact_keep, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -3003,6 +3006,7 @@ def q_substring_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN documents db ON db.doc_id = v.doc_b
     GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
     """,
+    eager=True,
 )
 def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Who copies from whom: verified near-dup pairs (the near_dup_jaccard
@@ -3016,7 +3020,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = (
+    hashed = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -3600,7 +3604,7 @@ _LSH_CURVE_ORACLE = (
 )
 
 
-@register("lsh_tuning_curve", _LSH_CURVE_ORACLE)
+@register("lsh_tuning_curve", _LSH_CURVE_ORACLE, eager=True)
 def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generation quality at every band configuration of the
     8-hash MinHash signature — the curve a dedup deployment is tuned by,
@@ -3620,7 +3624,7 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = (
+    hashed = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -3832,7 +3836,7 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    hashed = (
+    hashed = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -4073,6 +4077,7 @@ _CHAR_BANDS_CTE = """
     WITH {_CHAR_SHINGLES_CTE}, {_SIGNATURES_CTE}, {_CHAR_BANDS_CTE}, {_PAIR_JACCARD_CTES}
     SELECT doc_a, doc_b, jaccard FROM pair_jaccard WHERE jaccard >= 0.7
     """,
+    eager=True,
 )
 def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over character 8-shingles at Jaccard >= 0.7 — the
@@ -4090,7 +4095,7 @@ def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = (
+    hashed = eager(
         dedup.char_shingles(docs, n=8)
         .select("doc_id", hash64(F.col("shingle")).alias("sh"))
         .repartition("doc_id")
@@ -4562,7 +4567,7 @@ def _quality_dup_oracle() -> str:
     """
 
 
-@register("quality_dup_deciles", _quality_dup_oracle())
+@register("quality_dup_deciles", _quality_dup_oracle(), eager=True)
 def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup membership rate per quality-score decile — the
     cross-signal audit run before shipping a quality threshold: quality
@@ -4595,7 +4600,7 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiled = ntile_from_ordinal(ranked, 10, ordinal_col="_rn", out_col="decile")
 
-    sh = dedup.shingle_hashes(docs, n=3).repartition("doc_id").persist()
+    sh = eager(dedup.shingle_hashes(docs, n=3).repartition("doc_id").persist())
     sig = dedup.minhash_signatures(sh, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     verified = dedup.jaccard_pairs(
@@ -4660,7 +4665,7 @@ FROM per JOIN aff ON aff.threshold = per.threshold
 """
 
 
-@register("dedup_threshold_sweep", _THRESHOLD_SWEEP_ORACLE)
+@register("dedup_threshold_sweep", _THRESHOLD_SWEEP_ORACLE, eager=True)
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup-aggressiveness tuning curve: pair count, affected-doc
     count, and dropped-doc count (keep-min-id convention: a doc drops iff
@@ -4679,7 +4684,7 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    sh = (
+    sh = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -4753,7 +4758,7 @@ WHERE CAST(i.n_common AS DOUBLE)
 """
 
 
-@register("containment_dup_pairs", _CONTAINMENT_ORACLE)
+@register("containment_dup_pairs", _CONTAINMENT_ORACLE, eager=True)
 def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (Broder 1997): candidate pairs where
     |A∩B| / min(|A|,|B|) >= 0.6 — the subset-duplication class (a short
@@ -4770,7 +4775,7 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    sh = (
+    sh = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -4832,7 +4837,7 @@ def q_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    sh = (
+    sh = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)

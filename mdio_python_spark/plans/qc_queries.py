@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from mdio_python_spark.functions.determinism import dsum, sql_dsum
 from mdio_python_spark.operators import dedup
+from mdio_python_spark.operators.caching import eager
 from mdio_python_spark.plans.llm_queries import (
     _BANDS_CTE,
     _SHINGLES_CTE,
@@ -90,7 +91,7 @@ def _gated_candidates(spark: SparkSession, sf_dir: str):
     from pyspark import StorageLevel
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = (
+    hashed = eager(
         dedup.shingle_hashes(docs, n=3)
         .repartition("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,6 +117,7 @@ def _gated_candidates(spark: SparkSession, sf_dir: str):
              AS n_pass_05
     FROM joined GROUP BY agree
     """,
+    eager=True,
 )
 def q_minhash_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator calibration: per MinHash agreement level (0..8), the
@@ -147,6 +149,7 @@ def q_minhash_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(agree) AS DOUBLE) / (8.0 * COUNT(*)) AS mean_estimate
     FROM joined GROUP BY 1
     """,
+    eager=True,
 )
 def q_jaccard_bin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverse calibration view: per exact-Jaccard decile bin of the LSH
@@ -186,6 +189,7 @@ def q_jaccard_bin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_false_drops
     FROM joined
     """,
+    eager=True,
 )
 def q_gate_false_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row verdict on the near_dup_jaccard gate: candidate count,
@@ -218,6 +222,7 @@ def q_gate_false_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS weight
     FROM documents
     """,
+    eager=True,
 )
 def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SoftDeDup-shaped alternative to dropping duplicates: every

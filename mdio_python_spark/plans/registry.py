@@ -34,11 +34,16 @@ class QuerySpec:
     # for correctness but excluded from the sf-scaling bench metric
     eager: bool = False  # True => CONSTRUCTION performs unbounded
     # distributed work (a connected-components fixpoint loop, a sampled
-    # k-means fit — anything whose build-time jobs scale with the corpus),
-    # so the bench must start its clock BEFORE the builder call or that
-    # work escapes measurement entirely. Bounded driver literals (k
-    # centroid rows, a dim lookup) do NOT set this — they are plan
-    # constants, the same class as the geometry/1-row QC collects.
+    # k-means fit, a caching.eager() cache materialization — anything
+    # whose build-time jobs scale with the corpus), so the bench must
+    # start its clock BEFORE the builder call or that work escapes
+    # measurement entirely. Round 7 flipped the whole shingle-verify
+    # family to eager=True when their persisted shingle forks gained
+    # eager materialization (the measured-stats fix for the 100x static
+    # broadcast kill) — their construction now runs the shingle subtree.
+    # Bounded driver literals (k centroid rows, a dim lookup) do NOT set
+    # this — they are plan constants, the same class as the
+    # geometry/1-row QC collects.
 
 
 _REGISTRY: dict[str, QuerySpec] = {}

@@ -19,9 +19,11 @@ minimum any globally-ordered output requires.
 
 from __future__ import annotations
 
+import io
 import math
 import os
 import shutil
+import time
 from collections.abc import Iterator
 from dataclasses import dataclass, field
 
@@ -257,6 +259,7 @@ def write_segy(
     n_rows: int | None = None,
     text_encoding: str = "cp037",
     staging: "str | staging_mod.StagingStore | None" = None,
+    stage_clock: dict | None = None,
 ) -> None:
     """K3/K4 — ordered SEG-Y export. ``n_rows`` (when the caller already
     knows the trace count — ingest does, export just counted) avoids the
@@ -333,26 +336,51 @@ def write_segy(
             store.delete(part_name)
         yield pd.DataFrame({"partition": [pid], "n_traces": [n_written]})
 
+    _t0 = time.perf_counter()
     counts = ordered.mapInPandas(
         write_partition, schema="partition int, n_traces long"
     ).collect()
+    if stage_clock is not None:
+        stage_clock["export_encode_s"] = round(time.perf_counter() - _t0, 3)
+    _t0 = time.perf_counter()
 
-    # skeleton + in-order concat (driver)
-    with open(out_path, "wb") as out:
-        if write_spec.raw_text_header is not None:
-            assert len(write_spec.raw_text_header) == codec.TEXT_HEADER_BYTES
-            out.write(write_spec.raw_text_header)
-        else:
-            out.write(
-                codec.encode_text_header(write_spec.text_header, text_encoding)
-            )
-        if write_spec.raw_binary_header is not None:
-            assert len(write_spec.raw_binary_header) == codec.BINARY_HEADER_BYTES
-            out.write(write_spec.raw_binary_header)
-        else:
-            out.write(codec.encode_binary_header(write_spec.binary_header()))
-        if write_spec.raw_extended_headers:
-            assert len(write_spec.raw_extended_headers) % codec.TEXT_HEADER_BYTES == 0
-            out.write(write_spec.raw_extended_headers)
-        staging_mod.concat_parts(store, out)
+    # file skeleton (3200-byte text + 400-byte binary + extended headers)
+    if write_spec.raw_text_header is not None:
+        assert len(write_spec.raw_text_header) == codec.TEXT_HEADER_BYTES
+        skeleton = bytes(write_spec.raw_text_header)
+    else:
+        skeleton = codec.encode_text_header(write_spec.text_header, text_encoding)
+    if write_spec.raw_binary_header is not None:
+        assert len(write_spec.raw_binary_header) == codec.BINARY_HEADER_BYTES
+        skeleton += write_spec.raw_binary_header
+    else:
+        skeleton += codec.encode_binary_header(write_spec.binary_header())
+    if write_spec.raw_extended_headers:
+        assert len(write_spec.raw_extended_headers) % codec.TEXT_HEADER_BYTES == 0
+        skeleton += write_spec.raw_extended_headers
+
+    # Merge. Preferred: executor-parallel ranged compose — each part lands
+    # at its exact final offset in one pass (pwrite locally; multipart
+    # upload on object stores), so the driver stream stops being the
+    # export ceiling (the reference parallelizes only its INTERMEDIATE
+    # merge tree, blocked_io.py:226-251, and still single-streams the
+    # final append, creation.concat_files:236-264 — the ranged sink beats
+    # both). Fallback: the original driver in-order stream, for outputs
+    # with no ranged backend.
+    sink = staging_mod.ranged_sink_for(out_path)
+    use_ranged = sink is not None and len(store.list()) > 1
+    if use_ranged:
+        sink.truncate_to(0)  # fresh file: drop any previous contents
+        sink.write_at(0, io.BytesIO(skeleton))
+        spark = df.sparkSession
+        staging_mod.compose_parts_ranged(spark, store, sink, len(skeleton))
+    else:
+        with open(out_path, "wb") as out:
+            out.write(skeleton)
+            staging_mod.concat_parts(store, out)
     store.remove_all()
+    if stage_clock is not None:
+        stage_clock["export_concat_s"] = round(time.perf_counter() - _t0, 3)
+        stage_clock["export_concat_mode"] = (
+            "ranged_parallel" if use_ranged else "driver_stream"
+        )

@@ -58,6 +58,15 @@ class StagingStore:
     def remove_all(self) -> None:  # pragma: no cover - contract
         raise NotImplementedError
 
+    def size(self, name: str) -> int:
+        """Byte size of a staged part (default: one read pass). Backends
+        with cheap metadata (stat, HEAD) should override."""
+        n = 0
+        with self.open_read(name) as f:
+            while chunk := f.read(64 << 20):
+                n += len(chunk)
+        return n
+
 
 class LocalStaging(StagingStore):
     """POSIX-directory backend (local mode / shared filesystem)."""
@@ -83,6 +92,9 @@ class LocalStaging(StagingStore):
     def remove_all(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
 
+    def size(self, name: str) -> int:
+        return os.path.getsize(os.path.join(self.root, name))
+
 
 def staging_for(uri: str | StagingStore) -> StagingStore:
     """Resolve a staging URI (or pass through a ready store instance)."""
@@ -104,6 +116,106 @@ def concat_parts(store: StagingStore, out: BinaryIO, buffer: int = 64 << 20) -> 
     for name in store.list():
         with store.open_read(name) as part:
             shutil.copyfileobj(part, out, length=buffer)
+
+
+class RangedSink:
+    """A final-output target that supports parallel positional writes —
+    the executor-side alternative to streaming every staged part through
+    the driver (the reference parallelizes its intermediate merge with a
+    record-concat tree, ``/root/reference/src/mdio/segy/blocked_io.py:
+    226-251``; a ranged sink goes one better: each part lands at its
+    final offset in ONE pass, log-depth tree included for free).
+
+    Instances must be picklable (they ride to executors in the task
+    closure). The POSIX backend uses ``pwrite``; an object-store backend
+    maps naturally onto multipart upload (S3 UploadPart by part number,
+    GCS compose) — register via :func:`register_ranged_scheme`.
+    """
+
+    def write_at(self, offset: int, src: BinaryIO, buffer: int = 64 << 20) -> None:
+        raise NotImplementedError  # pragma: no cover - contract
+
+    def truncate_to(self, n_bytes: int) -> None:
+        """Pre-size the output so concurrent ranged writes never race the
+        file length (a no-op for object-store multipart backends)."""
+        raise NotImplementedError  # pragma: no cover - contract
+
+
+class LocalRangedSink(RangedSink):
+    """pwrite-based positional writes into one local/shared-mount file."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def truncate_to(self, n_bytes: int) -> None:
+        with open(self.path, "ab") as f:
+            f.truncate(n_bytes)
+
+    def write_at(self, offset: int, src: BinaryIO, buffer: int = 64 << 20) -> None:
+        fd = os.open(self.path, os.O_WRONLY)
+        try:
+            pos = offset
+            while chunk := src.read(buffer):
+                os.pwrite(fd, chunk, pos)
+                pos += len(chunk)
+        finally:
+            os.close(fd)
+
+
+_RANGED_SCHEMES: dict[str, Callable[[str], RangedSink]] = {}
+
+
+def register_ranged_scheme(scheme: str, factory: Callable[[str], RangedSink]) -> None:
+    """Register a ranged-write backend for ``scheme://...`` output URIs."""
+    _RANGED_SCHEMES[scheme] = factory
+
+
+def ranged_sink_for(uri: str) -> RangedSink | None:
+    """Resolve a ranged sink for the final output path, or ``None`` when
+    no backend supports it (callers fall back to the driver stream)."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return LocalRangedSink(parsed.path if parsed.scheme else uri)
+    if parsed.scheme in _RANGED_SCHEMES:
+        return _RANGED_SCHEMES[parsed.scheme](uri)
+    return None
+
+
+def compose_parts_ranged(
+    spark,
+    store: StagingStore,
+    sink: RangedSink,
+    base_offset: int,
+    buffer: int = 64 << 20,
+) -> int:
+    """Executor-parallel compose: every staged part is copied to its
+    final byte offset (``base_offset`` + prefix sum of part sizes, in
+    part-name order) by a Spark task, so the driver never streams part
+    bytes — it only stats sizes (bounded: one per range partition) and
+    pre-sizes the sink. Returns the total bytes composed.
+
+    Byte-identical to :func:`concat_parts` by construction: offsets are
+    exact prefix sums of the measured part sizes over the same
+    name-ordered part list.
+    """
+    names = store.list()
+    offsets = []
+    pos = base_offset
+    for name in names:
+        offsets.append((name, pos))
+        pos += store.size(name)
+    total = pos - base_offset
+    sink.truncate_to(pos)
+    if not names:
+        return 0
+
+    def copy_one(task: tuple[str, int]) -> None:
+        name, off = task
+        with store.open_read(name) as src:
+            sink.write_at(off, src, buffer)
+
+    spark.sparkContext.parallelize(offsets, len(offsets)).foreach(copy_one)
+    return total
 
 
 def iter_part_chunks(

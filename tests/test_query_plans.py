@@ -282,8 +282,8 @@ def test_threshold_sweep_persists_pair_set(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     # the 6-row threshold join must broadcast; the shingle-verify joins
-    # are deliberately merge-hinted SMJ (round 6: a static broadcast of
-    # the corpus-sided shingle relation killed the 100x row)
+    # plan against MEASURED cache stats (caching.eager — round 7), so at
+    # test scale they may legitimately broadcast too
     assert "BroadcastHashJoin" in plan, plan
 
 
@@ -326,8 +326,8 @@ def test_edge_density_persists_shared_stages(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
-    # cluster-sized rollups broadcast; the shingle-verify joins are
-    # deliberately merge-hinted SMJ (see test_threshold_sweep pin)
+    # cluster-sized rollups broadcast; the shingle-verify joins plan
+    # against measured cache stats (see test_pair_overlap_stats pin)
     assert "BroadcastHashJoin" in plan, plan
 
 
@@ -513,26 +513,90 @@ def test_gate_qc_pair_discipline(spark, name):
 @pytest.mark.parametrize(
     "name", ["near_dup_jaccard", "char_shingle_near_dup", "minhash_gate_calibration"]
 )
-def test_shingle_verify_never_statically_broadcast(spark, name):
-    """Round-6 regression pin for the 100x driver kill: the exact-verify
-    intersection joins must never let the static planner broadcast the
-    corpus-sided shingle relation (unmaterialized-cache estimates are
-    garbage; AQE cannot demote a static broadcast). The merge hints in
-    pair_overlap_counts force SMJ there — so the plan must contain SMJ
-    on the (doc, sh) keys and NO BroadcastExchange whose build side
-    reads the cached shingle relation raw."""
-    plan = _plan(spark, name)
-    assert "SortMergeJoin" in plan, plan
-    lines = plan.splitlines()
-    for i, ln in enumerate(lines):
-        if "BroadcastExchange" not in ln:
-            continue
-        depth = len(ln) - len(ln.lstrip())
-        sub = []
-        for nxt in lines[i + 1 :]:
-            if len(nxt) - len(nxt.lstrip()) <= depth:
-                break
-            sub.append(nxt)
-        subtree = "\n".join(sub)
-        raw_cache = "InMemoryTableScan" in subtree and "HashAggregate" not in subtree
-        assert not raw_cache, f"corpus cache broadcast in {name}:\n{subtree}"
+def test_shingle_fork_materialized_before_planning(spark, name):
+    """Round-7 regression pin for the 100x driver kill (replacing
+    round 6's blanket SMJ pin): every cached relation in the verify
+    pipeline must be MATERIALIZED by the time dependent plans are built
+    (``caching.eager``), so the static planner sees measured
+    InMemoryRelation sizes instead of the child's optimistic estimates —
+    the mis-estimate that statically broadcast a multi-GiB shingle
+    relation at 100x (and AQE can never demote a static broadcast).
+    With measured stats the planner is free to broadcast at test scale
+    (where the shingle set really is tiny — the scale-CORRECT choice the
+    round-6 hints forbade) and forced off broadcast at corpus scale;
+    ``test_pair_overlap_stats_drive_strategy`` pins that both ways."""
+    df = queries()[name](spark, SF_SMOKE)
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    imrs = [
+        leaves.apply(i)
+        for i in range(leaves.size())
+        if leaves.apply(i).getClass().getSimpleName() == "InMemoryRelation"
+    ]
+    assert imrs, f"{name}: no cached relation found in the optimized plan"
+    for r in imrs:
+        assert r.cacheBuilder().isCachedColumnBuffersLoaded(), (
+            f"{name}: unmaterialized cache at plan time — static size "
+            "estimates are garbage and the 100x broadcast kill is back"
+        )
+
+
+def test_pair_overlap_stats_drive_strategy(spark):
+    """The mechanism pin for pair_overlap_counts' join strategy: with the
+    shingle fork eager-materialized, the static planner's choice must
+    follow the MEASURED cache size against autoBroadcastJoinThreshold in
+    BOTH directions — no broadcast of the shingle relation when the
+    measured size exceeds the threshold (the 100x safety), broadcast
+    allowed when it fits (the sf0.1 speed round 6's blanket merge hints
+    gave up)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators import dedup
+    from mdio_python_spark.operators.caching import eager
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    sh = eager(
+        dedup.shingle_hashes(docs, n=3)
+        .repartition("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def shingle_cache_broadcast(plan: str) -> bool:
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip())
+            sub = []
+            for nxt in lines[i + 1 :]:
+                if len(nxt) - len(nxt.lstrip()) <= depth:
+                    break
+                sub.append(nxt)
+            subtree = "\n".join(sub)
+            # a raw cached-relation build side (per-doc size aggregates
+            # over the cache are bounded and fine to broadcast)
+            if "InMemoryTableScan" in subtree and "HashAggregate" not in subtree:
+                return True
+        return False
+
+    try:
+        # measured size (a few hundred KiB of shingle hashes) > 1 KiB
+        # threshold -> the planner must NOT statically broadcast the
+        # cached shingle relation
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        out = dedup.jaccard_pairs(pairs, sh.distinct(), min_jaccard=0.5)
+        plan_low = out._jdf.queryExecution().executedPlan().toString()
+        assert not shingle_cache_broadcast(plan_low), plan_low
+        # measured size < 100 MiB threshold -> the planner is free to
+        # broadcast it statically (the fast small-scale plan); if this
+        # fails, stats regressed to unmeasured estimates
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "100MB")
+        out = dedup.jaccard_pairs(pairs, sh.distinct(), min_jaccard=0.5)
+        plan_high = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_high, plan_high
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        sh.unpersist()

@@ -38,6 +38,13 @@ def main() -> None:
 
     spliced = sorted(fix["queries"])
     base["queries"].update(fix["queries"])
+    # a re-clocked query that previously FAILED must not keep its stale
+    # error row — the artifact would report a timing and an error for the
+    # same name (advisor r6); same for errors resolved in the fix run
+    for name in spliced:
+        base.get("errors", {}).pop(name, None)
+    if not base.get("errors"):
+        base.pop("errors", None)
     scale = base["scale"]
     base["superlinear"] = sorted(
         name
