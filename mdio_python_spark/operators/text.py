@@ -439,6 +439,7 @@ def winnow_fingerprint_set(
     w: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    internal_hash: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every character k-gram, slide
@@ -469,11 +470,23 @@ def winnow_fingerprint_set(
     :func:`winnow_fingerprints` rolls them up per document.
 
     Scale shape: one projection builds (id, pos, kgram-hash) rows
-    (explode is scan-side, codegen'd; the md5 runs once per position),
+    (explode is scan-side, codegen'd; the hash runs once per position),
     ONE hash exchange on the id partitions the per-document window min
     (bounded by document length — embarrassingly parallel at corpus
     scale), and the same partitioning serves the distinct and the final
     combinable aggregate with no further shuffle.
+
+    ``internal_hash=True`` swaps the md5-derived :func:`hash64` for
+    Spark's codegen-native ``xxhash64`` — the biggest per-position cost
+    in this DAG (the md5 digest + hex round-trip roughly doubles the
+    scan stage). Unlike window_dup_stats' internal-key rule, winnowing's
+    hash DETERMINES the min-selection, so the two modes produce
+    DIFFERENT (equally valid) fingerprint sets; callers that publish
+    ``wmin``/``fp_xor`` as a cross-corpus contract keep the md5 default,
+    while pair-mining consumers (winnowing_dup_pairs) use the fast path
+    — its oracle mirrors XXH64 bit-for-bit via
+    ``functions.scalars.sql_xxhash64_ascii16`` (16-byte-ASCII
+    k-grams; k=16 and the corpus is measured all-ASCII at every SF).
     """
     from pyspark.sql import Window
 
@@ -486,11 +499,12 @@ def winnow_fingerprint_set(
         t.alias("_t"),
         F.posexplode(starts).alias("_i", "pos"),
     )
+    kgram = F.substr(F.col("_t"), F.col("pos"), F.lit(k))
     kg = kg.select(
         F.col(id_col),
         "n_kgrams",
         "pos",
-        hash64(F.substr(F.col("_t"), F.col("pos"), F.lit(k))).alias("h"),
+        (F.xxhash64(kgram) if internal_hash else hash64(kgram)).alias("h"),
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     mins = kg.select(

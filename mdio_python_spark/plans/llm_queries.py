@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mdio_python_spark.functions.scalars import hash64, sql_hash64
+from mdio_python_spark.functions.scalars import (
+    hash64,
+    sql_hash64,
+    sql_xxhash64_ascii16,
+)
 from mdio_python_spark.operators import curation, dedup, similarity, text
 from mdio_python_spark.operators.caching import eager
 from mdio_python_spark.plans.registry import register
@@ -4402,8 +4406,48 @@ def q_dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The pair path's k-gram hash is Spark-native xxhash64 (internal-key
+# rule: only (doc_a, doc_b, n_shared) is published, but the hash drives
+# the min-selection so the oracle mirrors XXH64 bit-for-bit — see
+# functions/scalars.py:sql_xxhash64_ascii16; requires k=16 so each
+# k-gram is exactly 16 ASCII bytes, guarded by error() in the chain).
+assert _WIN_K == 16, "xxh64 oracle mirror is generated for 16-byte k-grams"
+
+_WINNOW_CTES_XX = f"""
+  base AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents
+      WHERE length(lower(trim(text))) >= {_WIN_W + _WIN_K - 1}
+    ),
+    kgp AS (
+      SELECT doc_id,
+             length(t) - {_WIN_K - 1} AS n_kgrams,
+             unnest(generate_series(1, length(t) - {_WIN_K - 1})) AS pos,
+             t
+      FROM base
+    ),
+    kg AS (
+      SELECT doc_id, n_kgrams, pos, h
+      FROM {sql_xxhash64_ascii16(
+          f"SELECT doc_id, n_kgrams, pos, "
+          f"hex(encode(substr(t, pos, {_WIN_K}))) AS hx FROM kgp",
+          out="h",
+      )}
+    ),
+    wins AS (
+      SELECT doc_id, n_kgrams, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS wmin
+      FROM kg
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, n_kgrams, wmin FROM wins
+      WHERE pos <= n_kgrams - {_WIN_W - 1}
+    )
+"""
+
 _WINNOW_PAIRS_ORACLE = f"""
-    WITH {_WINNOW_CTES},
+    WITH {_WINNOW_CTES_XX},
     capped AS (
       SELECT doc_id, wmin,
              ROW_NUMBER() OVER (PARTITION BY wmin ORDER BY doc_id) AS rn
@@ -4435,11 +4479,20 @@ def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fingerprint selection is the winnowing DAG (one doc_id
     exchange); pair generation is dedup.bucket_pair_counts — in-bucket
     combinations under the deterministic sorted-id cap (mirrored in the
-    oracle via rn <= cap), never a corpus self-join."""
+    oracle via rn <= cap), never a corpus self-join. The k-gram hash is
+    Spark-native xxhash64 (internal_hash=True): only (doc_a, doc_b,
+    n_shared) is published so the md5 cross-corpus contract isn't
+    needed, and dropping the per-position digest+hex round-trip halves
+    the dominant scan stage (this was the top absolute 100x stress row).
+    The oracle mirrors XXH64 exactly — min-selection changes with the
+    hash, so this is NOT the window_dup_stats transport-only case; see
+    _WINNOW_CTES_XX and functions/scalars.py:sql_xxhash64_ascii16.
+    The >= w+k-1 = 23-char shared-region guarantee is hash-agnostic and
+    unchanged."""
     docs = _t(spark, sf_dir, "documents")
-    fps = text.winnow_fingerprint_set(docs, k=_WIN_K, w=_WIN_W).select(
-        "doc_id", "wmin"
-    )
+    fps = text.winnow_fingerprint_set(
+        docs, k=_WIN_K, w=_WIN_W, internal_hash=True
+    ).select("doc_id", "wmin")
     counts = dedup.bucket_pair_counts(fps, ["wmin"])
     return counts.where(F.col("n_shared") >= 2)
 

@@ -235,6 +235,82 @@ def test_store_to_zarr_v3_roundtrip(tmp_path, spark):
         assert np.allclose(got[(il, xl)], trace)
 
 
+def test_store_to_zarr_v3_blosc_zstd_roundtrip(tmp_path, spark):
+    """VERDICT r6 item 7: upstream MDIO writes its global default
+    compressor — blosc-zstd clevel 5 (reference
+    ``src/mdio/builder/schemas/compressors.py:20-29``) — under zarr v3
+    exactly as under v2, so the v3 export must support the same blosc
+    codec chain the v2 path already roundtrips. Checks: (a) the v3 codec
+    chain is ``bytes + blosc(zstd)``, (b) every chunk file is a genuine
+    c-blosc container (version/flags header, zstd inner codec id),
+    (c) an independent decode reproduces the dense cube, (d) the engine's
+    own zarr reader reproduces the trace table."""
+    from tests.segy_factory import make_poststack_3d
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+    from mdio_python_spark.sources import blosc1
+    from mdio_python_spark.sources.store import open_mdio
+
+    sgy = str(tmp_path / "cube.sgy")
+    headers, samples, rows = make_poststack_3d(
+        sgy, n_inline=6, n_crossline=5, n_samples=8, dead_fraction=0.2
+    )
+    store_path = str(tmp_path / "store")
+    template = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": []}
+    )
+    segy_to_store(spark, sgy, store_path, template)
+    zarr_path = str(tmp_path / "out3blosc.zarr")
+    comp = {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1}
+    n = zs.store_to_zarr(
+        spark, store_path, zarr_path, compressor=comp, zarr_format=3
+    )
+    assert n == len(headers)
+
+    import json as _json
+
+    meta = _json.load(open(os.path.join(zarr_path, "amplitude", "zarr.json")))
+    names = [c["name"] for c in meta["codecs"]]
+    assert names == ["bytes", "blosc"], names
+    blosc_cfg = meta["codecs"][1]["configuration"]
+    assert blosc_cfg["cname"] == "zstd" and blosc_cfg["clevel"] == 5
+    assert blosc_cfg["typesize"] == 4  # float32, auto-filled from dtype
+
+    # raw chunk files: c-blosc containers with the zstd inner codec
+    import glob as _glob
+
+    chunk_files = [
+        p
+        for p in _glob.glob(
+            os.path.join(zarr_path, "amplitude", "c", "**", "*"), recursive=True
+        )
+        if os.path.isfile(p)
+    ]
+    assert chunk_files
+    for p in chunk_files:
+        raw = open(p, "rb").read()
+        assert raw[0] == 2  # c-blosc format version
+        assert (raw[2] >> 5) == blosc1.CODEC_ZSTD
+        assert raw[2] & blosc1.FLAG_SHUFFLE
+
+    amp = read_zarr_array_v3(zarr_path, "amplitude")  # independent decode
+    mask = read_zarr_array_v3(zarr_path, "trace_mask")
+    assert amp.shape == (6, 5, 8)
+    assert int(mask.sum()) == len(headers)
+    for (il, xl), trace in zip(rows, samples):
+        assert mask[il - 1, xl - 1]
+        assert np.allclose(amp[il - 1, xl - 1], trace)
+
+    got = {
+        (r["inline"], r["crossline"]): np.array(r["samples"], dtype=np.float32)
+        for r in open_mdio(spark, zarr_path).collect()
+    }
+    assert set(got) == set(rows)
+    for (il, xl), trace in zip(rows, samples):
+        assert np.allclose(got[(il, xl)], trace)
+
+
 def test_v3_unsupported_codec_rejected(tmp_path):
     import json
 

@@ -144,7 +144,7 @@ def read_zarr_array_v3(root: str, name: str) -> np.ndarray:
     }
     dtype = np.dtype(np_dtypes[meta["data_type"]])
     fill = meta.get("fill_value") or 0
-    compressed = any(c["name"] == "gzip" for c in meta["codecs"])
+    codec_names = [c["name"] for c in meta["codecs"]]
     out = np.full(shape, fill, dtype=dtype)
     grid = [math.ceil(s / c) for s, c in zip(shape, chunks)]
     for idx in np.ndindex(*grid):
@@ -152,8 +152,15 @@ def read_zarr_array_v3(root: str, name: str) -> np.ndarray:
         if not os.path.exists(p):
             continue
         raw = open(p, "rb").read()
-        if compressed:
+        if "gzip" in codec_names:
             raw = gzip.decompress(raw)
+        elif "blosc" in codec_names:
+            # chunk bytes are a c-blosc container; the parser itself is
+            # independently spec-tested against hand-built chunks in
+            # tests/test_blosc_interop.py
+            from mdio_python_spark.sources import blosc1
+
+            raw = blosc1.decompress(raw)
         chunk = np.frombuffer(raw, dtype=dtype).reshape(chunks)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s))

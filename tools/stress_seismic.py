@@ -1,19 +1,31 @@
-"""Seismic pipeline scale-stress row (VERDICT r5 item 6): time the FULL
-ingest and export pipelines — header pass, grid strategies + QC, store
-write, ordered export back to SEG-Y — at a base cube size and at
-``--scale`` times the trace count, and flag superlinear growth.
+"""Seismic pipeline scale-stress row (VERDICT r5 item 6, rebuilt for
+r6 item 3): time the FULL ingest and export pipelines — header pass,
+grid strategies + QC, store write, ordered export back to SEG-Y — at a
+base cube size and at ``--scale`` times the trace count, and flag
+superlinear growth.
+
+Round-7 changes (VERDICT r6 item 3): the r6 base cube was 4,608 traces,
+so fixed costs dominated (ingest 1.49x at 30x) and the row proved
+correctness under scale, not scaling. The default base is now 1M traces
+(~0.7 GB SEG-Y — big enough that fixed costs are <20% of every stage),
+the scaled leg defaults to 10x that (10M traces, ~7.3 GB), and both
+legs record the PER-STAGE wall breakdown the ingest/export pipelines
+expose via ``stage_clock``: header scan / strategies / grid QC / dim
+tables / pivot write on ingest, encode / concat (+ concat mode) on
+export.
 
 The e2e correctness of this path is pinned by tests/test_segy_roundtrip.py
-(byte-identical roundtrip at small size); what the per-round bench never
-measured is how the pipeline's wall time scales in traces. Usage:
+(byte-identical roundtrip at small size); this harness re-asserts the
+byte-identical roundtrip at BOTH sizes. Usage:
 
-    python tools/stress_seismic.py --scale 30 --out BENCH_seismic_r06.json
+    python tools/stress_seismic.py --scale 10 --out BENCH_seismic_r07.json
 
 The synthetic cube is generated with an independent vectorized writer
 against the public SEG-Y rev1 layout (same field offsets as
-tests/segy_factory.py; numpy-batched so generating the scaled cube does
-not dominate the run). Trace count scales via the inline dim — the same
-way a bigger survey grows, so per-crossline chunk geometry is unchanged.
+tests/segy_factory.py; numpy-batched over blocks of inlines so
+generating the scaled cube stays minutes even at 10M traces). Trace
+count scales via the inline dim — the same way a bigger survey grows,
+so per-crossline chunk geometry is unchanged.
 """
 
 from __future__ import annotations
@@ -35,8 +47,10 @@ TEXT_BYTES = 3200
 BIN_BYTES = 400
 HDR_BYTES = 240
 
-# base cube: 72 inlines x 64 crosslines x 128 samples ~ 4608 traces (3.5 MB)
-BASE_IL, BASE_XL, BASE_NS = 72, 64, 128
+BASE_XL, BASE_NS = 64, 128
+# warm-up cube stays tiny: it exists to absorb codegen/classloading, not
+# to measure anything
+WARM_IL = 72
 
 
 def _file_header(ns: int, sample_interval: int = 2000) -> bytes:
@@ -51,48 +65,54 @@ def _file_header(ns: int, sample_interval: int = 2000) -> bytes:
     return bytes(buf)
 
 
-def build_cube(path: str, n_inline: int, n_crossline: int, n_samples: int) -> int:
+def build_cube(
+    path: str,
+    n_inline: int,
+    n_crossline: int,
+    n_samples: int,
+    il_block: int = 256,
+) -> int:
     """Vectorized synthetic poststack cube: full (inline, crossline) grid,
     affine cdp coords with a -100 scalar, seeded float32 samples with
-    planted zeros. One numpy block per inline -> generation stays a few
-    seconds even at 100x trace counts."""
+    planted zeros. One numpy block per ``il_block`` inlines — the
+    per-call rng/python overhead amortizes over ~16k traces, so a 10M
+    trace cube generates in minutes, not hours."""
     rng = np.random.default_rng(7)
     trace_bytes = HDR_BYTES + n_samples * 4
-
-    def hdr_block(il: int) -> np.ndarray:
-        xl = np.arange(1, n_crossline + 1, dtype=np.int64)
-        blk = np.zeros((n_crossline, HDR_BYTES), dtype=np.uint8)
-
-        def put_i32(off: int, vals: np.ndarray) -> None:
-            blk[:, off : off + 4] = (
-                vals.astype(">i4").view(np.uint8).reshape(n_crossline, 4)
-            )
-
-        def put_i16(off: int, vals: np.ndarray) -> None:
-            blk[:, off : off + 2] = (
-                vals.astype(">i2").view(np.uint8).reshape(n_crossline, 2)
-            )
-
-        put_i16(70, np.full(n_crossline, -100))  # coordinate_scalar
-        put_i16(114, np.full(n_crossline, n_samples))
-        put_i16(116, np.full(n_crossline, 2000))
-        put_i32(180, 700000 + il * 100 + xl * 3)  # cdp_x
-        put_i32(184, 900000 + xl * 100 - il * 2)  # cdp_y
-        put_i32(188, np.full(n_crossline, il))  # inline
-        put_i32(192, xl)  # crossline
-        return blk
+    xl0 = np.arange(1, n_crossline + 1, dtype=np.int64)
 
     with open(path, "wb") as f:
         f.write(_file_header(n_samples))
-        for il in range(1, n_inline + 1):
-            s = rng.standard_normal((n_crossline, n_samples)).astype(np.float32)
-            s[rng.random(s.shape) < 0.1] = 0.0
-            block = np.zeros((n_crossline, trace_bytes), dtype=np.uint8)
-            block[:, :HDR_BYTES] = hdr_block(il)
-            block[:, HDR_BYTES:] = (
-                s.astype(">f4").view(np.uint8).reshape(n_crossline, n_samples * 4)
+        for il_start in range(1, n_inline + 1, il_block):
+            ils = np.arange(
+                il_start, min(il_start + il_block, n_inline + 1), dtype=np.int64
             )
-            f.write(block.tobytes())
+            n = len(ils) * n_crossline
+            il = np.repeat(ils, n_crossline)  # (n,)
+            xl = np.tile(xl0, len(ils))  # (n,)
+            blk = np.zeros((n, trace_bytes), dtype=np.uint8)
+
+            def put_i32(off: int, vals: np.ndarray) -> None:
+                blk[:, off : off + 4] = (
+                    np.broadcast_to(vals, (n,)).astype(">i4").view(np.uint8).reshape(n, 4)
+                )
+
+            def put_i16(off: int, vals: np.ndarray) -> None:
+                blk[:, off : off + 2] = (
+                    np.broadcast_to(vals, (n,)).astype(">i2").view(np.uint8).reshape(n, 2)
+                )
+
+            put_i16(70, np.full(n, -100))  # coordinate_scalar
+            put_i16(114, np.full(n, n_samples))
+            put_i16(116, np.full(n, 2000))
+            put_i32(180, 700000 + il * 100 + xl * 3)  # cdp_x
+            put_i32(184, 900000 + xl * 100 - il * 2)  # cdp_y
+            put_i32(188, il)  # inline
+            put_i32(192, xl)  # crossline
+            s = rng.standard_normal((n, n_samples)).astype(np.float32)
+            s[rng.random(s.shape) < 0.1] = 0.0
+            blk[:, HDR_BYTES:] = s.astype(">f4").view(np.uint8).reshape(n, n_samples * 4)
+            f.write(blk.tobytes())
     return n_inline * n_crossline
 
 
@@ -105,30 +125,48 @@ def _run_leg(spark, segy_path: str, work: Path, tag: str) -> dict:
     store_path = str(work / f"store_{tag}.mdio")
     out_path = str(work / f"export_{tag}.sgy")
 
+    ingest_stages: dict = {}
     t0 = time.perf_counter()
-    segy_to_store(spark, segy_path, store_path, template)
+    segy_to_store(spark, segy_path, store_path, template, stage_clock=ingest_stages)
     ingest_s = time.perf_counter() - t0
 
+    export_stages: dict = {}
     t0 = time.perf_counter()
-    n = store_to_segy(spark, store_path, out_path)
+    n = store_to_segy(spark, store_path, out_path, stage_clock=export_stages)
     export_s = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     roundtrip_ok = filecmp.cmp(segy_path, out_path, shallow=False)
+    verify_s = time.perf_counter() - t0
     shutil.rmtree(store_path, ignore_errors=True)
     Path(out_path).unlink(missing_ok=True)
     return {
         "n_traces": n,
         "ingest_s": round(ingest_s, 3),
         "export_s": round(export_s, 3),
+        "ingest_stages": ingest_stages,
+        "export_stages": export_stages,
         "roundtrip_byte_identical": roundtrip_ok,
+        "roundtrip_verify_s": round(verify_s, 3),
     }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", type=int, default=30)
-    ap.add_argument("--out", default="BENCH_seismic_r06.json")
+    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument(
+        "--base-traces",
+        type=int,
+        default=1_000_000,
+        help="base cube trace count (rounded down to a whole inline)",
+    )
+    ap.add_argument("--out", default="BENCH_seismic_r07.json")
     ap.add_argument("--workdir", default="/tmp/mdio_seismic_stress")
+    ap.add_argument(
+        "--keep-cubes",
+        action="store_true",
+        help="skip cube regeneration if the files already exist",
+    )
     ns = ap.parse_args()
 
     from mdio_python_spark.session import get_spark
@@ -137,27 +175,50 @@ def main() -> None:
     work.mkdir(parents=True, exist_ok=True)
     spark = get_spark("mdio-seismic-stress")
 
-    base_path = str(work / "base.sgy")
-    build_cube(base_path, BASE_IL, BASE_XL, BASE_NS)
-    scaled_path = str(work / f"x{ns.scale}.sgy")
-    build_cube(scaled_path, BASE_IL * ns.scale, BASE_XL, BASE_NS)
+    base_il = max(ns.base_traces // BASE_XL, 1)
+    legs = {
+        "warm": (str(work / "warm.sgy"), WARM_IL),
+        "base": (str(work / "base.sgy"), base_il),
+        "scaled": (str(work / f"x{ns.scale}.sgy"), base_il * ns.scale),
+    }
+    for tag, (path, n_il) in legs.items():
+        if ns.keep_cubes and Path(path).exists():
+            continue
+        t0 = time.perf_counter()
+        n = build_cube(path, n_il, BASE_XL, BASE_NS)
+        print(
+            f"built {tag}: {n} traces in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
 
     # warm codegen/classloading so the base leg isn't charged for it
-    _run_leg(spark, base_path, work, "warm")
-    base = _run_leg(spark, base_path, work, "base")
-    scaled = _run_leg(spark, scaled_path, work, "scaled")
+    _run_leg(spark, legs["warm"][0], work, "warm")
+    base = _run_leg(spark, legs["base"][0], work, "base")
+    print(f"base: {json.dumps(base)}", file=sys.stderr)
+    scaled = _run_leg(spark, legs["scaled"][0], work, "scaled")
+    print(f"scaled: {json.dumps(scaled)}", file=sys.stderr)
 
     ratios = {
         k: round(scaled[f"{k}_s"] / max(base[f"{k}_s"], 1e-6), 2)
         for k in ("ingest", "export")
     }
+    stage_ratios = {
+        grp: {
+            k: round(scaled[grp][k] / max(base[grp][k], 1e-6), 2)
+            for k in base[grp]
+            if isinstance(base[grp][k], (int, float))
+        }
+        for grp in ("ingest_stages", "export_stages")
+    }
     superlinear = [k for k, r in ratios.items() if r > ns.scale * 1.6]
     out = {
         "metric": "seismic_pipeline_scale_ratio",
         "scale": ns.scale,
+        "base_traces": base["n_traces"],
         "base": base,
         "scaled": scaled,
         "ratios": ratios,
+        "stage_ratios": stage_ratios,
         "superlinear": superlinear,
     }
     Path(__file__).resolve().parents[1].joinpath(ns.out).write_text(
