@@ -132,6 +132,11 @@ STRESS_QUERIES = (
     "soft_dedup_weights",
     "int8_quant_error",
     "pii_density_by_source",
+    # round 7: global rank-statistic quantization sweep — one range
+    # exchange (exact kth |v| via distributed_ordinal) + one combinable
+    # agg; joined the set AFTER the r7 stress rows were recorded, so its
+    # own 10x/30x/100x curve lives in BENCH_clip_sweep_r07.json
+    "int8_quant_clip_sweep",
 )
 
 

@@ -448,3 +448,150 @@ def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("pii_per_kdoc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization clip sweep (round 7, advisor r6 follow-through)
+# ---------------------------------------------------------------------------
+
+# int8_quant_error's per-vector max-abs scale makes n_clipped a provable
+# invariant (always 0). This is the variant where the clamp CARRIES
+# information: one GLOBAL scale per method — the exact max, p99.9, and
+# p99 rank statistics of |v| over every embedding element — so the tail
+# above each percentile genuinely clips, and the table answers the real
+# deployment question: how much reconstruction error does a tighter
+# (more resolution per bucket) scale buy, at what clip rate.
+
+
+def _clip_sweep_oracle() -> str:
+    # exact decimal MSE sum, via the source_centroid_cosine quantization
+    # pattern: err quantizes to an integer IN DOUBLE SPACE first
+    # (floor(err*1e9 + 0.5) — identical IEEE ops in both engines; a
+    # direct double->DECIMAL(18,9) cast rounds differently in Spark's
+    # BigDecimal vs DuckDB's multiply-and-round and drifted the sum's
+    # 15th digit), then integer-exact decimal squares/sums, then two
+    # IEEE ops (divide by n, unscale by 1e18) at the end.
+    d9 = "CAST(floor(err * 1000000000.0 + 0.5) AS DECIMAL(19,0))"
+    return f"""
+    WITH el AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM el),
+    ranked AS (
+      SELECT abs(v) AS av, ROW_NUMBER() OVER (ORDER BY abs(v)) AS rn FROM el
+    ),
+    thr AS (
+      SELECT 'maxabs' AS method, av / 127.0 AS s
+      FROM ranked, nn WHERE rn = n
+      UNION ALL
+      SELECT 'p999', av / 127.0
+      FROM ranked, nn WHERE rn = CAST(ceil(0.999 * n) AS BIGINT)
+      UNION ALL
+      SELECT 'p99', av / 127.0
+      FROM ranked, nn WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
+    ),
+    erred AS (
+      SELECT method, s, v,
+             v - GREATEST(-127.0, LEAST(127.0, floor(v / s + 0.5))) * s AS err,
+             CASE WHEN floor(v / s + 0.5) > 127.0
+                    OR floor(v / s + 0.5) < -127.0 THEN 1 ELSE 0 END AS clip
+      FROM el, thr WHERE s > 0
+    )
+    SELECT method, s AS quant_scale,
+           CAST(COUNT(*) AS BIGINT) AS n_elements,
+           CAST(SUM(clip) AS BIGINT) AS n_clipped,
+           CAST(SUM(clip) AS DOUBLE) / COUNT(*) AS clip_rate,
+           CAST(CAST(SUM(CAST({d9} * {d9} AS DECIMAL(38,0))) AS VARCHAR)
+                AS DOUBLE) / COUNT(*) / 1e18 AS mse
+    FROM erred GROUP BY method, s
+    """
+
+
+@register("int8_quant_clip_sweep", _clip_sweep_oracle(), eager=True)
+def q_int8_quant_clip_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization under GLOBAL rank-statistic scales —
+    exact max / p99.9 / p99 of |v| over all embedding elements — with
+    the clip count, clip rate, and exact-decimal MSE per method. The
+    companion to int8_quant_error (whose per-vector max-abs scale makes
+    clipping impossible by construction; advisor r6): here the tail
+    above each percentile genuinely clips, so the table carries the
+    resolution-vs-saturation trade a quantized embedding store is
+    actually tuned by.
+
+    The kth order statistic is EXACT, not approximate: the element
+    |v| stream gets a range-partitioned global ordinal
+    (ranking.distributed_ordinal — no single-partition exchange, no
+    global window) and the k-th row's value is collected as a plan
+    literal; ties don't matter because the VALUE at rank k is unique
+    under order-by-value. k = ceil(q * n) computed with the same IEEE
+    double multiply in the Python driver and the DuckDB oracle. The
+    audit pass is then ONE combinable aggregate over the exploded
+    elements with all three scales as plan literals (one scan, zero
+    joins); MSE sums quantize err to integers in double space
+    (floor(err*1e9+0.5) — the source_centroid_cosine pattern) before the
+    exact DECIMAL(38,0) square-sum, because a direct double->DECIMAL(18,9)
+    cast rounds differently across engines (measured 15th-digit drift).
+
+    eager=True: construction runs the count + ordinal jobs (corpus-
+    scale), so the bench clock must start before the builder.
+
+    Scale shape: explode -> one range exchange (ordinal) + one
+    combinable agg; both linear in elements, no pairwise anything. A
+    degenerate all-zero corpus yields s = 0 for every method and an
+    empty table (mirrored WHERE s > 0)."""
+    import math
+
+    from mdio_python_spark.operators.ranking import distributed_ordinal
+
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(F.explode("embedding").alias("v0")).select(
+        F.col("v0").cast("double").alias("v")
+    )
+    n = el.count()
+    ks = {
+        "maxabs": n,
+        "p999": int(math.ceil(0.999 * n)),
+        "p99": int(math.ceil(0.99 * n)),
+    }
+    ordin = distributed_ordinal(
+        el.select(F.abs("v").alias("av")), ["av"], scope="pipeline.clip_sweep"
+    )
+    by_k = {
+        r["_ordinal"]: r["av"]
+        for r in ordin.where(
+            F.col("_ordinal").isin([int(k) for k in ks.values()])
+        ).collect()
+    }
+    scales = {m: by_k[k] / 127.0 for m, k in ks.items()}
+    scales = {m: s for m, s in scales.items() if s > 0}
+
+    aggs = [F.count(F.lit(1)).alias("n_el")]
+    for m, s in scales.items():
+        sc = F.lit(float(s))
+        q_unc = F.floor(F.col("v") / sc + F.lit(0.5)).cast("double")
+        q = F.greatest(F.lit(-127.0), F.least(F.lit(127.0), q_unc))
+        err = F.col("v") - q * sc
+        clip = ((q_unc > F.lit(127.0)) | (q_unc < F.lit(-127.0))).cast("long")
+        d9 = F.floor(err * F.lit(1e9) + F.lit(0.5)).cast("decimal(19,0)")
+        aggs.append(F.sum(clip).alias(f"nc_{m}"))
+        aggs.append(F.sum((d9 * d9).cast("decimal(38,0)")).alias(f"sq_{m}"))
+    row = el.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("method"),
+                F.lit(float(s)).alias("quant_scale"),
+                F.col(f"nc_{m}").cast("bigint").alias("n_clipped"),
+                F.col(f"sq_{m}").alias("_sq"),
+            )
+            for m, s in scales.items()
+        ]
+    )
+    return row.select(F.col("n_el"), F.explode(entries).alias("e")).select(
+        F.col("e.method").alias("method"),
+        F.col("e.quant_scale").alias("quant_scale"),
+        F.col("n_el").cast("bigint").alias("n_elements"),
+        F.col("e.n_clipped").alias("n_clipped"),
+        (F.col("e.n_clipped").cast("double") / F.col("n_el")).alias("clip_rate"),
+        (F.col("e._sq").cast("double") / F.col("n_el") / F.lit(1e18)).alias("mse"),
+    )
