@@ -4410,7 +4410,8 @@ def q_dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rule: only (doc_a, doc_b, n_shared) is published, but the hash drives
 # the min-selection so the oracle mirrors XXH64 bit-for-bit — see
 # functions/scalars.py:sql_xxhash64_ascii16; requires k=16 so each
-# k-gram is exactly 16 ASCII bytes, guarded by error() in the chain).
+# k-gram is exactly 16 ASCII bytes — non-16-byte input trips the
+# generator's poison guard as a loud hex-cast failure).
 assert _WIN_K == 16, "xxh64 oracle mirror is generated for 16-byte k-grams"
 
 _WINNOW_CTES_XX = f"""
