@@ -600,3 +600,24 @@ def test_pair_overlap_stats_drive_strategy(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         sh.unpersist()
+
+
+def test_clip_sweep_audit_is_one_combinable_agg(spark):
+    """int8_quant_clip_sweep's AUDIT pass (the declared DataFrame; the
+    kth-order-statistic selection runs at construction through the
+    separately-pinned distributed_ordinal) must stay a single combinable
+    aggregate over the exploded elements: all three method scales are
+    plan literals, so the plan has no join of any kind, no window, and
+    exactly one exchange — the bounded final-agg SinglePartition fed by
+    per-partition partial aggregates."""
+    plan = _plan(spark, "int8_quant_clip_sweep")
+    for bad in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "Window",
+    ):
+        assert bad not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange SinglePartition" in plan, plan
