@@ -472,9 +472,16 @@ def _clip_sweep_oracle() -> str:
     # 15th digit), then integer-exact decimal squares/sums, then two
     # IEEE ops (divide by n, unscale by 1e18) at the end.
     d9 = "CAST(floor(err * 1000000000.0 + 0.5) AS DECIMAL(19,0))"
+    # NULL elements are filtered on BOTH sides (advisor r7): Spark's
+    # repartitionByRange/sort ranks nulls first while DuckDB's ORDER BY
+    # ranks them last, so an unfiltered stream would disagree on both n
+    # and the value at rank ceil(q*n). The generated data has no nulls;
+    # the filter makes the invariant independent of data shape.
     return f"""
     WITH el AS (
-      SELECT CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+      SELECT v FROM (
+        SELECT CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+      ) WHERE v IS NOT NULL
     ),
     nn AS (SELECT COUNT(*) AS n FROM el),
     ranked AS (
@@ -536,18 +543,30 @@ def q_int8_quant_clip_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale), so the bench clock must start before the builder.
 
     Scale shape: explode -> one range exchange (ordinal) + one
-    combinable agg; both linear in elements, no pairwise anything. A
-    degenerate all-zero corpus yields s = 0 for every method and an
-    empty table (mirrored WHERE s > 0)."""
+    combinable agg; both linear in elements, no pairwise anything.
+    Degenerate inputs (advisor r7): an EMPTY element stream (n = 0, so
+    every rank target is 0 and no ordinal exists) and an all-zero corpus
+    (s = 0 for every method) both short-circuit to an empty result with
+    the output schema — mirroring the oracle, whose thr CTE matches no
+    rank / fails WHERE s > 0. NULL elements are dropped before n is
+    counted (oracle mirrored; engines disagree on null sort order)."""
     import math
 
     from mdio_python_spark.operators.ranking import distributed_ordinal
 
     emb = _t(spark, sf_dir, "embeddings")
-    el = emb.select(F.explode("embedding").alias("v0")).select(
-        F.col("v0").cast("double").alias("v")
+    el = (
+        emb.select(F.explode("embedding").alias("v0"))
+        .select(F.col("v0").cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    empty_schema = (
+        "method string, quant_scale double, n_elements bigint, "
+        "n_clipped bigint, clip_rate double, mse double"
     )
     n = el.count()
+    if n == 0:
+        return spark.createDataFrame([], empty_schema)
     ks = {
         "maxabs": n,
         "p999": int(math.ceil(0.999 * n)),
@@ -562,8 +581,10 @@ def q_int8_quant_clip_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_ordinal").isin([int(k) for k in ks.values()])
         ).collect()
     }
-    scales = {m: by_k[k] / 127.0 for m, k in ks.items()}
+    scales = {m: by_k[k] / 127.0 for m, k in ks.items() if k in by_k}
     scales = {m: s for m, s in scales.items() if s > 0}
+    if not scales:
+        return spark.createDataFrame([], empty_schema)
 
     aggs = [F.count(F.lit(1)).alias("n_el")]
     for m, s in scales.items():

@@ -16,6 +16,12 @@ SF_CORRECT = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Co-tenancy budget (VERDICT r7 item 5): the suite runs at sf0.001 /
+    # sf0.01 plus small synthetic cubes, so 16g heap is ample — and it
+    # keeps pytest + two concurrent 48g engine sessions (bench, judge)
+    # under the 128 GiB box instead of three 48g JVMs overcommitting and
+    # dying with the transient "SparkContext was shut down" cascade.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     from mdio_python_spark.session import get_spark
 
     yield get_spark("mdio-spark-tests")

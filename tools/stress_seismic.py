@@ -18,7 +18,7 @@ The e2e correctness of this path is pinned by tests/test_segy_roundtrip.py
 (byte-identical roundtrip at small size); this harness re-asserts the
 byte-identical roundtrip at BOTH sizes. Usage:
 
-    python tools/stress_seismic.py --scale 10 --out BENCH_seismic_r07.json
+    python tools/stress_seismic.py --scales 10,30 --out BENCH_seismic_r08.json
 
 The synthetic cube is generated with an independent vectorized writer
 against the public SEG-Y rev1 layout (same field offsets as
@@ -151,23 +151,39 @@ def _run_leg(spark, segy_path: str, work: Path, tag: str) -> dict:
     }
 
 
+def _expected_bytes(n_il: int) -> int:
+    """Exact byte size build_cube produces for ``n_il`` inlines — the
+    stale-cube guard --keep-cubes verifies against (advisor r7: cube
+    paths used to encode only the scale tag, so a rerun with a different
+    --base-traces silently reused wrong-sized cubes and mislabeled the
+    ratio row)."""
+    return TEXT_BYTES + BIN_BYTES + n_il * BASE_XL * (HDR_BYTES + BASE_NS * 4)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument(
+        "--scales",
+        default="10",
+        help="comma-separated scale multipliers, each timed against the "
+        "same base leg (e.g. '10,30')",
+    )
     ap.add_argument(
         "--base-traces",
         type=int,
         default=1_000_000,
         help="base cube trace count (rounded down to a whole inline)",
     )
-    ap.add_argument("--out", default="BENCH_seismic_r07.json")
+    ap.add_argument("--out", default="BENCH_seismic_r08.json")
     ap.add_argument("--workdir", default="/tmp/mdio_seismic_stress")
     ap.add_argument(
         "--keep-cubes",
         action="store_true",
-        help="skip cube regeneration if the files already exist",
+        help="skip cube regeneration when a file of the exact expected "
+        "byte size already exists (size mismatch => regenerate)",
     )
     ns = ap.parse_args()
+    scales = [int(s) for s in ns.scales.split(",") if s]
 
     from mdio_python_spark.session import get_spark
 
@@ -176,13 +192,13 @@ def main() -> None:
     spark = get_spark("mdio-seismic-stress")
 
     base_il = max(ns.base_traces // BASE_XL, 1)
-    legs = {
-        "warm": (str(work / "warm.sgy"), WARM_IL),
-        "base": (str(work / "base.sgy"), base_il),
-        "scaled": (str(work / f"x{ns.scale}.sgy"), base_il * ns.scale),
-    }
+    legs = {"warm": (str(work / "warm.sgy"), WARM_IL),
+            "base": (str(work / "base.sgy"), base_il)}
+    for s in scales:
+        legs[f"x{s}"] = (str(work / f"x{s}.sgy"), base_il * s)
     for tag, (path, n_il) in legs.items():
-        if ns.keep_cubes and Path(path).exists():
+        p = Path(path)
+        if ns.keep_cubes and p.exists() and p.stat().st_size == _expected_bytes(n_il):
             continue
         t0 = time.perf_counter()
         n = build_cube(path, n_il, BASE_XL, BASE_NS)
@@ -195,30 +211,37 @@ def main() -> None:
     _run_leg(spark, legs["warm"][0], work, "warm")
     base = _run_leg(spark, legs["base"][0], work, "base")
     print(f"base: {json.dumps(base)}", file=sys.stderr)
-    scaled = _run_leg(spark, legs["scaled"][0], work, "scaled")
-    print(f"scaled: {json.dumps(scaled)}", file=sys.stderr)
 
-    ratios = {
-        k: round(scaled[f"{k}_s"] / max(base[f"{k}_s"], 1e-6), 2)
-        for k in ("ingest", "export")
-    }
-    stage_ratios = {
-        grp: {
-            k: round(scaled[grp][k] / max(base[grp][k], 1e-6), 2)
-            for k in base[grp]
-            if isinstance(base[grp][k], (int, float))
+    points: dict[str, dict] = {}
+    superlinear: list[str] = []
+    for s in scales:
+        scaled = _run_leg(spark, legs[f"x{s}"][0], work, f"x{s}")
+        print(f"x{s}: {json.dumps(scaled)}", file=sys.stderr)
+        ratios = {
+            k: round(scaled[f"{k}_s"] / max(base[f"{k}_s"], 1e-6), 2)
+            for k in ("ingest", "export")
         }
-        for grp in ("ingest_stages", "export_stages")
-    }
-    superlinear = [k for k, r in ratios.items() if r > ns.scale * 1.6]
+        stage_ratios = {
+            grp: {
+                k: round(scaled[grp][k] / max(base[grp][k], 1e-6), 2)
+                for k in base[grp]
+                if isinstance(base[grp][k], (int, float))
+            }
+            for grp in ("ingest_stages", "export_stages")
+        }
+        superlinear += [f"x{s}:{k}" for k, r in ratios.items() if r > s * 1.6]
+        points[f"x{s}"] = {
+            "scaled": scaled,
+            "ratios": ratios,
+            "stage_ratios": stage_ratios,
+        }
+
     out = {
         "metric": "seismic_pipeline_scale_ratio",
-        "scale": ns.scale,
+        "scales": scales,
         "base_traces": base["n_traces"],
         "base": base,
-        "scaled": scaled,
-        "ratios": ratios,
-        "stage_ratios": stage_ratios,
+        "points": points,
         "superlinear": superlinear,
     }
     Path(__file__).resolve().parents[1].joinpath(ns.out).write_text(
