@@ -137,6 +137,10 @@ STRESS_QUERIES = (
     # agg; joined the set AFTER the r7 stress rows were recorded, so its
     # own 10x/30x/100x curve lives in BENCH_clip_sweep_r07.json
     "int8_quant_clip_sweep",
+    # round 8 (VERDICT r7 item 1): the fit-once multiprobe kNN graph —
+    # the LINEAR-asymptote counterpart to knn_graph_hubness_scaled's
+    # ~n^1.5 growing-cells config; both measured side by side
+    "knn_graph_hubness_multiprobe",
 )
 
 

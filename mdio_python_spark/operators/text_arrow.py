@@ -1,0 +1,252 @@
+"""Arrow-batched winnowing fingerprint selection.
+
+The declarative :func:`operators.text.winnow_fingerprint_set` builds an
+O(chars) posexplode of per-position k-gram hashes, a per-doc window min,
+and a distinct — three corpus-sized stages whose row-materialization
+cost made ``winnowing_dup_pairs`` the top absolute 100x stress row
+(273.6 s; VERDICT r7 item 4 — r7 already proved the HASH was not the
+bottleneck, the explode + window were). This module computes the
+IDENTICAL fingerprint set per document inside one ``mapInPandas`` pass:
+
+- k-gram hashes: Spark's ``xxhash64`` (seed 42, XXH64 over UTF8 bytes)
+  re-implemented as vectorized numpy uint64 arithmetic for the 16-byte
+  ASCII fast path (the same two 8-byte rounds + avalanche the DuckDB
+  oracle mirror ``functions.scalars.sql_xxhash64_ascii16`` emits), and
+  as a full any-length scalar XXH64 for the non-ASCII fallback — both
+  property-tested against ``F.xxhash64`` (tests/test_text_arrow.py).
+- window min: an O(N log w) doubling tournament over the position
+  stream (signed-int64 comparisons, matching ``min`` over LONG).
+- distinct: one lexsort per batch — fingerprints never leave the task
+  until deduplicated.
+
+The per-document work never crosses rows, so the pass is shuffle-free:
+the downstream pair join (``dedup.bucket_pair_counts``) receives the
+~2/(w+1)-selected fingerprints directly — the declarative plan's
+O(chars) doc_id exchange and distinct exchange disappear.
+
+Bit-identity with the declarative path (same (doc_id, n_kgrams, wmin)
+set) is pinned by tests/test_text_arrow.py at sf0.001/sf0.01 plus a
+constructed non-ASCII corpus; the xxhash64-mirror DuckDB oracle is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_SEED = 42  # Spark's fixed xxhash64 seed
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_bytes(data: bytes, seed: int = _SEED) -> int:
+    """Full XXH64 (any length) over ``data``, returned SIGNED like
+    Spark's ``xxhash64``. Scalar reference + non-ASCII fallback."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = ((h * _P1) + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i : i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+        h ^= k
+        h = ((_rotl(h, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _xxh64_16_vec(w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
+    """Vectorized XXH64 of 16-byte inputs given their two little-endian
+    uint64 words — the numpy twin of the SQL mirror's step chain.
+    Returns signed int64 (Spark's output type)."""
+    p1 = np.uint64(_P1)
+    p2 = np.uint64(_P2)
+    p3 = np.uint64(_P3)
+    p4 = np.uint64(_P4)
+    h = np.uint64((_SEED + _P5 + 16) & _M64)
+    k1 = _vrotl(w1 * p2, 31) * p1
+    acc = h ^ k1
+    acc = _vrotl(acc, 27) * p1 + p4
+    k2 = _vrotl(w2 * p2, 31) * p1
+    acc = acc ^ k2
+    acc = _vrotl(acc, 27) * p1 + p4
+    acc = acc ^ (acc >> np.uint64(33))
+    acc = acc * p2
+    acc = acc ^ (acc >> np.uint64(29))
+    acc = acc * p3
+    acc = acc ^ (acc >> np.uint64(32))
+    return acc.view(np.int64)
+
+
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """min over each window of ``w`` consecutive values: doubling
+    sparse-table tournament, O(N log w) signed comparisons. Output
+    length len(h) - w + 1."""
+    n = len(h)
+    span = 1
+    m = h
+    while span * 2 <= w:
+        m = np.minimum(m[: len(m) - span], m[span:])
+        span *= 2
+    if span < w:
+        m = np.minimum(m[: n - w + 1], m[w - span : w - span + n - w + 1])
+    return m[: n - w + 1]
+
+
+def _winnow_ascii_block(
+    texts: list[bytes], k: int, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized winnow over a block of ASCII docs (each already
+    lowered/space-trimmed, length >= w + k - 1). Returns (doc_idx,
+    n_kgrams, wmin) of the DISTINCT per-doc fingerprint selections."""
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
+    n_kg = lens - (k - 1)
+    total = int(n_kg.sum())
+    doc_rep = np.repeat(np.arange(len(texts), dtype=np.int64), n_kg)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_kg)[:-1]]), n_kg
+    )
+    pos = starts[doc_rep] + within
+    w1 = np.zeros(total, dtype=np.uint64)
+    w2 = np.zeros(total, dtype=np.uint64)
+    for j in range(8):
+        shift = np.uint64(8 * j)
+        w1 |= buf[pos + j].astype(np.uint64) << shift
+        w2 |= buf[pos + 8 + j].astype(np.uint64) << shift
+    h = _xxh64_16_vec(w1, w2)
+    # per-doc window min on the global stream: a window never crosses a
+    # doc boundary because outputs are truncated to n_kg - w + 1 per doc
+    # and the stream is doc-contiguous; pad so shifted reads exist
+    h_pad = np.concatenate([h, np.full(w - 1, np.iinfo(np.int64).max)])
+    mins = _sliding_min(h_pad, w)
+    valid = within <= (n_kg[doc_rep] - w)
+    sel_doc = doc_rep[valid]
+    sel_min = mins[valid]
+    order = np.lexsort((sel_min, sel_doc))
+    sel_doc, sel_min = sel_doc[order], sel_min[order]
+    keep = np.ones(len(sel_doc), dtype=bool)
+    keep[1:] = (sel_doc[1:] != sel_doc[:-1]) | (sel_min[1:] != sel_min[:-1])
+    return sel_doc[keep], n_kg, sel_min[keep]
+
+
+def winnow_fingerprint_set_arrow(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-executed twin of ``text.winnow_fingerprint_set(...,
+    internal_hash=True)``: distinct (id, n_kgrams, wmin) per document,
+    xxhash64 k-gram hashing, identical min-selection and tie-free
+    semantics — with the explode, the per-doc window exchange, and the
+    distinct exchange all collapsed into one shuffle-free map pass.
+
+    Normalization mirrors the declarative path exactly: ``lower(trim())``
+    trims SPACES only (Spark/DuckDB ``trim`` semantics — not Python
+    ``str.strip``'s all-whitespace). ASCII documents (the measured shape
+    of every SF corpus) take the vectorized block kernel; any non-ASCII
+    document falls back to a per-doc scalar loop over the same
+    character-sliced, UTF8-hashed k-grams Spark evaluates."""
+    out_schema = f"{id_col} long, n_kgrams int, wmin long"
+    # compute-bound map pass: spread across the core budget when the
+    # source arrives in fewer splits than cores (same rule as
+    # vector_arrow.cell_assignments_arrow)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    source = df.select(id_col, text_col)
+    if source.rdd.getNumPartitions() < n_parts:
+        source = source.repartition(n_parts)
+
+    def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_out: list[np.ndarray] = []
+            nkg_out: list[np.ndarray] = []
+            min_out: list[np.ndarray] = []
+            texts: list[bytes] = []
+            text_ids: list[int] = []
+            for doc_id, raw in zip(pdf[id_col], pdf[text_col]):
+                t = (raw or "").strip(" ").lower()
+                if len(t) < w + k - 1:
+                    continue
+                if t.isascii():
+                    texts.append(t.encode("ascii"))
+                    text_ids.append(doc_id)
+                else:
+                    # scalar fallback: character slices, UTF8 bytes —
+                    # exactly substr + xxhash64 on a non-ASCII doc
+                    n_kg = len(t) - (k - 1)
+                    hs = [
+                        xxh64_bytes(t[i : i + k].encode("utf-8"))
+                        for i in range(n_kg)
+                    ]
+                    sel = sorted(
+                        {min(hs[i : i + w]) for i in range(n_kg - w + 1)}
+                    )
+                    ids_out.append(np.full(len(sel), doc_id, dtype=np.int64))
+                    nkg_out.append(np.full(len(sel), n_kg, dtype=np.int64))
+                    min_out.append(np.array(sel, dtype=np.int64))
+            if texts:
+                doc_idx, n_kg, wmin = _winnow_ascii_block(texts, k, w)
+                tid = np.asarray(text_ids, dtype=np.int64)
+                ids_out.append(tid[doc_idx])
+                nkg_out.append(n_kg[doc_idx])
+                min_out.append(wmin)
+            if not ids_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids_out),
+                    "n_kgrams": np.concatenate(nkg_out).astype(np.int32),
+                    "wmin": np.concatenate(min_out),
+                }
+            )
+
+    return source.mapInPandas(winnow, out_schema)

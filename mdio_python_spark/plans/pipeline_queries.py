@@ -616,3 +616,100 @@ def q_int8_quant_clip_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e.n_clipped").cast("double") / F.col("n_el")).alias("clip_rate"),
         (F.col("e._sq").cast("double") / F.col("n_el") / F.lit(1e18)).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiprobe kNN graph (round 8, VERDICT r7 item 1)
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_hubness_oracle(nprobe: int = 4, cap: int = 1024, k: int = 10) -> str:
+    """Hubness oracle for the FIT-ONCE multiprobe graph: artifact
+    centroids (read_parquet, the fitted-family convention), top-1-cell
+    membership with the ascending-id cap, top-``nprobe`` probe cells per
+    query, exact fold-cosine rerank, in-degree distribution over ALL
+    vectors (zero-norm rows count as in-degree 0)."""
+    from mdio_python_spark.plans.llm_queries import _DOT, _artifact_cent_cte
+
+    cos_cent = _IVF_COS.format(a="v.embedding", b="cent_vec")
+    cos_pair = _IVF_COS.format(a="p.q_vec", b="a.embedding")
+    return f"""
+    WITH {_artifact_cent_cte()},
+    live AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_DOT.format(a="embedding", b="embedding")} > 0
+    ),
+    members AS (
+      SELECT vec_id, embedding, cell,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+      FROM (
+        SELECT v.vec_id, v.embedding, CAST(cid AS BIGINT) AS cell
+        FROM live v, cent
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY v.vec_id ORDER BY {cos_cent} DESC, cid) = 1
+      )
+    ),
+    probes AS (
+      SELECT v.vec_id AS query_id, v.embedding AS q_vec,
+             CAST(cid AS BIGINT) AS cell
+      FROM live v, cent
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id ORDER BY {cos_cent} DESC, cid) <= {nprobe}
+    ),
+    topk AS (
+      SELECT query_id, candidate_id FROM (
+        SELECT p.query_id, a.vec_id AS candidate_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {cos_pair} DESC, a.vec_id) AS rnk
+        FROM probes p JOIN members a
+          ON a.cell = p.cell AND a.vec_id <> p.query_id AND a.rn <= {cap}
+      ) WHERE rnk <= {k}
+    ),
+    indeg AS (SELECT candidate_id, COUNT(*) AS n FROM topk GROUP BY candidate_id),
+    deg AS (
+      SELECT e.vec_id, COALESCE(i.n, 0) AS in_degree
+      FROM embeddings e LEFT JOIN indeg i ON i.candidate_id = e.vec_id
+    )
+    SELECT CAST(in_degree AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM deg GROUP BY in_degree
+    """
+
+
+@register("knn_graph_hubness_multiprobe", _multiprobe_hubness_oracle())
+def q_knn_graph_hubness_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness QC of the kNN graph under the FIT-ONCE/FIXED-INDEX
+    deployment shape (VERDICT r7 item 1): candidates come from each
+    point's top-4 fitted-IVF cells (model_store artifact centroids,
+    nobody refits per run) with exact-cosine rerank and the ascending-id
+    hot-cell cap. The complexity contrast with knn_graph_hubness_scaled
+    is the point: a FIXED index makes assignment (n x kc) and candidate
+    cost (n x nprobe x cap, once cells fill past the cap) both LINEAR
+    in the corpus — the flat-curve/bounded-recall end of the trade,
+    where the sqrt(n) config re-sizes the index and pays ~n^1.5 for
+    recall that grows with the corpus. Both rows sit in the stress set
+    so the curves are measured side by side.
+
+    Executes on the Arrow kernels (vector_arrow.knn_graph_multiprobe_arrow,
+    cogrouped per cell + one WindowGroupLimit merge of the <= nprobe*k
+    cell-local candidates); gated by the DuckDB oracle here at 3 SFs and
+    the pure-Python fold reference in tests/test_vector_arrow.py."""
+    from mdio_python_spark.operators import vector_arrow
+    from mdio_python_spark.operators.model_store import load_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = vector_arrow.knn_graph_multiprobe_arrow(
+        emb, k=10, nprobe=4, centroids=load_ivf_centroids()
+    )
+    indeg = g.groupBy("candidate_id").agg(F.count(F.lit(1)).alias("_n"))
+    deg = (
+        emb.select("vec_id")
+        .join(indeg.withColumnRenamed("candidate_id", "vec_id"), "vec_id", "left")
+        .select(
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("in_degree")
+        )
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )

@@ -1,0 +1,114 @@
+"""Bit-equality gates for the Arrow winnowing kernel
+(operators/text_arrow.py): the numpy XXH64 must match Spark's
+``xxhash64`` bit-for-bit (it DETERMINES the fingerprint min-selection),
+and the vectorized winnow must reproduce the declarative
+explode/window/distinct DAG's exact (doc_id, n_kgrams, wmin) set —
+including the non-ASCII scalar fallback.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_scalar_xxh64_matches_spark(spark):
+    """Full any-length XXH64 vs F.xxhash64 across the length regimes
+    (empty, <4, <8, 8..31 multi-chunk tails, >=32 stripe loop)."""
+    from mdio_python_spark.operators.text_arrow import xxh64_bytes
+
+    rng = random.Random(8)
+    samples = [""]
+    for n in [1, 3, 4, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 100]:
+        samples.append("".join(chr(rng.randrange(32, 127)) for _ in range(n)))
+    samples += ["héllo wörld — ünïcode 中文テスト", "é" * 40]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    expected = {
+        r["s"]: r["h"]
+        for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+    }
+    for s in samples:
+        assert xxh64_bytes(s.encode("utf-8")) == expected[s], repr(s)
+
+
+def test_vectorized_xxh64_16_matches_spark(spark):
+    import numpy as np
+
+    from mdio_python_spark.operators.text_arrow import _xxh64_16_vec
+
+    rng = random.Random(9)
+    samples = [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(16))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    expected = [
+        r["h"]
+        for r in df.select("s", F.xxhash64("s").alias("h"))
+        .orderBy("s")
+        .collect()
+    ]
+    ordered = sorted(samples)
+    bufs = np.frombuffer("".join(ordered).encode("ascii"), dtype=np.uint8)
+    pos = np.arange(len(ordered), dtype=np.int64) * 16
+    w1 = np.zeros(len(ordered), dtype=np.uint64)
+    w2 = np.zeros(len(ordered), dtype=np.uint64)
+    for j in range(8):
+        w1 |= bufs[pos + j].astype(np.uint64) << np.uint64(8 * j)
+        w2 |= bufs[pos + 8 + j].astype(np.uint64) << np.uint64(8 * j)
+    got = _xxh64_16_vec(w1, w2)
+    assert got.tolist() == expected
+
+
+def _declarative_set(docs, k, w):
+    from mdio_python_spark.operators import text
+
+    return text.winnow_fingerprint_set(docs, k=k, w=w, internal_hash=True)
+
+
+def test_winnow_arrow_bit_equal_sf(spark):
+    from mdio_python_spark.operators import text_arrow
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ref = _sorted_rows(_declarative_set(docs, 16, 8))
+        got = _sorted_rows(
+            text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8)
+        )
+        assert len(got) == len(ref) > 0
+        assert got == ref
+
+
+def test_winnow_arrow_non_ascii_and_edges(spark):
+    """Constructed corpus: non-ASCII docs (scalar fallback), docs at and
+    below the w+k-1 length gate, leading/trailing spaces + tabs (trim
+    strips SPACES only), uppercase, a NULL text, repeated content
+    (distinct collapse), and an exact 23-char doc (single window)."""
+    from mdio_python_spark.operators import text_arrow
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "   THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN   "),
+        (3, "héllo wörld — this döc is defînitely nøt ascii at all, ünïcode"),
+        (4, "short doc under gate"),  # 20 chars < 23: no fingerprints
+        (5, "exactly twenty-three ch"),  # 23 chars: one window
+        (6, "\tleading tab stays, spaces go   "),
+        (7, None),
+        (8, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # one distinct kgram
+        (9, "中文字符串测试，需要走标量回退路径才能保证哈希一致性验证通过"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = _sorted_rows(_declarative_set(docs, 16, 8))
+    got = _sorted_rows(
+        text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8)
+    )
+    assert got == ref
+    assert not any(r[0] in (4, 7) for r in got)
+    assert any(r[0] == 9 for r in got)

@@ -1,0 +1,138 @@
+"""Bit-equality gates for the Arrow-executed kNN-graph family
+(operators/vector_arrow.py): the numpy kernels must reproduce the
+declarative fold-cosine implementations EXACTLY — same pairs, same
+ranks, same cosine doubles to the last ulp — because the DuckDB oracles
+of the queries they serve (knn_graph_hubness_scaled,
+semantic_dedup_scaled) are unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.parametrize("max_cell", [1024, 5])
+def test_knn_graph_arrow_bit_equal(spark, emb, max_cell):
+    from mdio_python_spark.operators import similarity, vector_arrow
+
+    n = emb.count()
+    k_cells = max(16, int(math.floor(math.sqrt(n))))
+    ref = similarity.knn_graph(
+        emb, k=10, n_centroids=k_cells, assign="join", max_cell=max_cell
+    )
+    got = vector_arrow.knn_graph_arrow(
+        emb, k=10, n_centroids=k_cells, max_cell=max_cell
+    )
+    ref_rows, got_rows = _sorted_rows(ref), _sorted_rows(got)
+    assert len(got_rows) == len(ref_rows) > 0
+    # exact compare, doubles included: == on float is the bitwise check
+    # here (no NaN/-0.0 can reach the output; norms are > 0)
+    assert got_rows == ref_rows
+
+
+def test_semantic_dedup_arrow_bit_equal(spark, emb):
+    from mdio_python_spark.operators import similarity, vector_arrow
+
+    n = emb.count()
+    k_cells = max(16, int(math.floor(math.sqrt(n))))
+    ref = similarity.semantic_dedup_drops(
+        emb, threshold=0.3, n_centroids=k_cells, assign="join"
+    )
+    got = vector_arrow.semantic_dedup_arrow(
+        emb, threshold=0.3, n_centroids=k_cells
+    )
+    ref_rows, got_rows = _sorted_rows(ref), _sorted_rows(got)
+    assert len(got_rows) == len(ref_rows) > 0
+    assert got_rows == ref_rows
+
+
+def test_knn_graph_arrow_exact_tie_breaks(spark):
+    """Duplicate vectors produce exact cosine ties; both paths must
+    break them toward the smallest candidate id."""
+    from mdio_python_spark.operators import similarity, vector_arrow
+
+    rows = []
+    for i in range(12):
+        # 3 distinct directions, each repeated 4x => guaranteed ties
+        base = [1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.5, 0.5, 1.0]
+        rows.append((i, [float(x) * (1 + i % 4) for x in base[i % 3]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ref = similarity.knn_graph(df, k=5, n_centroids=3, assign="join")
+    got = vector_arrow.knn_graph_arrow(df, k=5, n_centroids=3)
+    assert _sorted_rows(got) == _sorted_rows(ref)
+
+
+def test_multiprobe_matches_python_reference(spark):
+    """knn_graph_multiprobe_arrow vs an independent pure-Python fold on
+    a hand-sized input: top-1 cell membership with the ascending-id cap,
+    nprobe nearest cells per query, exact rerank, (cos desc, id asc)
+    ties."""
+    import numpy as np
+
+    from mdio_python_spark.operators import vector_arrow
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((50, 6)).round(3).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(j, [float(x) for x in vecs[j]]) for j in range(4)]
+    nprobe, max_cell, k = 2, 3, 2
+
+    def fdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def fnorm(a):
+        return math.sqrt(fdot(a, a))
+
+    cn = {cid: fnorm(v) for cid, v in cents}
+    vec = {i: [float(x) for x in vecs[i]] for i in range(50)}
+    vnorm = {i: fnorm(v) for i, v in vec.items()}
+
+    def ranked_cells(i):
+        scored = sorted(
+            ((-(fdot(vec[i], cv) / (vnorm[i] * cn[cid])), cid) for cid, cv in cents),
+        )
+        return [cid for _, cid in scored]
+
+    members: dict[int, list[int]] = {}
+    for i in sorted(vec):
+        members.setdefault(ranked_cells(i)[0], []).append(i)
+    capped = {c: sorted(ids)[:max_cell] for c, ids in members.items()}
+
+    expected = []
+    for i in sorted(vec):
+        cand = [
+            j
+            for c in ranked_cells(i)[:nprobe]
+            for j in capped.get(c, [])
+            if j != i
+        ]
+        scored = sorted(
+            (-(fdot(vec[i], vec[j]) / (vnorm[i] * vnorm[j])), j) for j in cand
+        )
+        for rank, (negcos, j) in enumerate(scored[:k], start=1):
+            expected.append((i, j, -negcos, rank))
+
+    got = vector_arrow.knn_graph_multiprobe_arrow(
+        df, k=k, nprobe=nprobe, centroids=cents, max_cell=max_cell
+    )
+    assert _sorted_rows(got) == sorted(expected)
