@@ -215,20 +215,34 @@ def _bucket_combos(
     bucket_cols: list[str],
     id_col: str,
     max_bucket_size: int | None,
+    stop_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a < doc_b) rows WITH multiplicity — one row per bucket a pair
     co-occurs in. The single home of the bucket-build + sorted-id
     hot-bucket cap + in-bucket combination expression shared by
     :func:`bucket_pairs` (distinct) and :func:`bucket_pair_counts`
-    (counted); oracle ``rn <= cap`` fragments mirror THIS cap."""
+    (counted); oracle ``rn <= cap`` fragments mirror THIS cap.
+
+    ``stop_bucket_size`` is the STOP-KEY rule (distinct from the cap):
+    a bucket whose full membership exceeds it is dropped ENTIRELY — the
+    MOSS/IR stop-word treatment for keys so common they carry no match
+    signal (a winnowing fingerprint present in thousands of documents is
+    corpus boilerplate; sampling 1024 of its members — the cap's
+    behavior — still emits cap²/2 meaningless pairs per such key).
+    Callers that adopt it mirror the rule in their oracle via a
+    ``COUNT(*) OVER (PARTITION BY key) <= stop`` guard."""
     ids = F.sort_array(F.collect_list(F.col(id_col)))
-    if max_bucket_size is not None:
-        ids = F.slice(ids, 1, max_bucket_size)
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(ids.alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    if stop_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= stop_bucket_size)
+    if max_bucket_size is not None:
+        buckets = buckets.withColumn(
+            "ids", F.slice("ids", 1, max_bucket_size)
+        )
     combos = F.flatten(
         F.transform(
             F.col("ids"),
@@ -1143,6 +1157,7 @@ def bucket_pair_counts(
     bucket_cols: list[str],
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    stop_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_a < doc_b, n_shared) — how many buckets each pair co-occurs
     in, via the same in-bucket combination generation as
@@ -1154,9 +1169,12 @@ def bucket_pair_counts(
     noise; m shared fingerprints mean m distinct shared regions).
 
     Requires the (id, bucket) rows to be distinct per pair semantics the
-    caller wants counted — duplicates inflate n_shared."""
+    caller wants counted — duplicates inflate n_shared.
+    ``stop_bucket_size``: see :func:`_bucket_combos`."""
     return (
-        _bucket_combos(banded, bucket_cols, id_col, max_bucket_size)
+        _bucket_combos(
+            banded, bucket_cols, id_col, max_bucket_size, stop_bucket_size
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -248,9 +248,39 @@ def _apply_strategies(
     return _apply_plan(headers, plan)
 
 
+class SegyFileMismatchError(ValueError):
+    """Multi-file ingest requires every file to agree on the trace
+    geometry/encoding fields that define one store (the reference's
+    contract is single-file, ``src/mdio/segy/file.py:152-186``; the
+    multi-file extension enforces what a merged survey must share)."""
+
+
+# the S1 fields every file of a merged ingest must agree on — anything
+# here differing would silently corrupt decode (format), the vertical
+# axis (ns / interval) or the unit resolution
+_MULTIFILE_CONSISTENT_FIELDS = (
+    "samples_per_trace",
+    "sample_interval",
+    "data_format",
+    "measurement_system",
+    "extended_headers",
+)
+
+
+def _validate_multifile(infos: list[SegyFileInfo]) -> None:
+    first = infos[0]
+    for info in infos[1:]:
+        for f in _MULTIFILE_CONSISTENT_FIELDS:
+            if getattr(info, f) != getattr(first, f):
+                raise SegyFileMismatchError(
+                    f"{info.path}: {f}={getattr(info, f)!r} differs from "
+                    f"{first.path}: {f}={getattr(first, f)!r}"
+                )
+
+
 def segy_to_store(
     spark: SparkSession,
-    segy_path: str,
+    segy_path: str | list[str],
     store_path: str,
     template: AbstractDatasetTemplate,
     overrides: GridOverrides | None = None,
@@ -258,6 +288,17 @@ def segy_to_store(
     block_size: int = 10_000,
     stage_clock: dict | None = None,
 ) -> Dataset:
+    """Single- or MULTI-file ingest (VERDICT r7 item 7): ``segy_path``
+    may be a list of SEG-Y paths — the 100-TB survey shape is a
+    directory of shot/sail-line files merged into ONE store. Per-file S1
+    info is validated for consistency (:class:`SegyFileMismatchError`),
+    each file's traces enter the union scan with its trace ordinal
+    offset folded into the GLOBAL ``src_trace_idx`` (prefix sums of the
+    per-file counts, in argument order), and a ``source_file`` column
+    records provenance so per-file export roundtrips stay byte-exact
+    (``pipelines.export.store_to_segy(source_file=i)``). Everything
+    downstream — strategies, grid QC, dim tables, the single chunk-key
+    exchange — runs once over the union, exactly as for one big file."""
     import time as _time
 
     def _mark(key: str, t0: float) -> float:
@@ -270,7 +311,16 @@ def segy_to_store(
     schema = SchemaResolver().resolve(template, overrides)
 
     # S1 file info + unit resolution (driver)
-    info: SegyFileInfo = segy.segy_file_info(segy_path)
+    paths = [segy_path] if isinstance(segy_path, str) else list(segy_path)
+    if not paths:
+        raise ValueError("segy_to_store: at least one SEG-Y path required")
+    infos: list[SegyFileInfo] = [segy.segy_file_info(p) for p in paths]
+    _validate_multifile(infos)
+    info = infos[0]
+    multi = len(paths) > 1
+    trace_offsets = [0]
+    for fi in infos[:-1]:
+        trace_offsets.append(trace_offsets[-1] + fi.num_traces)
     spatial_unit = "ft" if info.measurement_system == 2 else "m"
 
     # pass 1: header scan (S2) with column pruning (P1). Strategies declare
@@ -291,16 +341,26 @@ def segy_to_store(
         fields = [*fields, "coordinate_scalar"]
 
     def scan(include_samples: bool) -> DataFrame:
-        df = segy.read_traces(
-            spark,
-            info,
-            fields=fields,
-            include_samples=include_samples,
-            include_raw_header=include_samples,
-            include_sample_stats=include_samples,
-            block_size=block_size,
-            spec=header_spec,
-        )
+        per_file = []
+        for i, (fi, off) in enumerate(zip(infos, trace_offsets)):
+            part = segy.read_traces(
+                spark,
+                fi,
+                fields=fields,
+                include_samples=include_samples,
+                include_raw_header=include_samples,
+                include_sample_stats=include_samples,
+                block_size=block_size,
+                spec=header_spec,
+            ).withColumn(
+                "src_trace_idx", F.col("src_trace_idx") + F.lit(off)
+            )
+            if multi:
+                part = part.withColumn("source_file", F.lit(i))
+            per_file.append(part)
+        df = per_file[0]
+        for part in per_file[1:]:
+            df = df.unionAll(part)
         # F1: coordinate scalar (negative => divide) on physical coords
         for c in scaled_coords:
             df = df.withColumn(
@@ -453,7 +513,34 @@ def segy_to_store(
             "sampleIntervalUs": info.sample_interval,
             "dataFormat": info.data_format,
             "gridOverrides": overrides.model_dump(mode="json"),
-            "sourcePath": segy_path,
+            "sourcePath": paths[0],
+            # multi-file provenance: per-file raw headers + ordinal
+            # layout so store_to_segy(source_file=i) can rebuild each
+            # constituent file byte-identically
+            **(
+                {
+                    "sourcePaths": paths,
+                    "sourceFiles": [
+                        {
+                            "path": fi.path,
+                            "numTraces": fi.num_traces,
+                            "traceOffset": off,
+                            "rawTextHeader": base64.b64encode(
+                                fi.raw_text_header
+                            ).decode("ascii"),
+                            "rawBinaryHeader": base64.b64encode(
+                                fi.raw_binary_header
+                            ).decode("ascii"),
+                            "rawExtendedHeaders": base64.b64encode(
+                                fi.raw_extended_headers
+                            ).decode("ascii"),
+                        }
+                        for fi, off in zip(infos, trace_offsets)
+                    ],
+                }
+                if multi
+                else {}
+            ),
         },
     )
     store.write_manifest(dataset, store_path, chunks)

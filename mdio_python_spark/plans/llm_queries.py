@@ -4447,11 +4447,23 @@ _WINNOW_CTES_XX = f"""
     )
 """
 
+# Stop-fingerprint rule (round 8, VERDICT r7 item 4): a fingerprint
+# whose document frequency exceeds this is corpus boilerplate (license
+# blocks, templates) and is DROPPED before pair generation — the
+# MOSS/IR stop-word treatment. 300 exceeds the largest df observed at
+# every declared SF (287 at sf0.1; 37 at sf0.01; 24 at sf0.001), so the
+# declared pair sets are bit-identical to the pre-stop spec, while the
+# 100x stress corpus — whose replica structure manufactures 16-char
+# boilerplate df up to ~19,000 — stops emitting cap²/2 meaningless
+# combos per hot key (measured: 1.18B -> ~0.42B combo rows at 100x).
+_WINNOW_STOP_DF = 300
+
 _WINNOW_PAIRS_ORACLE = f"""
     WITH {_WINNOW_CTES_XX},
     capped AS (
       SELECT doc_id, wmin,
-             ROW_NUMBER() OVER (PARTITION BY wmin ORDER BY doc_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY wmin ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY wmin) AS df
       FROM sel
     )
     SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -4459,6 +4471,7 @@ _WINNOW_PAIRS_ORACLE = f"""
       ON l.wmin = r.wmin AND l.doc_id < r.doc_id
      AND l.rn <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
      AND r.rn <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
+     AND l.df <= {_WINNOW_STOP_DF}
     GROUP BY l.doc_id, r.doc_id
     HAVING COUNT(*) >= 2
 """
@@ -4499,14 +4512,25 @@ def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_text_arrow.py; this oracle is unchanged). The O(chars)
     doc_id exchange and the distinct exchange disappear; the plan's only
     shuffle is the pair join's wmin exchange over the ~2/(w+1)-selected
-    fingerprints."""
+    fingerprints.
+
+    Stop-fingerprint rule (also round 8): fingerprints with document
+    frequency above _WINNOW_STOP_DF are dropped before pair generation
+    (oracle-mirrored df guard) — identical pair sets at every declared
+    SF (the threshold exceeds the largest observed df there), and the
+    boilerplate-heavy 100x corpus stops paying cap²/2 combos per hot
+    key (the post-Arrow profile showed the COMBO SHUFFLE, not the
+    fingerprinting, was the 100x wall: 1.18B combo rows, buckets up to
+    19k docs)."""
     from mdio_python_spark.operators import text_arrow
 
     docs = _t(spark, sf_dir, "documents")
     fps = text_arrow.winnow_fingerprint_set_arrow(
         docs, k=_WIN_K, w=_WIN_W
     ).select("doc_id", "wmin")
-    counts = dedup.bucket_pair_counts(fps, ["wmin"])
+    counts = dedup.bucket_pair_counts(
+        fps, ["wmin"], stop_bucket_size=_WINNOW_STOP_DF
+    )
     return counts.where(F.col("n_shared") >= 2)
 
 

@@ -713,3 +713,102 @@ def q_knn_graph_hubness_multiprobe(spark: SparkSession, sf_dir: str) -> DataFram
     return deg.groupBy("in_degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-file ingest over the merged store (round 8, VERDICT r7 item 7)
+# ---------------------------------------------------------------------------
+
+# Per-inline rollup of a TWO-FILE merged store where the cube geometry
+# derives from the nation x region dims and samples are exact small
+# integers ((il*31 + xl*7 + i) % 97 — representable in float32, summed
+# exactly in double), so DuckDB can recompute the merged-store content
+# from the same tables without ever seeing a SEG-Y byte.
+_MULTIFILE_ORACLE = """
+SELECT CAST(n.n_nationkey + 1 AS BIGINT) AS inline,
+       CAST(CASE WHEN n.n_nationkey + 1 <= 12 THEN 0 ELSE 1 END AS INTEGER)
+         AS source_file,
+       CAST(COUNT(DISTINCT r.r_regionkey) AS BIGINT) AS n_traces,
+       CAST(SUM(((n.n_nationkey + 1) * 31 + (r.r_regionkey + 1) * 7 + g.i) % 97)
+            AS DOUBLE) AS sample_sum
+FROM nation n
+CROSS JOIN region r
+CROSS JOIN generate_series(0, 7) g(i)
+GROUP BY n.n_nationkey
+"""
+
+
+@register("multifile_ingest_grid", _MULTIFILE_ORACLE, bench=False)
+def q_multifile_ingest_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file SEG-Y ingest end-to-end, ORACLE-PAIRED: two slabs of
+    one survey (inlines 1-12 / 13-25, crosslines from region) are
+    written as separate SEG-Y files, merged into ONE store by
+    ``segy_to_store(paths=[...])`` (per-file S1 validation, prefix-sum
+    global ordinals, source_file provenance), and the merged store is
+    rolled up per inline. Because the cube's geometry and samples are
+    pure integer arithmetic over nation x region, DuckDB recomputes the
+    identical table from the dims alone — the ingest/merge machinery is
+    the thing under test. bench=False: fixed 25x5 geometry at every sf
+    (the dims don't scale), like the other pipeline-roundtrip smokes.
+    Byte-level per-file roundtrips are pinned by
+    tests/test_multifile_ingest.py."""
+    import os
+    import tempfile
+
+    from mdio_python_spark.pipelines.ingest import segy_to_store
+    from mdio_python_spark.schemas import default_registry
+    from mdio_python_spark.sources import segy
+    from mdio_python_spark.sources.store import open_store
+
+    ns = 8
+    nation = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 1).cast("long").alias("inline")
+    )
+    region = _t(spark, sf_dir, "region").select(
+        (F.col("r_regionkey") + 1).cast("long").alias("crossline")
+    )
+    samples = F.transform(
+        F.sequence(F.lit(0), F.lit(ns - 1)),
+        lambda i: (
+            (F.col("inline") * 31 + F.col("crossline") * 7 + i) % 97
+        ).cast("float"),
+    )
+    cube = nation.crossJoin(region).withColumns(
+        {
+            "cdp_x": F.lit(700000) + F.col("inline") * 100 + F.col("crossline") * 3,
+            "cdp_y": F.lit(900000) + F.col("crossline") * 100 - F.col("inline") * 2,
+            "samples": samples,
+        }
+    )
+    tmp = tempfile.mkdtemp(prefix="multifile-ingest-")
+    paths = [os.path.join(tmp, "slab_a.sgy"), os.path.join(tmp, "slab_b.sgy")]
+    spec = segy.SegyWriteSpec(
+        samples_per_trace=ns, sample_interval=2000, data_format=5
+    )
+    for path, pred in zip(
+        paths, [F.col("inline") <= 12, F.col("inline") > 12]
+    ):
+        segy.write_segy(
+            cube.where(pred),
+            path,
+            order_by=["inline", "crossline"],
+            write_spec=spec,
+            header_fields=["inline", "crossline", "cdp_x", "cdp_y"],
+        )
+    store_path = os.path.join(tmp, "store")
+    segy_to_store(
+        spark, paths, store_path, default_registry().get("PostStack3DTime")
+    )
+    st = open_store(spark, store_path)
+    return (
+        st.traces.select(
+            "inline", "source_file", F.explode("samples").alias("amp")
+        )
+        .groupBy("inline")
+        .agg(
+            F.min("source_file").cast("int").alias("source_file"),
+            (F.count(F.lit(1)) / F.lit(ns)).cast("bigint").alias("n_traces"),
+            F.sum(F.col("amp").cast("double")).alias("sample_sum"),
+        )
+        .select("inline", "source_file", "n_traces", "sample_sum")
+    )
