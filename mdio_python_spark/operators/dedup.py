@@ -420,6 +420,92 @@ def pair_overlap_counts(
     )
 
 
+def pair_overlap_counts_arrays(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """:func:`pair_overlap_counts` computed per-pair over COLLECTED
+    shingle-set arrays instead of the exploded per-shingle join —
+    identical (doc_a, doc_b, n_common, n_a, n_b) integers, different
+    physical plan for the regime where candidates outnumber documents.
+
+    The exploded join materializes |pairs| x |doc shingles| rows and
+    sort-merges them against the corpus-sized shingle relation — at the
+    100x stress corpus, char_shingle_near_dup's 1.2M candidates became
+    a 360M-row intermediate joined against 171M shingle rows (86 s, the
+    whole query's wall). Here each doc's distinct shingle hashes are
+    collected ONCE into a sorted array (exchange-free on the persisted
+    doc_id-partitioned fork: collect_set reuses the partitioning), the
+    pair list joins the 1-row-per-doc array table twice, and
+    ``array_intersect`` scores each pair inside whole-stage codegen.
+    Exact-set semantics are built in (collect_set dedups), so callers
+    pass the RAW hashed fork — no upstream ``.distinct()`` exchange.
+
+    The same provable ``min_jaccard`` size-ratio prefilter applies
+    (identical theorem and rounding as :func:`pair_overlap_counts`).
+    Scale note: pair rows carry the two arrays (~2 KB each) between the
+    joins — right when |pairs| is LSH-bounded; for pair sets so large
+    that |pairs| x set bytes rivals the exploded join, the row-join
+    variant stays available."""
+    key = "shingle" if "shingle" in shingles.columns else "sh"
+    if key not in shingles.columns:
+        raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
+    sets = shingles.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(F.col(key))).alias("_set"),
+    )
+    sized = pairs.join(
+        sets.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("_set").alias("_set_a"),
+            F.size("_set").alias("n_a"),
+        ),
+        "doc_a",
+    ).join(
+        sets.select(
+            F.col(id_col).alias("doc_b"),
+            F.col("_set").alias("_set_b"),
+            F.size("_set").alias("n_b"),
+        ),
+        "doc_b",
+    )
+    if min_jaccard is not None:
+        sized = sized.where(
+            F.least("n_a", "n_b").cast("double")
+            / F.greatest("n_a", "n_b").cast("double")
+            >= F.lit(float(min_jaccard))
+        )
+    return sized.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("_set_a", "_set_b")).cast("long").alias(
+            "n_common"
+        ),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+def jaccard_pairs_arrays(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """:func:`jaccard_pairs` on the array-verify plan
+    (:func:`pair_overlap_counts_arrays`) — same jaccard doubles from the
+    same exact integers."""
+    return pair_overlap_counts_arrays(pairs, shingles, id_col, min_jaccard).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
 def jaccard_pairs(
     pairs: DataFrame,
     shingles: DataFrame,

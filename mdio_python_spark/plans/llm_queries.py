@@ -4093,7 +4093,20 @@ def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-language pairs as candidates (measured 1.5M -> 285 from 5k
     docs when widening to n=8, r=4 — see _CHAR_BANDS_CTE). The shared
     oracle fragments (signatures, Jaccard verify) compose over the
-    char-shingle CTE unchanged (operators/dedup.py:char_shingles)."""
+    char-shingle CTE unchanged (operators/dedup.py:char_shingles).
+
+    Round 8 (VERDICT r7 item 3): the verify leg runs on the
+    ARRAY-intersect plan (dedup.jaccard_pairs_arrays — per-doc sorted
+    shingle-set arrays collected exchange-free on the persisted fork,
+    pairs join the 1-row-per-doc table twice, array_intersect scores in
+    codegen). Value-identical jaccard from the same exact integers; the
+    steep 100x ratio was the EXPLODED verify join (1.2M candidates x
+    ~290 shingles sort-merged against 171M shingle rows = 86 s of the
+    113 s row), not the banding itself: band buckets stay tiny at every
+    declared SF (max 4) and the x100 candidate growth is the replica
+    corpus's genuinely-elevated char-8 overlap (J ~ 0.5-0.65 pairs that
+    fail the 0.7 verify), which a bucket cap/stop cannot remove
+    (max x100 band bucket = 308; the combos are broad, not hot)."""
     from pyspark import StorageLevel
 
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
@@ -4107,8 +4120,8 @@ def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=4)
-    out = dedup.jaccard_pairs(
-        pairs, hashed.distinct(), min_jaccard=0.7
+    out = dedup.jaccard_pairs_arrays(
+        pairs, hashed, min_jaccard=0.7
     ).where(F.col("jaccard") >= 0.7)
     rotate_scoped("char_shingle_near_dup", hashed)
     return attach_cached(out, hashed)
