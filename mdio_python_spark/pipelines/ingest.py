@@ -76,6 +76,14 @@ SPARSITY_ERROR = 10.0
 # distributed dense-rank table that the trace scan broadcast-joins.
 SHOT_DENSE_LITERAL_MAX = 1_000_000
 
+# Pivot-write mode gate: when no scan block's rows span more than this
+# many distinct chunk keys (measured on the cached header pass), the
+# trace write skips the chunk-key exchange and writes directly from the
+# scan tasks — see store.write_data(direct=). 4 keeps worst-case files
+# per chunk directory at a handful while admitting the block/chunk
+# boundary phase shifts of any genuinely grid-ordered file.
+DIRECT_WRITE_MAX_KEYS_PER_BLOCK = 4
+
 
 @dataclass
 class _StrategyPlan:
@@ -403,6 +411,51 @@ def segy_to_store(
         dim_sizes = {d: dim_tables[d].count() for d in spatial}
         header_cols = headers.columns
         t0 = _mark("dim_tables_s", t0)
+
+        # C2 first (needed by the write-mode decision): template chunks
+        # clamped to budget/partition guards (``core/utils_write.py:16-44``)
+        template_chunks = {
+            d.name: d.chunk
+            for d in schema.dimensions
+            if d.spatial or d.name == "trace"
+        }
+        chunks = chunking.ingest_chunks(
+            dim_sizes,
+            {d: template_chunks[d] for d in spatial},
+            info.samples_per_trace,
+        )
+
+        # Pivot-write mode decision (VERDICT r7 item 2): measure, on the
+        # CACHED headers, how many distinct chunk keys each scan block
+        # touches. A grid-ordered file (the poststack acquisition norm)
+        # gives O(1) keys per block, so each scan task can write its
+        # rows straight into the partitioned layout and the entire
+        # sample-payload exchange disappears — the dominant ingest cost
+        # at scale. A shot-scrambled file keeps the consolidation
+        # shuffle (file-count explosion otherwise).
+        hk = headers
+        for d in spatial:
+            hk = hk.join(F.broadcast(dim_tables[d]), on=d, how="inner")
+        hk = grid.chunk_keys(hk, spatial, [chunks[d] for d in spatial])
+        per_block_keys = (
+            hk.groupBy(
+                (F.col("src_trace_idx") / F.lit(block_size)).cast("long")
+            )
+            .agg(
+                F.countDistinct(
+                    *[f"{d}_chunk" for d in spatial]
+                ).alias("_nk")
+            )
+            .agg(F.max("_nk"))
+            .collect()[0][0]
+        )
+        direct_write = (per_block_keys or 0) <= DIRECT_WRITE_MAX_KEYS_PER_BLOCK
+        if stage_clock is not None:
+            stage_clock["write_mode"] = (
+                "direct" if direct_write else "shuffle"
+            )
+            stage_clock["max_chunk_keys_per_block"] = int(per_block_keys or 0)
+        t0 = _mark("write_plan_s", t0)
     finally:
         headers_raw.unpersist()
 
@@ -431,20 +484,8 @@ def segy_to_store(
     )
     full = full.drop("n_nz", "s_sum", "s_ssq", "s_min", "s_max")
 
-    # C2: constrained auto-chunking — template chunks clamped to the byte
-    # budget and the partition-count guard (``core/utils_write.py:16-44``,
-    # applied ``dataset_factory.py:191-200``); the resolved shape is what
-    # the manifest records
-    template_chunks = {
-        d.name: d.chunk for d in schema.dimensions if d.spatial or d.name == "trace"
-    }
-    chunks = chunking.ingest_chunks(
-        dim_sizes,
-        {d: template_chunks[d] for d in spatial},
-        info.samples_per_trace,
-    )
     t0 = _time.perf_counter()
-    store.write_data(full, dim_tables, store_path, chunks)
+    store.write_data(full, dim_tables, store_path, chunks, direct=direct_write)
     _mark("pivot_write_s", t0)
 
     srow = obs.get

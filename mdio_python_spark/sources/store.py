@@ -56,19 +56,34 @@ def write_data(
     path: str,
     chunks: dict[str, int],
     codec: str = "zstd",
+    direct: bool = False,
 ) -> None:
     """K1/K2 write leg: trace table repartitioned by chunk key, one shuffle.
 
     ``traces`` must already carry ``<dim>_idx`` columns (grid.assign_cells);
     chunk keys are derived here. ``write_empty_chunks=False`` is free:
     absent rows produce no files.
-    """
+
+    ``direct=True`` skips the chunk-key exchange and lets each SCAN task
+    write its rows straight into the partitioned layout — correct for
+    any input, but only CHEAP when the source arrives grid-ordered so a
+    task's rows land in O(1) chunk directories (the dynamic-partition
+    writer sorts within the task either way, so open-file count stays
+    1). The caller decides from measured header stats
+    (``pipelines.ingest`` checks max distinct chunk keys per scan
+    block); a shot-scrambled file keeps the exchange. The payoff is the
+    whole shuffle of the sample payload — the single largest ingest
+    cost at scale (the r7 10x stress row spent most of its 90.6 s
+    pivot-write moving 7.3 GB through the exchange). File-count trade:
+    hash repartition gives exactly 1 file per chunk dir; direct gives
+    ~1 + blocks-overlapping-the-chunk (2-3 for ordered input)."""
     spatial = list(chunks)
     with_keys = grid.chunk_keys(traces, spatial, [chunks[d] for d in spatial])
     chunk_cols = [f"{d}_chunk" for d in spatial]
+    if not direct:
+        with_keys = with_keys.repartition(*chunk_cols)
     (
-        with_keys.repartition(*chunk_cols)
-        .write.mode("overwrite")
+        with_keys.write.mode("overwrite")
         .option("compression", codec)
         .partitionBy(*chunk_cols)
         .parquet(os.path.join(path, "traces"))

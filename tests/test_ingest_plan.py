@@ -41,26 +41,28 @@ def poststack_file(tmp_path):
 
 
 def test_trace_pass_single_hash_exchange(tmp_path, spark, poststack_file, monkeypatch):
-    """The executed write plan has exactly one hash-partition exchange (the
-    chunk-key repartition) and no sort-merge join of the payload."""
+    """The trace-pass payload plan never sort-merge-joins or windows the
+    payload, and carries AT MOST the one chunk-key hash exchange — ZERO
+    when the header stats prove the file grid-ordered (round-8 direct
+    write: each scan task lands in O(1) chunk dirs, so the consolidation
+    shuffle is skipped; a scrambled file keeps exactly one)."""
     path, samples = poststack_file
     captured = {}
     orig = store_mod.write_data
 
-    def spy(traces, dim_tables, store_path, chunks, codec="zstd"):
+    def spy(traces, dim_tables, store_path, chunks, codec="zstd", direct=False):
         spatial = list(chunks)
         with_keys = grid_mod.chunk_keys(
             traces, spatial, [chunks[d] for d in spatial]
         )
         chunk_cols = [f"{d}_chunk" for d in spatial]
-        plan = (
-            with_keys.repartition(*chunk_cols)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
+        if not direct:
+            with_keys = with_keys.repartition(*chunk_cols)
+        captured["plan"] = (
+            with_keys._jdf.queryExecution().executedPlan().toString()
         )
-        captured["plan"] = plan
-        return orig(traces, dim_tables, store_path, chunks, codec)
+        captured["direct"] = direct
+        return orig(traces, dim_tables, store_path, chunks, codec, direct)
 
     monkeypatch.setattr(store_mod, "write_data", spy)
     monkeypatch.setattr(ing.store, "write_data", spy)
@@ -73,7 +75,11 @@ def test_trace_pass_single_hash_exchange(tmp_path, spark, poststack_file, monkey
     )
 
     plan = captured["plan"]
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the factory file is inline/crossline-ordered: the measured header
+    # stats must pick the direct path and the payload plan must be
+    # exchange-free
+    assert captured["direct"] is True
+    assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowExec" not in plan, plan
 
@@ -153,3 +159,49 @@ def test_shot_dense_paths_identical(spark, monkeypatch):
         map(tuple, ing._apply_plan(headers, plan_dist).collect())
     )
     assert out_lit == out_dist
+
+
+def test_scrambled_file_keeps_consolidation_shuffle(tmp_path, spark, monkeypatch):
+    """A file whose trace order scatters across the chunk grid must keep
+    the chunk-key exchange (direct write would explode file counts)."""
+    import random
+
+    rng = random.Random(3)
+    # the grid must span > DIRECT_WRITE_MAX_KEYS_PER_BLOCK chunk keys
+    # (inline chunk = 128) or even a scrambled file fits one chunk and
+    # direct is correctly chosen: 640 inlines = 5 inline chunks
+    cells = [
+        {"inline": il, "crossline": xl}
+        for il in range(1, 641)
+        for xl in range(1, 3)
+    ]
+    rng.shuffle(cells)
+    rs = np.random.default_rng(6)
+    samples = rs.standard_normal((len(cells), 8)).astype(np.float32)
+    path = str(tmp_path / "scrambled.sgy")
+    write_segy_file(path, cells, samples)
+
+    captured = {}
+    orig = store_mod.write_data
+
+    def spy(traces, dim_tables, store_path, chunks, codec="zstd", direct=False):
+        captured["direct"] = direct
+        return orig(traces, dim_tables, store_path, chunks, codec, direct)
+
+    monkeypatch.setattr(store_mod, "write_data", spy)
+    monkeypatch.setattr(ing.store, "write_data", spy)
+    tmpl = default_registry().get("PostStack3DTime").model_copy(
+        update={"coordinates": []}
+    )
+    sc = {}
+    ing.segy_to_store(
+        spark, path, str(tmp_path / "store"), tmpl, header_spec=SPEC,
+        block_size=10, stage_clock=sc,
+    )
+    assert captured["direct"] is False
+    assert sc["write_mode"] == "shuffle"
+
+    from mdio_python_spark.sources.store import open_store
+
+    st = open_store(spark, str(tmp_path / "store"))
+    assert st.traces.count() == len(cells)
