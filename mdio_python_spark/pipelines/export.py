@@ -68,10 +68,6 @@ def store_to_segy(
 
     if selection_mask is not None:
         traces = grid.live_filter(traces, selection_mask, dims)  # P3 semi-join
-
-    n = traces.count()
-    if n == 0:
-        raise EmptySelectionError("no live traces selected for export")
     # F7: verbatim file headers when the store has them (base64 attrs,
     # mirroring ``ingestion/segy/file_headers.py:45-53``); re-encode from
     # the modeled fields only as a fallback for stores without raw bytes.
@@ -94,6 +90,36 @@ def store_to_segy(
         raw_binary_header=base64.b64decode(raw_binary) if raw_binary else None,
         raw_extended_headers=base64.b64decode(raw_ext) if raw_ext else None,
     )
+
+    # Whole-store dim-ordered exports take the CHUNK-ALIGNED zero-shuffle
+    # path when the layout qualifies (round 8): the major dim's chunk
+    # dirs are disjoint ranges of the sort order, so each chunk encodes
+    # independently and lands at its exact final offset — no
+    # repartitionByRange sampling pass, no payload exchange, no shuffle
+    # spill (the 30x stress leg exceeded the sandbox disk on
+    # shuffle + parts + output before this path).
+    # (an explicit num_partitions request selects the shuffle path — the
+    # caller is steering part sizing, which the aligned layout fixes)
+    if selection_mask is None and source_file is None and num_partitions is None:
+        import os
+
+        n_aligned = segy.write_segy_store_aligned(
+            spark,
+            os.path.join(store_path, "traces"),
+            dims,
+            write_spec,
+            out_path,
+            staging=staging,
+            stage_clock=stage_clock,
+        )
+        if n_aligned is not None:
+            if n_aligned == 0:
+                raise EmptySelectionError("no live traces selected for export")
+            return n_aligned
+
+    n = traces.count()
+    if n == 0:
+        raise EmptySelectionError("no live traces selected for export")
 
     # per-file export reproduces the file's ORIGINAL trace order via the
     # global ordinal (dims order could differ when a file's acquisition

@@ -3087,8 +3087,13 @@ def q_semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher recall per candidate). Assignment is the ivf_topk literal-
     centroid argmax projection (no corpus shuffle); pairs meet only
     within a cell under the deterministic hot-cell cap; cosine verify is
-    exact (operators/similarity.py:semantic_dedup_drops)."""
-    return similarity.semantic_dedup_drops(
+    exact (operators/similarity.py:semantic_dedup_drops). Round 8:
+    executes on the Arrow kernels (vector_arrow.semantic_dedup_arrow —
+    strategy-only, bit-identical, tests/test_vector_arrow.py; oracle
+    unchanged)."""
+    from mdio_python_spark.operators import vector_arrow
+
+    return vector_arrow.semantic_dedup_arrow(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_centroids=16
     )
 
@@ -5102,14 +5107,17 @@ def q_knn_graph_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-dimensional ANN pathology (Radovanovic et al., JMLR 2010) and
     the first thing to check before trusting kNN-graph semantic dedup.
 
-    Scale shape: the graph build is similarity.knn_graph — cell
-    assignment as a literal-centroid projection on BOTH sides (nothing
-    broadcast, unlike the bounded-query ivf_topk), one hash exchange on
-    cell, hot-cell cap 1024 (oracle-mirrored), per-query top-k as
-    WindowGroupLimit. In-degree and its distribution are two combinable
-    groupBys; the orphan join is corpus-id vs the bounded degree table."""
+    Scale shape: one groupBy(cell) exchange, hot-cell cap 1024
+    (oracle-mirrored), per-query top-k inside the cell task. In-degree
+    and its distribution are two combinable groupBys; the orphan join
+    is corpus-id vs the bounded degree table. Round 8: executes on the
+    Arrow kernels (vector_arrow.knn_graph_arrow — strategy-only, output
+    bit-identical to similarity.knn_graph, pinned by
+    tests/test_vector_arrow.py; oracle unchanged)."""
+    from mdio_python_spark.operators import vector_arrow
+
     emb = _t(spark, sf_dir, "embeddings")
-    g = similarity.knn_graph(emb, k=10, n_centroids=16)
+    g = vector_arrow.knn_graph_arrow(emb, k=10, n_centroids=16)
     indeg = g.groupBy("candidate_id").agg(F.count(F.lit(1)).alias("_n"))
     deg = (
         emb.select("vec_id")

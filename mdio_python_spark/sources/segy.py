@@ -211,7 +211,12 @@ def read_traces(
                             cols["s_max"] = np.where(nz, s, -np.inf).max(axis=1)
                     yield pd.DataFrame(cols)
 
-    blocks = spark.range(n_blocks).repartition(min(n_blocks, 256))
+    # contiguous block ranges per partition (spark.range's native
+    # slicing — NO round-robin repartition): a task's traces are a
+    # contiguous file range, so direct-mode ingest writes each chunk
+    # directory from O(1) tasks instead of scattering every task across
+    # every directory (measured: ~3.7k tiny store files -> ~1 per chunk)
+    blocks = spark.range(0, n_blocks, numPartitions=min(n_blocks, 256))
     return blocks.mapInPandas(scan, schema=schema)
 
 
@@ -246,6 +251,89 @@ class SegyWriteSpec:
         }
         out.update(self.extra_binary_fields)
         return out
+
+
+def _encode_trace_block(
+    pdf: pd.DataFrame,
+    use_raw: bool,
+    header_fields: list[str],
+    hdr_spec,
+    data_format: int,
+) -> bytes:
+    """One batch of trace rows -> contiguous SEG-Y trace bytes (verbatim
+    ``raw_header`` when present, re-encoded fields otherwise; samples
+    through the format codec). Shared by the range-shuffle export and
+    the chunk-aligned export so the two paths cannot drift."""
+    n = len(pdf)
+    if use_raw:
+        headers = np.frombuffer(
+            b"".join(pdf["raw_header"]), dtype=np.uint8
+        ).reshape(n, codec.TRACE_HEADER_BYTES)
+    else:
+        headers = codec.encode_trace_headers(
+            {fname: pdf[fname].to_numpy() for fname in header_fields},
+            n,
+            hdr_spec,
+        )
+    samples = np.stack(pdf["samples"].to_numpy()).astype(np.float32)
+    raw_samples = codec.encode_samples(samples, data_format)
+    return np.concatenate([headers, raw_samples], axis=1).tobytes()
+
+
+def _export_skeleton(write_spec: SegyWriteSpec, text_encoding: str) -> bytes:
+    """File skeleton: 3200-byte text + 400-byte binary + extended
+    headers — verbatim raw bytes when the spec carries them (F7)."""
+    if write_spec.raw_text_header is not None:
+        assert len(write_spec.raw_text_header) == codec.TEXT_HEADER_BYTES
+        skeleton = bytes(write_spec.raw_text_header)
+    else:
+        skeleton = codec.encode_text_header(write_spec.text_header, text_encoding)
+    if write_spec.raw_binary_header is not None:
+        assert len(write_spec.raw_binary_header) == codec.BINARY_HEADER_BYTES
+        skeleton += write_spec.raw_binary_header
+    else:
+        skeleton += codec.encode_binary_header(write_spec.binary_header())
+    if write_spec.raw_extended_headers:
+        assert len(write_spec.raw_extended_headers) % codec.TEXT_HEADER_BYTES == 0
+        skeleton += write_spec.raw_extended_headers
+    return skeleton
+
+
+def _compose_export(
+    spark,
+    store,
+    out_path: str,
+    skeleton: bytes,
+    stage_clock: dict | None,
+) -> None:
+    """Merge staged parts behind the skeleton. Preferred: executor-
+    parallel ranged compose — each part lands at its exact final offset
+    in one pass (pwrite locally; multipart upload on object stores), so
+    the driver stream stops being the export ceiling (the reference
+    parallelizes only its INTERMEDIATE merge tree, blocked_io.py:
+    226-251, and still single-streams the final append,
+    creation.concat_files:236-264). Fallback: the driver in-order
+    stream. Both paths drop each part as soon as it is composed
+    (delete_parts): peak disk ~ one output, not parts + output."""
+    _t0 = time.perf_counter()
+    sink = staging_mod.ranged_sink_for(out_path)
+    use_ranged = sink is not None and len(store.list()) > 1
+    if use_ranged:
+        sink.truncate_to(0)  # fresh file: drop any previous contents
+        sink.write_at(0, io.BytesIO(skeleton))
+        staging_mod.compose_parts_ranged(
+            spark, store, sink, len(skeleton), delete_parts=True
+        )
+    else:
+        with open(out_path, "wb") as out:
+            out.write(skeleton)
+            staging_mod.concat_parts(store, out, delete_parts=True)
+    store.remove_all()
+    if stage_clock is not None:
+        stage_clock["export_concat_s"] = round(time.perf_counter() - _t0, 3)
+        stage_clock["export_concat_mode"] = (
+            "ranged_parallel" if use_ranged else "driver_stream"
+        )
 
 
 def write_segy(
@@ -317,20 +405,11 @@ def write_segy(
                 n = len(pdf)
                 if n == 0:
                     continue
-                if use_raw:
-                    headers = np.frombuffer(
-                        b"".join(pdf["raw_header"]), dtype=np.uint8
-                    ).reshape(n, codec.TRACE_HEADER_BYTES)
-                else:
-                    headers = codec.encode_trace_headers(
-                        {fname: pdf[fname].to_numpy() for fname in header_fields},
-                        n,
-                        hdr_spec,
+                f.write(
+                    _encode_trace_block(
+                        pdf, use_raw, header_fields, hdr_spec, data_format
                     )
-                samples = np.stack(pdf["samples"].to_numpy()).astype(np.float32)
-                raw_samples = codec.encode_samples(samples, data_format)
-                block = np.concatenate([headers, raw_samples], axis=1)
-                f.write(block.tobytes())
+                )
                 n_written += n
         if n_written == 0:
             store.delete(part_name)
@@ -340,47 +419,136 @@ def write_segy(
     counts = ordered.mapInPandas(
         write_partition, schema="partition int, n_traces long"
     ).collect()
+    del counts
     if stage_clock is not None:
         stage_clock["export_encode_s"] = round(time.perf_counter() - _t0, 3)
-    _t0 = time.perf_counter()
 
-    # file skeleton (3200-byte text + 400-byte binary + extended headers)
-    if write_spec.raw_text_header is not None:
-        assert len(write_spec.raw_text_header) == codec.TEXT_HEADER_BYTES
-        skeleton = bytes(write_spec.raw_text_header)
-    else:
-        skeleton = codec.encode_text_header(write_spec.text_header, text_encoding)
-    if write_spec.raw_binary_header is not None:
-        assert len(write_spec.raw_binary_header) == codec.BINARY_HEADER_BYTES
-        skeleton += write_spec.raw_binary_header
-    else:
-        skeleton += codec.encode_binary_header(write_spec.binary_header())
-    if write_spec.raw_extended_headers:
-        assert len(write_spec.raw_extended_headers) % codec.TEXT_HEADER_BYTES == 0
-        skeleton += write_spec.raw_extended_headers
+    skeleton = _export_skeleton(write_spec, text_encoding)
+    _compose_export(df.sparkSession, store, out_path, skeleton, stage_clock)
 
-    # Merge. Preferred: executor-parallel ranged compose — each part lands
-    # at its exact final offset in one pass (pwrite locally; multipart
-    # upload on object stores), so the driver stream stops being the
-    # export ceiling (the reference parallelizes only its INTERMEDIATE
-    # merge tree, blocked_io.py:226-251, and still single-streams the
-    # final append, creation.concat_files:236-264 — the ranged sink beats
-    # both). Fallback: the original driver in-order stream, for outputs
-    # with no ranged backend.
-    sink = staging_mod.ranged_sink_for(out_path)
-    use_ranged = sink is not None and len(store.list()) > 1
-    if use_ranged:
-        sink.truncate_to(0)  # fresh file: drop any previous contents
-        sink.write_at(0, io.BytesIO(skeleton))
-        spark = df.sparkSession
-        staging_mod.compose_parts_ranged(spark, store, sink, len(skeleton))
-    else:
-        with open(out_path, "wb") as out:
-            out.write(skeleton)
-            staging_mod.concat_parts(store, out)
-    store.remove_all()
-    if stage_clock is not None:
-        stage_clock["export_concat_s"] = round(time.perf_counter() - _t0, 3)
-        stage_clock["export_concat_mode"] = (
-            "ranged_parallel" if use_ranged else "driver_stream"
+
+def write_segy_store_aligned(
+    spark: SparkSession,
+    traces_root: str,
+    dims: list[str],
+    write_spec: SegyWriteSpec,
+    out_path: str,
+    text_encoding: str = "cp037",
+    staging: "str | staging_mod.StagingStore | None" = None,
+    stage_clock: dict | None = None,
+    max_part_bytes: int = 1 << 30,
+) -> int | None:
+    """CHUNK-ALIGNED export: zero-shuffle ``store -> SEG-Y`` for the
+    common case (whole store, dim order). Returns the trace count, or
+    ``None`` when the layout doesn't qualify (caller falls back to the
+    range-shuffle :func:`write_segy`).
+
+    The store's trace parquet is hive-partitioned by the chunk keys, and
+    the MAJOR dim's chunks are disjoint RANGES of the export sort order:
+    every row with ``dims[0]`` in chunk i precedes every row in chunk
+    i+1, whatever the minor-dim chunking. So each major chunk is one
+    contiguous byte range of the output — a Spark task reads that
+    chunk's parquet files directly (pyarrow, the read_traces pattern:
+    executors fetch their own byte ranges), sorts the in-memory slice by
+    the full dim tuple, encodes, and stages ``part-<chunk>``; the ranged
+    compose then lands every part at its exact offset. No
+    repartitionByRange sampling pass, no payload exchange, no shuffle
+    spill — the export becomes read + encode + positional write, which
+    is the disk-bandwidth shape a 22 GB leg needs to fit next to its own
+    store (the 30x stress point died on shuffle + parts + output disk
+    before this path existed).
+
+    Memory gate: a major chunk whose encoded size exceeds
+    ``max_part_bytes`` (fat minor dims) disqualifies the layout — the
+    shuffle path streams instead."""
+    prefix = f"{dims[0]}_chunk="
+    try:
+        entries = [
+            e for e in os.listdir(traces_root) if e.startswith(prefix)
+        ]
+    except OSError:
+        return None
+    if not entries:
+        return None
+    chunk_dirs = sorted(
+        (int(e[len(prefix):]), os.path.join(traces_root, e)) for e in entries
+    )
+    files_by_chunk: list[tuple[int, list[str]]] = []
+    total_bytes = 0
+    for pos, (_, d) in enumerate(chunk_dirs):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
         )
+        if not files:
+            continue
+        files_by_chunk.append((pos, files))
+        total_bytes += sum(os.path.getsize(f) for f in files)
+    if not files_by_chunk:
+        return None
+    # parquet is compressed; 3x is a conservative decode multiple for the
+    # per-task memory gate
+    if max(
+        sum(os.path.getsize(f) for f in fs) for _, fs in files_by_chunk
+    ) * 3 > max_part_bytes:
+        return None
+
+    ns = write_spec.samples_per_trace
+    data_format = write_spec.data_format
+    store = staging_mod.staging_for(
+        staging if staging is not None else out_path + ".parts"
+    )
+    hdr_spec = codec.DEFAULT_TRACE_HEADER_SPEC
+
+    manifest = spark.createDataFrame(
+        [(pos, fs) for pos, fs in files_by_chunk],
+        "pos int, files array<string>",
+    ).repartition(min(len(files_by_chunk), 512))
+
+    def encode_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for bdf in batches:
+            for pos, files in zip(bdf["pos"], bdf["files"]):
+                tables = [pq.read_table(f) for f in files]
+                import pyarrow as pa
+
+                table = pa.concat_tables(tables)
+                use_raw = "raw_header" in table.column_names
+                cols = {d: table.column(d).to_numpy() for d in dims}
+                order = np.lexsort(tuple(cols[d] for d in reversed(dims)))
+                n = len(order)
+                flat = (
+                    table.column("samples")
+                    .combine_chunks()
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, ns)
+                )
+                pdf = pd.DataFrame({d: cols[d][order] for d in dims})
+                pdf["samples"] = list(flat[order])
+                if use_raw:
+                    raw = table.column("raw_header").to_pylist()
+                    pdf["raw_header"] = [raw[i] for i in order]
+                # header_fields=[] mirrors store_to_segy -> write_segy
+                # exactly: verbatim raw_header when the store has it,
+                # blank re-encoded headers otherwise
+                block = _encode_trace_block(
+                    pdf, use_raw, [], hdr_spec, data_format
+                )
+                with store.open_write(f"part-{int(pos):06d}") as f:
+                    f.write(block)
+                yield pd.DataFrame({"pos": [int(pos)], "n": [n]})
+
+    _t0 = time.perf_counter()
+    counts = manifest.mapInPandas(encode_chunk, schema="pos int, n long").collect()
+    n_total = int(sum(r["n"] for r in counts))
+    if stage_clock is not None:
+        stage_clock["export_encode_s"] = round(time.perf_counter() - _t0, 3)
+        stage_clock["export_encode_mode"] = "chunk_aligned"
+
+    skeleton = _export_skeleton(write_spec, text_encoding)
+    _compose_export(spark, store, out_path, skeleton, stage_clock)
+    return n_total

@@ -111,11 +111,21 @@ def staging_for(uri: str | StagingStore) -> StagingStore:
     )
 
 
-def concat_parts(store: StagingStore, out: BinaryIO, buffer: int = 64 << 20) -> None:
-    """Stream every staged part into ``out`` in name order."""
+def concat_parts(
+    store: StagingStore,
+    out: BinaryIO,
+    buffer: int = 64 << 20,
+    delete_parts: bool = False,
+) -> None:
+    """Stream every staged part into ``out`` in name order.
+    ``delete_parts`` drops each part as soon as it is fully streamed, so
+    peak staging usage is one part instead of the whole output — the
+    disk headroom that lets a 22 GB export run beside its own store."""
     for name in store.list():
         with store.open_read(name) as part:
             shutil.copyfileobj(part, out, length=buffer)
+        if delete_parts:
+            store.delete(name)
 
 
 class RangedSink:
@@ -187,6 +197,7 @@ def compose_parts_ranged(
     sink: RangedSink,
     base_offset: int,
     buffer: int = 64 << 20,
+    delete_parts: bool = False,
 ) -> int:
     """Executor-parallel compose: every staged part is copied to its
     final byte offset (``base_offset`` + prefix sum of part sizes, in
@@ -197,6 +208,15 @@ def compose_parts_ranged(
     Byte-identical to :func:`concat_parts` by construction: offsets are
     exact prefix sums of the measured part sizes over the same
     name-ordered part list.
+
+    ``delete_parts`` drops each part inside its copy task right after
+    the positional write, capping peak disk at roughly ONE output
+    instead of parts + output (a pre-sized local sink is sparse, so
+    real usage tracks bytes written). Retry-safe in the direction that
+    matters: the positional write is idempotent (a task that copied but
+    failed before recording success re-copies identical bytes), and a
+    retry that finds its part already deleted fails LOUDLY with the
+    store's missing-part error rather than composing a silent hole.
     """
     names = store.list()
     offsets = []
@@ -213,6 +233,8 @@ def compose_parts_ranged(
         name, off = task
         with store.open_read(name) as src:
             sink.write_at(off, src, buffer)
+        if delete_parts:
+            store.delete(name)
 
     spark.sparkContext.parallelize(offsets, len(offsets)).foreach(copy_one)
     return total

@@ -171,3 +171,24 @@ def test_export_concat_mode_recorded(spark, tmp_path):
     assert n == 8 * 6
     assert clock["export_concat_mode"] == "ranged_parallel"
     assert filecmp.cmp(src, out, shallow=False)
+
+
+def test_aligned_export_matches_shuffle_export(spark, tmp_path):
+    """The chunk-aligned zero-shuffle export (default for whole-store
+    dim-ordered exports) is byte-identical to both the source and the
+    range-shuffle path, and says so in the stage clock."""
+    src = str(tmp_path / "cube.sgy")
+    make_poststack_3d(src, n_inline=8, n_crossline=6, n_samples=15)
+    store_path = str(tmp_path / "store.mdio")
+    segy_to_store(spark, src, store_path, default_registry().get("PostStack3DTime"))
+
+    clock: dict = {}
+    out_aligned = str(tmp_path / "aligned.sgy")
+    n = store_to_segy(spark, store_path, out_aligned, stage_clock=clock)
+    assert n == 8 * 6
+    assert clock["export_encode_mode"] == "chunk_aligned"
+    assert filecmp.cmp(src, out_aligned, shallow=False)
+
+    out_shuffled = str(tmp_path / "shuffled.sgy")
+    store_to_segy(spark, store_path, out_shuffled, num_partitions=3)
+    assert filecmp.cmp(out_aligned, out_shuffled, shallow=False)
