@@ -288,14 +288,16 @@ def test_threshold_sweep_persists_pair_set(spark):
 
 
 def test_knn_graph_no_corpus_broadcast(spark):
-    """The all-vectors kNN graph joins query and candidate sides on the
-    cell key as a shuffle equi-join — broadcasting either side would ship
-    the corpus to every executor; the per-query top-k must compile to
-    WindowGroupLimit (rank <= k local pre-filter)."""
+    """The all-vectors kNN graph must never broadcast or cross-join the
+    corpus. Round 8: the graph executes on the Arrow kernels — cell
+    assignment as a map pass, per-cell top-k inside the groupBy(cell)
+    task (FlatMapGroupsInPandas), so the plan carries the one cell
+    exchange and NO join operator at all; the former WindowGroupLimit
+    top-k now happens inside the cell kernel."""
     plan = _plan(spark, "knn_graph_hubness")
-    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan, plan
-    assert "WindowGroupLimit" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_cell_balance_single_corpus_scan(spark):
