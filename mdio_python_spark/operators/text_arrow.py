@@ -99,6 +99,83 @@ def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
     return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
 
 
+# --- vectorized single-block MD5 (the hash64 contract) ---------------------
+#
+# hash64(x) = conv(substr(md5(x), 1, 15), 16, 10) — the general md5-based
+# cross-engine contract (functions/scalars.py). A 16-byte ASCII k-gram is
+# one 64-byte MD5 block (16 message bytes + 0x80 pad + LE bit length), so
+# the full 64-round compression runs as ~400 uint32 numpy ops VECTORIZED
+# across every k-gram in a batch — same digest bits as Spark's F.md5 /
+# DuckDB's md5() / hashlib (property-pinned in tests/test_text_arrow.py).
+
+_MD5_S = (
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4
+    + [6, 10, 15, 21] * 4
+)
+_MD5_K = [int(abs(__import__("math").sin(i + 1)) * (1 << 32)) & 0xFFFFFFFF for i in range(64)]
+_MD5_G = (
+    list(range(16))
+    + [(5 * i + 1) % 16 for i in range(16)]
+    + [(3 * i + 5) % 16 for i in range(16)]
+    + [(7 * i) % 16 for i in range(16)]
+)
+
+
+def _rotl32(x: np.ndarray, s: int) -> np.ndarray:
+    return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
+
+
+def _md5_hash64_16_vec(w: list[np.ndarray]) -> np.ndarray:
+    """hash64 of 16-byte inputs given their four little-endian uint32
+    message words: one vectorized MD5 block per row, then the first 15
+    hex digits of the digest as a signed (always-positive 60-bit) int64
+    — bit-identical to ``conv(substr(md5(x),1,15),16,10)``."""
+    n = len(w[0])
+    M = w + [np.full(n, 0x80, dtype=np.uint32)] + [
+        np.zeros(n, dtype=np.uint32) for _ in range(9)
+    ] + [np.full(n, 128, dtype=np.uint32), np.zeros(n, dtype=np.uint32)]
+    a = np.full(n, 0x67452301, dtype=np.uint32)
+    b = np.full(n, 0xEFCDAB89, dtype=np.uint32)
+    c = np.full(n, 0x98BADCFE, dtype=np.uint32)
+    d = np.full(n, 0x10325476, dtype=np.uint32)
+    A0, B0 = a.copy(), b.copy()
+    for i in range(64):
+        if i < 16:
+            f = (b & c) | (~b & d)
+        elif i < 32:
+            f = (d & b) | (~d & c)
+        elif i < 48:
+            f = b ^ c ^ d
+        else:
+            f = c ^ (b | ~d)
+        tmp = d
+        d = c
+        c = b
+        b = b + _rotl32(
+            a + f + np.uint32(_MD5_K[i]) + M[_MD5_G[i]], _MD5_S[i]
+        )
+        a = tmp
+    A = (A0 + a).astype(np.uint64)
+    B = (B0 + b).astype(np.uint64)
+    # digest bytes 0..7 are A then B, little-endian; the hex string is
+    # those bytes in order, so the first 15 hex digits are bytes 0..6
+    # plus byte 7's high nibble
+    v = np.zeros(len(A), dtype=np.uint64)
+    for j in range(7):
+        byte = (A >> np.uint64(8 * j) if j < 4 else B >> np.uint64(8 * (j - 4))) & np.uint64(0xFF)
+        v = (v << np.uint64(8)) | byte
+    b7 = (B >> np.uint64(24)) & np.uint64(0xFF)
+    v = (v << np.uint64(4)) | (b7 >> np.uint64(4))
+    return v.view(np.int64)
+
+
+def hash64_py(data: bytes) -> int:
+    """Scalar hash64 (any length) via hashlib — the non-ASCII fallback."""
+    import hashlib
+
+    return int(hashlib.md5(data).hexdigest()[:15], 16)
+
+
 def _xxh64_16_vec(w1: np.ndarray, w2: np.ndarray) -> np.ndarray:
     """Vectorized XXH64 of 16-byte inputs given their two little-endian
     uint64 words — the numpy twin of the SQL mirror's step chain.
