@@ -106,7 +106,10 @@ def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
 # one 64-byte MD5 block (16 message bytes + 0x80 pad + LE bit length), so
 # the full 64-round compression runs as ~400 uint32 numpy ops VECTORIZED
 # across every k-gram in a batch — same digest bits as Spark's F.md5 /
-# DuckDB's md5() / hashlib (property-pinned in tests/test_text_arrow.py).
+# DuckDB's md5() / hashlib (property-pinned in tests/test_text_arrow.py:
+# test_vectorized_md5_hash64_16_matches_spark / test_scalar_hash64).
+# This is the hash the PUBLISHED winnowing contract (winnow_fingerprints'
+# wmin/fp_xor digest) selects on, so winnow_fingerprints_arrow runs on it.
 
 _MD5_S = (
     [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4 + [4, 11, 16, 23] * 4
@@ -215,11 +218,17 @@ def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
 
 
 def _winnow_ascii_block(
-    texts: list[bytes], k: int, w: int
+    texts: list[bytes], k: int, w: int, use_md5: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized winnow over a block of ASCII docs (each already
     lowered/space-trimmed, length >= w + k - 1). Returns (doc_idx,
-    n_kgrams, wmin) of the DISTINCT per-doc fingerprint selections."""
+    n_kgrams, wmin) of the DISTINCT per-doc fingerprint selections.
+    ``use_md5`` selects the hash64/md5 contract hash instead of XXH64;
+    both vectorized hashes are 16-byte-specialized, so k MUST be 16
+    (``winnow_fingerprint_set_arrow`` routes other k to the scalar
+    fallback)."""
+    if k != 16:
+        raise ValueError("the vectorized winnow block requires k=16")
     lens = np.array([len(t) for t in texts], dtype=np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     buf = np.frombuffer(b"".join(texts), dtype=np.uint8)
@@ -236,7 +245,18 @@ def _winnow_ascii_block(
         shift = np.uint64(8 * j)
         w1 |= buf[pos + j].astype(np.uint64) << shift
         w2 |= buf[pos + 8 + j].astype(np.uint64) << shift
-    h = _xxh64_16_vec(w1, w2)
+    if use_md5:
+        lo = np.uint64(0xFFFFFFFF)
+        h = _md5_hash64_16_vec(
+            [
+                (w1 & lo).astype(np.uint32),
+                (w1 >> np.uint64(32)).astype(np.uint32),
+                (w2 & lo).astype(np.uint32),
+                (w2 >> np.uint64(32)).astype(np.uint32),
+            ]
+        )
+    else:
+        h = _xxh64_16_vec(w1, w2)
     # per-doc window min on the global stream: a window never crosses a
     # doc boundary because outputs are truncated to n_kg - w + 1 per doc
     # and the stream is doc-contiguous; pad so shifted reads exist
@@ -252,78 +272,152 @@ def _winnow_ascii_block(
     return sel_doc[keep], n_kg, sel_min[keep]
 
 
+def _winnow_batch(
+    pdf: pd.DataFrame,
+    k: int,
+    w: int,
+    text_col: str,
+    id_col: str,
+    use_md5: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Distinct (doc_id, n_kgrams, wmin) arrays for one Arrow batch —
+    each document's fingerprint rows contiguous, wmin ascending within
+    a document. ASCII docs at k=16 take the vectorized block kernel;
+    anything else (non-ASCII text, or a non-16 k, for which no
+    16-byte-specialized vector hash applies) takes the per-doc scalar
+    loop over the same character-sliced, UTF8-hashed k-grams Spark
+    evaluates. ``use_md5`` selects the hash64/md5 contract hash
+    (published wmin/fp_xor digests) over Spark-native XXH64."""
+    scalar_hash = hash64_py if use_md5 else xxh64_bytes
+    ids_out: list[np.ndarray] = []
+    nkg_out: list[np.ndarray] = []
+    min_out: list[np.ndarray] = []
+    texts: list[bytes] = []
+    text_ids: list[int] = []
+    for doc_id, raw in zip(pdf[id_col], pdf[text_col]):
+        t = (raw or "").strip(" ").lower()
+        if len(t) < w + k - 1:
+            continue
+        if k == 16 and t.isascii():
+            texts.append(t.encode("ascii"))
+            text_ids.append(doc_id)
+        else:
+            # scalar fallback: character slices, UTF8 bytes — exactly
+            # substr + xxhash64/hash64 on this doc, any k
+            n_kg = len(t) - (k - 1)
+            hs = [scalar_hash(t[i : i + k].encode("utf-8")) for i in range(n_kg)]
+            sel = sorted({min(hs[i : i + w]) for i in range(n_kg - w + 1)})
+            ids_out.append(np.full(len(sel), doc_id, dtype=np.int64))
+            nkg_out.append(np.full(len(sel), n_kg, dtype=np.int64))
+            min_out.append(np.array(sel, dtype=np.int64))
+    if texts:
+        doc_idx, n_kg, wmin = _winnow_ascii_block(texts, k, w, use_md5)
+        tid = np.asarray(text_ids, dtype=np.int64)
+        ids_out.append(tid[doc_idx])
+        nkg_out.append(n_kg[doc_idx])
+        min_out.append(wmin)
+    if not ids_out:
+        return None
+    return (
+        np.concatenate(ids_out),
+        np.concatenate(nkg_out),
+        np.concatenate(min_out),
+    )
+
+
+def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Compute-bound map pass: spread across the core budget when the
+    source arrives in fewer splits than cores (same rule as
+    vector_arrow.cell_assignments_arrow)."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    source = df.select(*cols)
+    if source.rdd.getNumPartitions() < n_parts:
+        source = source.repartition(n_parts)
+    return source
+
+
 def winnow_fingerprint_set_arrow(
     df: DataFrame,
     k: int = 16,
     w: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    internal_hash: bool = True,
 ) -> DataFrame:
-    """Arrow-executed twin of ``text.winnow_fingerprint_set(...,
-    internal_hash=True)``: distinct (id, n_kgrams, wmin) per document,
-    xxhash64 k-gram hashing, identical min-selection and tie-free
-    semantics — with the explode, the per-doc window exchange, and the
-    distinct exchange all collapsed into one shuffle-free map pass.
+    """Arrow-executed twin of ``text.winnow_fingerprint_set``: distinct
+    (id, n_kgrams, wmin) per document, identical min-selection and
+    tie-free semantics — with the explode, the per-doc window exchange,
+    and the distinct exchange all collapsed into one shuffle-free map
+    pass. ``internal_hash`` mirrors the declarative flag: True (default)
+    hashes k-grams with Spark-native xxhash64, False with the md5-based
+    hash64 cross-engine contract (the published wmin/fp_xor digests).
 
     Normalization mirrors the declarative path exactly: ``lower(trim())``
     trims SPACES only (Spark/DuckDB ``trim`` semantics — not Python
-    ``str.strip``'s all-whitespace). ASCII documents (the measured shape
-    of every SF corpus) take the vectorized block kernel; any non-ASCII
-    document falls back to a per-doc scalar loop over the same
-    character-sliced, UTF8-hashed k-grams Spark evaluates."""
+    ``str.strip``'s all-whitespace). ASCII documents at k=16 (the
+    measured shape of every SF corpus) take the vectorized block kernel;
+    non-ASCII documents — and every document when k != 16, where no
+    16-byte-specialized vector hash applies — fall back to a per-doc
+    scalar loop over the same character-sliced, UTF8-hashed k-grams."""
     out_schema = f"{id_col} long, n_kgrams int, wmin long"
-    # compute-bound map pass: spread across the core budget when the
-    # source arrives in fewer splits than cores (same rule as
-    # vector_arrow.cell_assignments_arrow)
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    source = df.select(id_col, text_col)
-    if source.rdd.getNumPartitions() < n_parts:
-        source = source.repartition(n_parts)
+    source = _spread(df, [id_col, text_col])
 
     def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids_out: list[np.ndarray] = []
-            nkg_out: list[np.ndarray] = []
-            min_out: list[np.ndarray] = []
-            texts: list[bytes] = []
-            text_ids: list[int] = []
-            for doc_id, raw in zip(pdf[id_col], pdf[text_col]):
-                t = (raw or "").strip(" ").lower()
-                if len(t) < w + k - 1:
-                    continue
-                if t.isascii():
-                    texts.append(t.encode("ascii"))
-                    text_ids.append(doc_id)
-                else:
-                    # scalar fallback: character slices, UTF8 bytes —
-                    # exactly substr + xxhash64 on a non-ASCII doc
-                    n_kg = len(t) - (k - 1)
-                    hs = [
-                        xxh64_bytes(t[i : i + k].encode("utf-8"))
-                        for i in range(n_kg)
-                    ]
-                    sel = sorted(
-                        {min(hs[i : i + w]) for i in range(n_kg - w + 1)}
-                    )
-                    ids_out.append(np.full(len(sel), doc_id, dtype=np.int64))
-                    nkg_out.append(np.full(len(sel), n_kg, dtype=np.int64))
-                    min_out.append(np.array(sel, dtype=np.int64))
-            if texts:
-                doc_idx, n_kg, wmin = _winnow_ascii_block(texts, k, w)
-                tid = np.asarray(text_ids, dtype=np.int64)
-                ids_out.append(tid[doc_idx])
-                nkg_out.append(n_kg[doc_idx])
-                min_out.append(wmin)
-            if not ids_out:
+            got = _winnow_batch(pdf, k, w, text_col, id_col, not internal_hash)
+            if got is None:
                 continue
+            ids, nkg, wmin = got
             yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(ids_out),
-                    "n_kgrams": np.concatenate(nkg_out).astype(np.int32),
-                    "wmin": np.concatenate(min_out),
-                }
+                {id_col: ids, "n_kgrams": nkg.astype(np.int32), "wmin": wmin}
             )
 
     return source.mapInPandas(winnow, out_schema)
+
+
+def winnow_fingerprints_arrow(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-executed twin of ``text.winnow_fingerprints`` (the PUBLISHED
+    md5/hash64 contract): per-document (id, n_kgrams, n_fingerprints,
+    fp_xor). The count and the order-free XOR digest reduce over each
+    document's distinct fingerprint set INSIDE the map task — a document
+    never crosses batches, so the whole query is one shuffle-free pass
+    (the declarative plan's doc_id window exchange, distinct, and final
+    aggregate exchange all disappear). Bit-identity with the declarative
+    rollup is pinned by tests/test_text_arrow.py."""
+    out_schema = (
+        f"{id_col} long, n_kgrams int, n_fingerprints long, fp_xor long"
+    )
+    source = _spread(df, [id_col, text_col])
+
+    def winnow_agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            got = _winnow_batch(pdf, k, w, text_col, id_col, use_md5=True)
+            if got is None:
+                continue
+            ids, nkg, wmin = got
+            # each doc's rows are contiguous: reduce count/xor per group
+            bounds = np.flatnonzero(
+                np.concatenate([[True], ids[1:] != ids[:-1]])
+            )
+            counts = np.diff(np.concatenate([bounds, [len(ids)]]))
+            fp_xor = np.bitwise_xor.reduceat(wmin.view(np.uint64), bounds)
+            yield pd.DataFrame(
+                {
+                    id_col: ids[bounds],
+                    "n_kgrams": nkg[bounds].astype(np.int32),
+                    "n_fingerprints": counts.astype(np.int64),
+                    "fp_xor": fp_xor.view(np.int64),
+                }
+            )
+
+    return source.mapInPandas(winnow_agg, out_schema)

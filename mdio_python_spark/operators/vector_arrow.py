@@ -167,6 +167,13 @@ def cell_assignments_arrow(
             pdf, V, vnorm = pdf[live], V[live], vnorm[live]
             with np.errstate(invalid="ignore", divide="ignore"):
                 cos = fold_dot_matrix(V, C) / (vnorm[:, None] * cnorms[None, :])
+            # a zero-norm centroid (kept deliberately — see
+            # collect_prefix_centroids) yields NaN cosines; Spark and
+            # DuckDB both rank NaN FIRST under ORDER BY ... DESC, while
+            # numpy's argsort ranks it last — map NaN to +inf so probe
+            # order matches the oracle (argmax already returned the
+            # first/smallest-cid NaN, which +inf preserves)
+            cos = np.where(np.isnan(cos), np.inf, cos)
             if nprobe == 1:
                 cell = cids[np.argmax(cos, axis=1)]
                 yield pd.DataFrame(

@@ -437,10 +437,26 @@ def segy_to_store(
         for d in spatial:
             hk = hk.join(F.broadcast(dim_tables[d]), on=d, how="inner")
         hk = grid.chunk_keys(hk, spatial, [chunks[d] for d in spatial])
-        per_block_keys = (
-            hk.groupBy(
-                (F.col("src_trace_idx") / F.lit(block_size)).cast("long")
+        # block ids are PER FILE: each file's scan blocks start at its
+        # prefix-sum offset (generally not a block_size multiple), so a
+        # global floor(idx / block_size) would straddle real scan-task
+        # boundaries and mis-measure keys-per-block ~2x (ADVICE r8)
+        file_off = (
+            F.element_at(
+                F.array(*[F.lit(o) for o in trace_offsets]),
+                F.col("source_file").cast("int") + F.lit(1),
             )
+            if multi
+            else F.lit(0)
+        )
+        block_id = ((F.col("src_trace_idx") - file_off) / F.lit(block_size)).cast(
+            "long"
+        )
+        group_cols = (
+            [F.col("source_file"), block_id] if multi else [block_id]
+        )
+        per_block_keys = (
+            hk.groupBy(*group_cols)
             .agg(
                 F.countDistinct(
                     *[f"{d}_chunk" for d in spatial]

@@ -488,14 +488,22 @@ def write_segy_store_aligned(
         total_bytes += sum(os.path.getsize(f) for f in files)
     if not files_by_chunk:
         return None
-    # parquet is compressed; 3x is a conservative decode multiple for the
-    # per-task memory gate
-    if max(
-        sum(os.path.getsize(f) for f in fs) for _, fs in files_by_chunk
-    ) * 3 > max_part_bytes:
-        return None
+    # Per-task memory gate on the EXACT decoded size — row counts from
+    # the parquet footers x the fixed trace width (240-byte header +
+    # ns 4-byte samples). A compressed-size multiple is NOT safe here:
+    # zstd on low-entropy seismic (quiet/constant traces) routinely
+    # decodes past 3x, and an over-admitted chunk OOMs the encode task
+    # instead of falling back to the streaming shuffle path (ADVICE r8).
+    import pyarrow.parquet as _pq
 
     ns = write_spec.samples_per_trace
+    trace_bytes = 240 + ns * 4
+    max_chunk_rows = max(
+        sum(_pq.ParquetFile(f).metadata.num_rows for f in fs)
+        for _, fs in files_by_chunk
+    )
+    if max_chunk_rows * trace_bytes > max_part_bytes:
+        return None
     data_format = write_spec.data_format
     store = staging_mod.staging_for(
         staging if staging is not None else out_path + ".parts"

@@ -112,3 +112,109 @@ def test_winnow_arrow_non_ascii_and_edges(spark):
     assert got == ref
     assert not any(r[0] in (4, 7) for r in got)
     assert any(r[0] == 9 for r in got)
+
+
+_EDGE_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "   THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN   "),
+    (3, "héllo wörld — this döc is defînitely nøt ascii at all, ünïcode"),
+    (4, "short doc under gate"),
+    (5, "exactly twenty-three ch"),
+    (6, "\tleading tab stays, spaces go   "),
+    (7, None),
+    (8, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+    (9, "中文字符串测试，需要走标量回退路径才能保证哈希一致性验证通过"),
+]
+
+
+def test_winnow_arrow_non16_k_uses_scalar_path(spark):
+    """k != 16 has no 16-byte-specialized vector hash: the kernel must
+    route EVERY doc (ASCII included) through the scalar fallback and
+    still match the declarative DAG — previously the ASCII block
+    mis-hashed k != 16 (ADVICE r8)."""
+    from mdio_python_spark.operators import text_arrow
+
+    docs = spark.createDataFrame(_EDGE_ROWS, "doc_id long, text string")
+    for k, w in ((8, 4), (20, 8)):
+        ref = _sorted_rows(_declarative_set(docs, k, w))
+        got = _sorted_rows(
+            text_arrow.winnow_fingerprint_set_arrow(docs, k=k, w=w)
+        )
+        assert got == ref and len(got) > 0, (k, w)
+
+
+def test_vectorized_md5_hash64_16_matches_spark(spark):
+    """The single-block vectorized MD5 hash64 vs Spark's
+    conv(substr(md5(x),1,15),16,10) over random 16-byte ASCII inputs."""
+    import numpy as np
+
+    from mdio_python_spark.functions.scalars import hash64
+    from mdio_python_spark.operators.text_arrow import _md5_hash64_16_vec
+
+    rng = random.Random(10)
+    samples = sorted(
+        "".join(chr(rng.randrange(32, 127)) for _ in range(16))
+        for _ in range(200)
+    )
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    expected = [
+        r["h"]
+        for r in df.select("s", hash64(F.col("s")).alias("h"))
+        .orderBy("s")
+        .collect()
+    ]
+    buf = np.frombuffer("".join(samples).encode("ascii"), dtype=np.uint8)
+    pos = np.arange(len(samples), dtype=np.int64) * 16
+    words = []
+    for wi in range(4):
+        acc = np.zeros(len(samples), dtype=np.uint32)
+        for j in range(4):
+            acc |= buf[pos + 4 * wi + j].astype(np.uint32) << np.uint32(8 * j)
+        words.append(acc)
+    got = _md5_hash64_16_vec(words)
+    assert got.tolist() == expected
+
+
+def test_scalar_hash64_matches_spark(spark):
+    """hash64_py (hashlib md5 fallback) vs Spark hash64 across lengths
+    and non-ASCII input."""
+    from mdio_python_spark.functions.scalars import hash64
+    from mdio_python_spark.operators.text_arrow import hash64_py
+
+    rng = random.Random(11)
+    samples = [""]
+    for n in [1, 5, 15, 16, 17, 40]:
+        samples.append("".join(chr(rng.randrange(32, 127)) for _ in range(n)))
+    samples += ["héllo wörld ünïcode 中文テスト"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    expected = {
+        r["s"]: r["h"]
+        for r in df.select("s", hash64(F.col("s")).alias("h")).collect()
+    }
+    for s in samples:
+        assert hash64_py(s.encode("utf-8")) == expected[s], repr(s)
+
+
+def _declarative_fingerprints(docs, k, w):
+    from mdio_python_spark.operators import text
+
+    return text.winnow_fingerprints(docs, k=k, w=w)
+
+
+def test_winnow_fingerprints_arrow_bit_equal(spark):
+    """The zero-shuffle md5-arm rollup (winnow_fingerprints_arrow) vs the
+    declarative text.winnow_fingerprints — the PUBLISHED wmin/fp_xor
+    contract — on both SF corpora and the constructed edge corpus."""
+    from mdio_python_spark.operators import text_arrow
+
+    edge = spark.createDataFrame(_EDGE_ROWS, "doc_id long, text string")
+    corpora = [edge] + [
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for sf_dir in (SF_SMOKE, SF_CORRECT)
+    ]
+    for docs in corpora:
+        ref = _sorted_rows(_declarative_fingerprints(docs, 16, 8))
+        got = _sorted_rows(
+            text_arrow.winnow_fingerprints_arrow(docs, k=16, w=8)
+        )
+        assert got == ref and len(got) > 0
