@@ -4547,7 +4547,20 @@ def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy 100x corpus stops paying cap²/2 combos per hot
     key (the post-Arrow profile showed the COMBO SHUFFLE, not the
     fingerprinting, was the 100x wall: 1.18B combo rows, buckets up to
-    19k docs)."""
+    19k docs).
+
+    Round 9 (VERDICT r8 item 1, the 30x superlinear flag): the pair
+    count runs POST-exchange only (dedup.bucket_pair_counts repartitions
+    raw combos on the pair key; plan-pinned). The combo stream is
+    ~all-distinct per bucket-hash task — a pair's m co-occurrences live
+    in m different wmin partitions — so the old map-side partial count
+    bought no reduction while its hash map overflowed into sort-based
+    fallback: measured 110 s -> 22 s for the whole query at 30x. Member
+    sets were also measured as a collapse candidate and rejected: the
+    1.74M buckets hold 1.59M DISTINCT member arrays (the replica
+    corpus's boilerplate groups differ per fingerprint), so bucket-level
+    dedup cannot reduce the combo mass — the exchange must simply be
+    efficient. Same aggregation, same oracle, pair sets bit-identical."""
     from mdio_python_spark.operators import text_arrow
 
     docs = _t(spark, sf_dir, "documents")

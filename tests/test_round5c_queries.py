@@ -64,10 +64,12 @@ def test_winnowing_density_and_short_doc_cutoff(spark):
 
 
 def test_winnowing_plan_single_exchange(spark):
-    """Scan-side kgram hashing, then ONE doc_id exchange serves the
-    per-doc window min, the distinct, and the final aggregate."""
+    """Round 9: the declared query runs on the Arrow md5 kernel
+    (winnow_fingerprints_arrow) — the per-doc window min, distinct, and
+    count/xor rollup all happen inside the map task, so the plan has NO
+    hash exchange at all (only the optional round-robin source spread)."""
     plan = _plan(spark, "winnowing_fingerprints")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "Exchange SinglePartition" not in plan, plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
         assert bad not in plan, plan
@@ -230,7 +232,13 @@ def test_winnowing_pairs_catch_shared_block(spark):
 
 def test_winnowing_pairs_plan_no_join(spark):
     """Pair generation is in-bucket combination explode — the plan has
-    no join operator at all, and nothing funnels single-partition."""
+    no join operator at all, and nothing funnels single-partition.
+
+    Round 9 (VERDICT r8 item 1) pins the exchange strategy: exactly TWO
+    hash exchanges — the wmin bucket aggregation and the explicit
+    pair-key repartition — and NO aggregation below the pair exchange
+    (the map-side partial count over the ~all-distinct combo stream was
+    the 30x sort-fallback wall; the count must run post-exchange only)."""
     plan = _plan(spark, "winnowing_dup_pairs")
     for bad in (
         "SortMergeJoin",
@@ -240,6 +248,14 @@ def test_winnowing_pairs_plan_no_join(spark):
         "Exchange SinglePartition",
     ):
         assert bad not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    pair_ex = plan.index("Exchange hashpartitioning(doc_a")
+    # the combo-side subtree below the pair exchange carries no COUNT
+    # aggregate: generate -> exchange -> count once (the bucket
+    # collect_list is an ObjectHashAggregate, excluded by the space)
+    below = plan[pair_ex:]
+    wmin_ex = below.index("Exchange hashpartitioning(wmin")
+    assert " HashAggregate(" not in below[:wmin_ex], plan
 
 
 # --- cluster_label_purity / quality_dup_deciles --------------------------------
