@@ -167,6 +167,37 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_band_rows(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band_legs: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, leg, band_id, band_hash) rows for EVERY banding configuration
+    of one signature table in a single projection — the tuning-sweep twin
+    of the per-configuration banding inside :func:`lsh_candidate_pairs`
+    (identical band-hash expression, so the two can never drift;
+    ``leg`` = rows_per_band). One pass over the signatures replaces one
+    banding subtree per configuration — at corpus scale that is one scan
+    and one explode instead of |legs| of each."""
+    structs = []
+    for r in rows_per_band_legs:
+        for band in range(num_hashes // r):
+            cols = [
+                F.col(f"mh_{band * r + i}").cast("string") for i in range(r)
+            ]
+            structs.append(
+                F.struct(
+                    F.lit(r).cast("long").alias("leg"),
+                    F.lit(band).alias("band_id"),
+                    hash64(F.concat_ws("_", *cols)).alias("band_hash"),
+                )
+            )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("b")
+    ).select(id_col, "b.leg", "b.band_id", "b.band_hash")
+
+
 def bucket_stats(
     banded: DataFrame,
     bucket_cols: list[str],
@@ -191,8 +222,12 @@ def bucket_pairs(
     bucket_cols: list[str],
     id_col: str = "doc_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs co-occurring in any bucket.
+    ``carry_cols`` (a subset of ``bucket_cols``) ride through to the
+    output and scope the distinct — the multi-configuration sweep path
+    (one leg-tagged banding pass, per-leg pair sets).
 
     Pairs are generated *within* each bucket (groupBy + in-array
     combinations) rather than via a self-join: the upstream subtree is
@@ -207,7 +242,9 @@ def bucket_pairs(
     the right fix — use :func:`bucket_stats` to see how many buckets were
     capped. ``None`` disables the guard.
     """
-    return _bucket_combos(banded, bucket_cols, id_col, max_bucket_size).distinct()
+    return _bucket_combos(
+        banded, bucket_cols, id_col, max_bucket_size, carry_cols=carry_cols
+    ).distinct()
 
 
 def _bucket_combos(
@@ -216,6 +253,7 @@ def _bucket_combos(
     id_col: str,
     max_bucket_size: int | None,
     stop_bucket_size: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_a < doc_b) rows WITH multiplicity — one row per bucket a pair
     co-occurs in. The single home of the bucket-build + sorted-id
@@ -252,8 +290,8 @@ def _bucket_combos(
             ),
         )
     )
-    return buckets.select(F.explode(combos).alias("p")).select(
-        F.col("p.doc_a"), F.col("p.doc_b")
+    return buckets.select(*carry_cols, F.explode(combos).alias("p")).select(
+        *carry_cols, F.col("p.doc_a"), F.col("p.doc_b")
     )
 
 

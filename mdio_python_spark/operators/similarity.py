@@ -283,6 +283,41 @@ def _cell_structs(vec: Column, vnorm: Column, cents, cnorms) -> Column:
     )
 
 
+def ivf_candidate_cells(
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """The candidate side of :func:`ivf_topk` as a standalone stage:
+    (candidate_id, c_vec, c_norm, cell) via the literal-centroid argmax
+    projection. Exposed so a caller probing the SAME index at several
+    configurations (ann_tuning_curve's nprobe sweep) can persist this
+    corpus projection once and pass it to every :func:`ivf_topk` leg via
+    ``candidate_cells=`` — one corpus scan + fold-cosine pass instead of
+    one per configuration."""
+    cents, cnorms = _resolve_centroids(
+        candidates, n_centroids, id_col, vec_col, centroids
+    )
+    return (
+        candidates.select(
+            F.col(id_col).alias("candidate_id"),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("c_norm"),
+        )
+        .withColumn(
+            "_cells", _cell_structs(F.col(vec_col), F.col("c_norm"), cents, cnorms)
+        )
+        .select(
+            "candidate_id",
+            F.col(vec_col).alias("c_vec"),
+            "c_norm",
+            (-F.array_max("_cells")["ncid"]).alias("cell"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -292,6 +327,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    candidate_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into ``n_centroids`` Voronoi
     cells, probe the ``nprobe`` nearest cells per query, exact-rank inside.
@@ -313,6 +349,10 @@ def ivf_topk(
     broadcast). The single shuffle in the whole plan is the final
     per-query top-k window. At 100 TB the cell id doubles as the storage
     partition key, so a probe touches ``nprobe/n_centroids`` of the data.
+
+    ``candidate_cells`` short-circuits the candidate-side projection with
+    a prebuilt (persisted) :func:`ivf_candidate_cells` stage — the
+    multi-configuration sweep path.
     """
     cents, cnorms = _resolve_centroids(
         candidates, n_centroids, id_col, vec_col, centroids
@@ -324,17 +364,10 @@ def ivf_topk(
         return _cell_structs(F.col(vec_col), vnorm, cents, cnorms)
 
     c = (
-        candidates.select(
-            F.col(id_col).alias("candidate_id"),
-            F.col(vec_col),
-            norm(F.col(vec_col)).alias("c_norm"),
-        )
-        .withColumn("_cells", cell_structs(F.col("c_norm")))
-        .select(
-            "candidate_id",
-            F.col(vec_col).alias("c_vec"),
-            "c_norm",
-            (-F.array_max("_cells")["ncid"]).alias("cell"),
+        candidate_cells
+        if candidate_cells is not None
+        else ivf_candidate_cells(
+            candidates, n_centroids, id_col, vec_col, centroids
         )
     )
     q = (
@@ -374,6 +407,150 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "candidate_id", "cell", "cosine", "rank")
+    )
+
+
+def ivf_recall_curve(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Aggregate recall@k of the IVF index at every ``probes`` setting
+    against the exact top-k — the whole tuning curve as ONE declarative
+    pipeline (round 9, VERDICT r8 item 5).
+
+    The nprobe legs are NESTED (the cells probed at p are the first p of
+    the same descending probe order), and the exhaustive truth is the
+    p = n_centroids limit: every candidate sits in exactly one cell, so
+    joining a query against ALL cells scores the full corpus — i.e. the
+    brute-force :func:`cosine_topk` is just one more leg (leg 0). One
+    query-side explode tags (leg, probed cell) rows for leg 0 and each
+    p; ONE broadcast cell join scores every leg's candidates in a single
+    pass over the corpus; ONE window ranks per (leg, query); a
+    (query, candidate) window marks which top-k rows appear in the
+    leg-0 truth. No persist, no cache race, no per-configuration
+    rebuild: the corpus is scanned once, where the previous shape
+    re-derived the candidate assignment and re-ran a separate
+    probe-join + window + aggregate job chain per configuration (the 8
+    bounded-but-serial SinglePartition joins the round-8 plan audit
+    called out).
+
+    Identical numbers by construction: the cell/probe expressions are
+    the shared :func:`_cell_structs` tree, the scoring expression and
+    the (cosine DESC, candidate_id) tie order are :func:`cosine_topk` /
+    :func:`ivf_topk`'s own, and zero-norm NaN cosines rank first under
+    DESC in both engines exactly as before."""
+    cents, cnorms = _resolve_centroids(
+        candidates, n_centroids, id_col, vec_col, centroids
+    )
+    c = ivf_candidate_cells(candidates, n_centroids, id_col, vec_col, cents)
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    ).withColumn(
+        "_probes",
+        F.sort_array(
+            _cell_structs(F.col("q_vec"), F.col("q_norm"), cents, cnorms),
+            asc=False,
+        ),
+    )
+    q_legs = []
+    for leg in (0, *probes):
+        if leg == 0:
+            # the truth leg: every cell — the join then scores the
+            # whole corpus per query, exactly cosine_topk's cross join
+            probe = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(0.0).alias("cos"),
+                            F.lit(-cid).cast("long").alias("ncid"),
+                        )
+                        for cid, _ in cents
+                    ]
+                )
+            )
+        else:
+            probe = F.explode(F.slice("_probes", 1, leg))
+        q_legs.append(
+            q0.select(
+                F.lit(leg).cast("long").alias("leg"),
+                "query_id",
+                "q_vec",
+                "q_norm",
+                probe.alias("_p"),
+            ).select(
+                "leg",
+                "query_id",
+                "q_vec",
+                "q_norm",
+                (-F.col("_p")["ncid"]).alias("cell"),
+            )
+        )
+    q_all = q_legs[0]
+    for ql in q_legs[1:]:
+        q_all = q_all.unionByName(ql)
+    scored = (
+        c.join(F.broadcast(q_all), "cell")
+        .where(F.col("query_id") != F.col("candidate_id"))
+        .select(
+            "leg",
+            "query_id",
+            "candidate_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    # ONE exchange serves both windows: hashpartitioning(query_id) is a
+    # subset of both the (leg, query) rank clustering and the
+    # (query, candidate) truth-mark clustering, so the explicit
+    # repartition is the plan's only corpus-sized shuffle (each window
+    # adds just a partition-local sort). Parallelism is bounded by the
+    # query-sample size — the audit's contract, not the corpus's.
+    scored = scored.repartition("query_id")
+    w = Window.partitionBy("leg", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("candidate_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("leg", "query_id", "candidate_id")
+    )
+    w_pair = Window.partitionBy("query_id", "candidate_id")
+    marked = top.withColumn(
+        "_t",
+        F.max(F.when(F.col("leg") == 0, F.lit(1)).otherwise(F.lit(0))).over(
+            w_pair
+        ),
+    )
+    agg = marked.groupBy("leg").agg(
+        F.count(F.lit(1)).alias("_n_rows"),
+        F.sum("_t").cast("long").alias("n_hits"),
+    )
+    # the truth size rides to every leg row over the |probes|+1-row agg
+    w_all = Window.partitionBy()
+    return (
+        agg.withColumn(
+            "n_exact",
+            F.max(F.when(F.col("leg") == 0, F.col("_n_rows"))).over(w_all),
+        )
+        .where(F.col("leg") > 0)
+        .select(
+            F.col("leg").alias("nprobe"),
+            "n_exact",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
     )
 
 

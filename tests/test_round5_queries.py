@@ -182,18 +182,20 @@ def test_ann_tuning_curve_consistent_with_point_query(spark):
     assert curve[4] == (per_q["e"], per_q["h"])
 
 
-def test_ann_tuning_curve_plan_reuses_exact_leg(spark):
-    """The brute-force exact leg is computed ONCE (persisted) and read
-    four times; each per-leg rollup is a bounded 1-row aggregate over
-    n_queries x k pre-capped rows (the only SinglePartition exchanges);
-    every ANN-side join broadcasts; top-k windows compile to
+def test_ann_tuning_curve_plan_one_corpus_pass(spark):
+    """Round 9 (VERDICT r8 item 5): the whole curve — exact truth AND
+    all four nprobe legs — is ONE pipeline: a single broadcast cell
+    join scores every leg (no persisted fork, no per-leg rebuild), ONE
+    corpus-sized hash exchange (the query_id repartition both windows
+    share) plus the tiny post-top-k leg aggregate, and exactly one
+    bounded SinglePartition window over the |probes|+1-row aggregate.
+    No sort-merge or nested-loop joins; the rank window compiles to
     WindowGroupLimit."""
     plan = _plan(spark, "ann_tuning_curve")
-    assert (
-        plan.count("InMemoryTableScan") + plan.count("TableCacheQueryStage") >= 4
-    ), plan
-    assert plan.count("Exchange SinglePartition") <= 4, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
 
 
