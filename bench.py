@@ -297,9 +297,16 @@ def main() -> None:
     # map overflows the driver's ~2 KB stdout-tail capture and the round's
     # official bench records parsed=null (VERDICT r3 item 1). The FINAL
     # stdout line is a compact summary (< 1 KB) the driver can always parse.
-    sidecar = Path(__file__).resolve().parent / "BENCH_detail.json"
+    # Provenance (round 9, VERDICT r8 item 6): the summary and its sidecar
+    # share a run_id, and the sidecar is ALSO written under a run-stamped
+    # name — a later run can overwrite BENCH_detail.json but can never
+    # destroy or mismatch an earlier summary's per-query record.
+    run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    here = Path(__file__).resolve().parent
+    sidecar = here / "BENCH_detail.json"
     detail = {
         "metric": "total_declared_query_wall",
+        "run_id": run_id,
         "value": total,
         "unit": "sec",
         "sf": sf,
@@ -307,10 +314,13 @@ def main() -> None:
         "queries": timings,
         "errors": errors,
     }
-    sidecar.write_text(json.dumps(detail, indent=1))
+    payload = json.dumps(detail, indent=1)
+    sidecar.write_text(payload)
+    (here / f"BENCH_detail_{run_id}.json").write_text(payload)
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     summary = {
         "metric": "total_declared_query_wall",
+        "run_id": run_id,
         "value": total,
         "unit": "sec",
         "sf": sf,
