@@ -116,7 +116,30 @@ def build_cube(
     return n_inline * n_crossline
 
 
-def _run_leg(spark, segy_path: str, work: Path, tag: str) -> dict:
+def _sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(8 << 20)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def _run_leg(
+    spark, segy_path: str, work: Path, tag: str, hash_verify: bool = False
+) -> dict:
+    """One ingest -> store -> export -> verify leg.
+
+    ``hash_verify`` is the DISK-BUDGET mode for legs whose input + store
+    + export cannot be co-resident (round 9: the 48-78 GB free budget
+    forbids the byte-compare triple at x50+): the input is SHA-256'd
+    (streamed), DELETED after ingest, and the export's digest must match
+    — the same roundtrip-identity evidence as filecmp at
+    max(input+store, store+export) peak disk instead of the triple."""
     from mdio_python_spark.pipelines.export import store_to_segy
     from mdio_python_spark.pipelines.ingest import segy_to_store
     from mdio_python_spark.schemas import default_registry
@@ -125,10 +148,15 @@ def _run_leg(spark, segy_path: str, work: Path, tag: str) -> dict:
     store_path = str(work / f"store_{tag}.mdio")
     out_path = str(work / f"export_{tag}.sgy")
 
+    digest_in = _sha256(segy_path) if hash_verify else None
+
     ingest_stages: dict = {}
     t0 = time.perf_counter()
     segy_to_store(spark, segy_path, store_path, template, stage_clock=ingest_stages)
     ingest_s = time.perf_counter() - t0
+
+    if hash_verify:
+        Path(segy_path).unlink()
 
     export_stages: dict = {}
     t0 = time.perf_counter()
@@ -136,11 +164,14 @@ def _run_leg(spark, segy_path: str, work: Path, tag: str) -> dict:
     export_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    roundtrip_ok = filecmp.cmp(segy_path, out_path, shallow=False)
+    if hash_verify:
+        roundtrip_ok = _sha256(out_path) == digest_in
+    else:
+        roundtrip_ok = filecmp.cmp(segy_path, out_path, shallow=False)
     verify_s = time.perf_counter() - t0
     shutil.rmtree(store_path, ignore_errors=True)
     Path(out_path).unlink(missing_ok=True)
-    return {
+    out = {
         "n_traces": n,
         "ingest_s": round(ingest_s, 3),
         "export_s": round(export_s, 3),
@@ -149,6 +180,9 @@ def _run_leg(spark, segy_path: str, work: Path, tag: str) -> dict:
         "roundtrip_byte_identical": roundtrip_ok,
         "roundtrip_verify_s": round(verify_s, 3),
     }
+    if hash_verify:
+        out["roundtrip_verify_method"] = "sha256_input_deleted_before_export"
+    return out
 
 
 def _expected_bytes(n_il: int) -> int:
@@ -181,6 +215,15 @@ def main() -> None:
         action="store_true",
         help="skip cube regeneration when a file of the exact expected "
         "byte size already exists (size mismatch => regenerate)",
+    )
+    ap.add_argument(
+        "--hash-verify-min-traces",
+        type=int,
+        default=1 << 62,
+        help="legs at or above this trace count verify the roundtrip by "
+        "streamed SHA-256 and delete the input cube after ingest — the "
+        "disk-budget mode for scales whose input+store+export triple "
+        "cannot be co-resident (see _run_leg)",
     )
     ns = ap.parse_args()
     scales = [int(s) for s in ns.scales.split(",") if s]
@@ -215,7 +258,14 @@ def main() -> None:
     points: dict[str, dict] = {}
     superlinear: list[str] = []
     for s in scales:
-        scaled = _run_leg(spark, legs[f"x{s}"][0], work, f"x{s}")
+        n_traces = legs[f"x{s}"][1] * BASE_XL
+        scaled = _run_leg(
+            spark,
+            legs[f"x{s}"][0],
+            work,
+            f"x{s}",
+            hash_verify=n_traces >= ns.hash_verify_min_traces,
+        )
         print(f"x{s}: {json.dumps(scaled)}", file=sys.stderr)
         ratios = {
             k: round(scaled[f"{k}_s"] / max(base[f"{k}_s"], 1e-6), 2)
