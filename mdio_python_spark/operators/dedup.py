@@ -137,6 +137,32 @@ def minhash_signatures(
     return base_df.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_from_sets(
+    sets: DataFrame,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    set_col: str = "_set",
+) -> DataFrame:
+    """:func:`minhash_signatures` computed from prebuilt per-doc shingle
+    SET arrays instead of exploded shingle rows — bit-identical
+    signatures (min over the XORed set equals min over the XORed
+    multiset; both are signed-long mins). For a caller that already
+    aggregates the per-doc sorted set arrays for an array-intersect
+    verify (:func:`pair_overlap_counts_arrays`), this removes the
+    second corpus-sized aggregation entirely: one collect_set exchange
+    feeds signatures AND both verify sides."""
+    aggs = [
+        F.array_min(
+            F.transform(
+                F.col(set_col),
+                lambda x: x.bitwiseXOR(F.lit(mix_constant(k))),
+            )
+        ).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sets.select(F.col(id_col), *aggs)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -460,9 +486,10 @@ def pair_overlap_counts(
 
 def pair_overlap_counts_arrays(
     pairs: DataFrame,
-    shingles: DataFrame,
+    shingles: DataFrame | None,
     id_col: str = "doc_id",
     min_jaccard: float | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`pair_overlap_counts` computed per-pair over COLLECTED
     shingle-set arrays instead of the exploded per-shingle join —
@@ -486,13 +513,24 @@ def pair_overlap_counts_arrays(
     Scale note: pair rows carry the two arrays (~2 KB each) between the
     joins — right when |pairs| is LSH-bounded; for pair sets so large
     that |pairs| x set bytes rivals the exploded join, the row-join
-    variant stays available."""
-    key = "shingle" if "shingle" in shingles.columns else "sh"
-    if key not in shingles.columns:
-        raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
-    sets = shingles.groupBy(id_col).agg(
-        F.sort_array(F.collect_set(F.col(key))).alias("_set"),
-    )
+    variant stays available.
+
+    ``sets`` short-circuits the per-doc aggregation with a prebuilt
+    (persisted) ``(id, _set)`` array table — the path for callers that
+    also derive signatures from the same arrays
+    (:func:`minhash_signatures_from_sets`): one corpus aggregation
+    total instead of one per consumer."""
+    if sets is None:
+        if shingles is None:
+            raise ValueError("pass either shingles rows or prebuilt sets")
+        key = "shingle" if "shingle" in shingles.columns else "sh"
+        if key not in shingles.columns:
+            raise ValueError(
+                "shingles needs a 'shingle' (string) or 'sh' (long) column"
+            )
+        sets = shingles.groupBy(id_col).agg(
+            F.sort_array(F.collect_set(F.col(key))).alias("_set"),
+        )
     sized = pairs.join(
         sets.select(
             F.col(id_col).alias("doc_a"),
@@ -527,14 +565,18 @@ def pair_overlap_counts_arrays(
 
 def jaccard_pairs_arrays(
     pairs: DataFrame,
-    shingles: DataFrame,
+    shingles: DataFrame | None,
     id_col: str = "doc_id",
     min_jaccard: float | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`jaccard_pairs` on the array-verify plan
     (:func:`pair_overlap_counts_arrays`) — same jaccard doubles from the
-    same exact integers."""
-    return pair_overlap_counts_arrays(pairs, shingles, id_col, min_jaccard).select(
+    same exact integers. ``sets`` as in
+    :func:`pair_overlap_counts_arrays`."""
+    return pair_overlap_counts_arrays(
+        pairs, shingles, id_col, min_jaccard, sets=sets
+    ).select(
         "doc_a",
         "doc_b",
         (

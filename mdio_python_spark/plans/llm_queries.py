@@ -4082,34 +4082,46 @@ def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 8 (VERDICT r7 item 3): the verify leg runs on the
     ARRAY-intersect plan (dedup.jaccard_pairs_arrays — per-doc sorted
-    shingle-set arrays collected exchange-free on the persisted fork,
-    pairs join the 1-row-per-doc table twice, array_intersect scores in
-    codegen). Value-identical jaccard from the same exact integers; the
-    steep 100x ratio was the EXPLODED verify join (1.2M candidates x
-    ~290 shingles sort-merged against 171M shingle rows = 86 s of the
-    113 s row), not the banding itself: band buckets stay tiny at every
-    declared SF (max 4) and the x100 candidate growth is the replica
-    corpus's genuinely-elevated char-8 overlap (J ~ 0.5-0.65 pairs that
-    fail the 0.7 verify), which a bucket cap/stop cannot remove
-    (max x100 band bucket = 308; the combos are broad, not hot)."""
+    shingle-set arrays, pairs join the 1-row-per-doc table twice,
+    array_intersect scores in codegen). Value-identical jaccard from
+    the same exact integers; the steep 100x ratio was the EXPLODED
+    verify join (1.2M candidates x ~290 shingles sort-merged against
+    171M shingle rows = 86 s of the 113 s row), not the banding itself:
+    band buckets stay tiny at every declared SF (max 4) and the x100
+    candidate growth is the replica corpus's genuinely-elevated char-8
+    overlap (J ~ 0.5-0.65 pairs that fail the 0.7 verify), which a
+    bucket cap/stop cannot remove (max x100 band bucket = 308; the
+    combos are broad, not hot).
+
+    Round 9: the query now persists the per-doc SET ARRAYS instead of
+    the exploded shingle rows — ONE collect_set aggregation over the
+    171M-row scan feeds the signatures
+    (dedup.minhash_signatures_from_sets: min over the XORed set array,
+    bit-identical to min over the multiset rows), both verify sides
+    (jaccard_pairs_arrays(sets=)), and nothing else touches corpus-
+    sized data. The round-8 shape aggregated the persisted 171M-row
+    fork three times (minhash agg + one collect_set per join side):
+    measured at 100x, those re-aggregations were the actual wall."""
     from pyspark import StorageLevel
 
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = eager(
-        dedup.char_shingles(docs, n=8)
-        .select("doc_id", hash64(F.col("shingle")).alias("sh"))
-        .repartition("doc_id")
+    hashed = dedup.char_shingles(docs, n=8).select(
+        "doc_id", hash64(F.col("shingle")).alias("sh")
+    )
+    sets = eager(
+        hashed.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sh")).alias("_set"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=4)
     out = dedup.jaccard_pairs_arrays(
-        pairs, hashed, min_jaccard=0.7
+        pairs, None, min_jaccard=0.7, sets=sets
     ).where(F.col("jaccard") >= 0.7)
-    rotate_scoped("char_shingle_near_dup", hashed)
-    return attach_cached(out, hashed)
+    rotate_scoped("char_shingle_near_dup", sets)
+    return attach_cached(out, sets)
 
 
 # ---------------------------------------------------------------------------
