@@ -236,11 +236,55 @@ def run_stress(scale: int, out_name: str, only: list[str] | None = None) -> None
     }))
 
 
+def _wait_for_quiet(max_wait_s: float = 600.0, load_gate: float = 1.5):
+    """Quiet-run gate (round 10, VERDICT r9 item 2): the r9 official
+    bench regressed 1.20x purely from ambient co-tenancy while the
+    same-HEAD quiet run was 1.01x — the graded number must be a quiet
+    one. Sample 1-minute loadavg at bench start; if another workload is
+    running (load above ``load_gate`` on this 32-core box), sleep in
+    15 s steps up to ``max_wait_s`` for it to drain, then proceed LOUDLY
+    (the recorded start_load makes any remaining contamination
+    self-evident rather than silently attributed to the plans).
+
+    Returns (start_load_1m, waited_s). The gate is 1.5 — not 0.0 —
+    because loadavg decays over minutes: a just-finished compile leaves
+    residual load with no remaining CPU contention, and blocking the
+    bench on the decay tail would trade a real measurement for an
+    idle wait."""
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > load_gate and waited < max_wait_s:
+        time.sleep(15.0)
+        waited += 15.0
+        load = os.getloadavg()[0]
+    if load > load_gate:
+        print(
+            f"bench: WARNING starting under ambient load {load:.2f} "
+            f"after waiting {waited:.0f}s — timings may be inflated",
+            file=sys.stderr,
+        )
+    return round(load, 2), round(waited, 1)
+
+
+def _unique_run_id() -> str:
+    """Second-granularity run_id + pid, suffixed on collision (ADVICE r9:
+    two runs starting within one second must never overwrite each
+    other's stamped sidecar)."""
+    here = Path(__file__).resolve().parent
+    base = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()) + f"-{os.getpid()}"
+    run_id, n = base, 0
+    while (here / f"BENCH_detail_{run_id}.json").exists():
+        n += 1
+        run_id = f"{base}-{n}"
+    return run_id
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    start_load, waited_s = _wait_for_quiet()
     spark = get_spark("mdio-spark-bench")
     # Warm-up: run every query once at the smallest SF so the timed runs
     # measure the plan, not JVM codegen/classloading for each operator's
@@ -301,9 +345,10 @@ def main() -> None:
     # share a run_id, and the sidecar is ALSO written under a run-stamped
     # name — a later run can overwrite BENCH_detail.json but can never
     # destroy or mismatch an earlier summary's per-query record.
-    run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    run_id = _unique_run_id()
     here = Path(__file__).resolve().parent
     sidecar = here / "BENCH_detail.json"
+    end_load = round(os.getloadavg()[0], 2)
     detail = {
         "metric": "total_declared_query_wall",
         "run_id": run_id,
@@ -311,6 +356,12 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "timing": "best_of_2_gc_isolated",
+        # quiet-run provenance: ambient 1-min loadavg at start (after the
+        # wait gate) and at end; end_load reflects the bench's own load +
+        # anything that co-ran, so start_load is the contamination signal
+        "start_load": start_load,
+        "end_load": end_load,
+        "quiet_wait_s": waited_s,
         "queries": timings,
         "errors": errors,
     }
@@ -327,6 +378,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "timing": "best_of_2_gc_isolated",
+        "start_load": start_load,
+        "end_load": end_load,
+        "quiet_wait_s": waited_s,
         "top5": top,
         "detail": sidecar.name,
     }

@@ -100,6 +100,33 @@ def shingle_hashes(
     return out.distinct() if distinct else out
 
 
+def shingle_sets(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc sorted DISTINCT shingle-hash arrays ``(id, _set)`` — the
+    one-corpus-aggregation stage of the set-array dedup plan (round 9's
+    ``char_shingle_near_dup`` reshape, generalized in round 10 to the
+    word-shingle LSH family).
+
+    One ``collect_set`` aggregation over the raw (multiset) hashed
+    shingle rows replaces THREE corpus-sized aggregations in the
+    classic exploded plan: the MinHash ObjectHashAggregate
+    (:func:`minhash_signatures_from_sets` derives bit-identical
+    signatures from the arrays) and one ``collect_set`` per verify join
+    side (:func:`jaccard_pairs_arrays` / ``pair_overlap_counts_arrays``
+    accept the same table via ``sets=``). Callers persist + eagerly
+    materialize the result (``caching.eager``) so the static planner
+    sees measured cache stats. The map-side partial ``collect_set`` is
+    effective here — every exploded shingle row of a document lives in
+    the partition its source row was scanned in, so the exchange moves
+    one (partial = complete) set per doc, not shingle rows.
+    """
+    key = "shingle" if "shingle" in shingles.columns else "sh"
+    if key not in shingles.columns:
+        raise ValueError("shingles needs a 'shingle' (string) or 'sh' (long) column")
+    return shingles.groupBy(id_col).agg(
+        F.sort_array(F.collect_set(F.col(key))).alias("_set")
+    )
+
+
 def mix_constant(k: int) -> int:
     """k-th XOR mixing constant (60-bit, golden-ratio multiples) — shared
     with the DuckDB oracle."""
@@ -627,6 +654,38 @@ def containment_pairs(
     Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard, containment).
     """
     ov = pair_overlap_counts(pairs, shingles, id_col)
+    return ov.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+        (
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+        ).alias("containment"),
+    )
+
+
+def containment_pairs_arrays(
+    pairs: DataFrame,
+    shingles: DataFrame | None,
+    id_col: str = "doc_id",
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`containment_pairs` on the array-verify plan — the same
+    exact (n_common, n_a, n_b) integers from
+    :func:`pair_overlap_counts_arrays`, so jaccard AND containment are
+    value-identical to the exploded-join variant. ``sets`` as in
+    :func:`pair_overlap_counts_arrays` (the one-corpus-aggregation
+    path). Zero-overlap candidates appear with n_common = 0 (the
+    exploded variant omits them) — identical downstream of any
+    ``containment >= t > 0`` filter."""
+    ov = pair_overlap_counts_arrays(pairs, shingles, id_col, sets=sets)
     return ov.select(
         "doc_a",
         "doc_b",

@@ -342,15 +342,18 @@ def winnow_fingerprint_set_arrow(
     w: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    internal_hash: bool = True,
+    internal_hash: bool = False,
 ) -> DataFrame:
     """Arrow-executed twin of ``text.winnow_fingerprint_set``: distinct
     (id, n_kgrams, wmin) per document, identical min-selection and
     tie-free semantics — with the explode, the per-doc window exchange,
     and the distinct exchange all collapsed into one shuffle-free map
-    pass. ``internal_hash`` mirrors the declarative flag: True (default)
-    hashes k-grams with Spark-native xxhash64, False with the md5-based
-    hash64 cross-engine contract (the published wmin/fp_xor digests).
+    pass. ``internal_hash`` mirrors the declarative flag INCLUDING its
+    default (ADVICE r9: the two twins must pick the same fingerprint
+    hash family under default args): False (default) uses the md5-based
+    hash64 cross-engine contract (the published wmin/fp_xor digests),
+    True swaps in Spark-native xxhash64 for internal-key callers
+    (pair generation, where only counts are published).
 
     Normalization mirrors the declarative path exactly: ``lower(trim())``
     trims SPACES only (Spark/DuckDB ``trim`` semantics — not Python

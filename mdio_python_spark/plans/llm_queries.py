@@ -162,6 +162,34 @@ _CC_CTES = """
 """
 
 
+def _word_shingle_sets(docs: DataFrame) -> DataFrame:
+    """The persisted word-3-shingle SET-ARRAY stage shared by the LSH
+    verify family (round 10, VERDICT r9 item 1 — the char_shingle
+    one-corpus-aggregation reshape applied to the word-shingle queries
+    that owned the sf0.1 top-5).
+
+    ONE ``collect_set`` aggregation over the hashed shingle scan
+    (``dedup.shingle_sets``) replaces the round-9-and-earlier shape that
+    persisted the EXPLODED shingle rows and re-aggregated them up to
+    three times per query (MinHash ObjectHashAggregate + one
+    ``collect_set`` per verify join side): signatures derive from the
+    arrays bit-identically (``dedup.minhash_signatures_from_sets``) and
+    both verify sides join the same 1-row-per-doc table
+    (``jaccard_pairs_arrays(sets=)``). The cache holds one sorted long
+    array per doc (~the same bytes as the distinct hashes, minus the
+    per-row doc_id repetition). Eagerly materialized so dependent plans
+    see measured cache stats (round-7 rule). Callers still own
+    rotate_scoped/attach_cached under their query scope.
+    """
+    from pyspark import StorageLevel
+
+    return eager(
+        dedup.shingle_sets(dedup.shingle_hashes(docs, n=3)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: exact
 # ---------------------------------------------------------------------------
@@ -245,32 +273,26 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-ratio bound (J <= min/max sizes — output-identical by theorem
     given the final jaccard >= 0.5 filter, hence NOT in the oracle).
 
-    Scale shape: every branch (signatures, set sizes, intersection sides)
-    reads ONE PERSISTED repartition(doc_id) exchange of the hashed
-    shingles (16-byte rows, ~10% of the text they replace).
-    Planner-level ReusedExchange does NOT fire across these self-join
-    branches (analyzer re-aliasing; the initial plan shows 5 identical
-    repartition exchanges) and AQE runtime stage reuse is not a contract
-    — the explicit persist makes the tokenize+explode+md5 subtree run
-    exactly once (measured 4.0 -> 2.7 s at sf0.1)."""
-    from pyspark import StorageLevel
-
+    Scale shape (round 10 — the char_shingle set-array reshape,
+    VERDICT r9 item 1): ONE persisted collect_set aggregation of the
+    hashed shingle scan (``_word_shingle_sets``) feeds the signatures
+    (bit-identical mins over the XORed arrays), the size-ratio gate, and
+    BOTH verify sides via ``array_intersect`` scoring in codegen —
+    replacing the round-9 shape that re-aggregated a persisted exploded
+    shingle fork three times (the measured wall of this family at
+    stress scale)."""
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     gated = dedup.minhash_agreement_filter(pairs, sig, num_hashes=8, min_agree=3)
-    out = dedup.jaccard_pairs(gated, hashed.distinct(), min_jaccard=0.5).where(
-        F.col("jaccard") >= 0.5
-    )
-    rotate_scoped("near_dup_jaccard", hashed)
-    return attach_cached(out, hashed)
+    out = dedup.jaccard_pairs_arrays(
+        gated, None, min_jaccard=0.5, sets=sets
+    ).where(F.col("jaccard") >= 0.5)
+    rotate_scoped("near_dup_jaccard", sets)
+    return attach_cached(out, sets)
 
 
 @register(
@@ -800,22 +822,24 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1 vs re-deriving the exact-dedup semi-join per branch
     exact_keep = dedup.exact_dedup(quality).repartition("doc_id")
 
-    # The shingle hashes feed FOUR consumers (signatures->pairs, both
-    # intersection sides, set sizes), and unlike near_dup_jaccard they
-    # sit on the exact-dedup window subtree, so a recompute repeats that
-    # whole stage per branch — identical-subtree exchange reuse is not
-    # reliable under AQE here. Persist under the caching.py contract:
-    # measured 120s -> 15s on the 10x stress corpus (hashes are 16-byte
-    # rows, ~10% of the text they replace).
-    hashed = eager(
-        dedup.shingle_hashes(exact_keep, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # The shingle stage feeds FOUR consumers (signatures->pairs, both
+    # intersection sides, set sizes), and unlike near_dup_jaccard it
+    # sits on the exact-dedup window subtree, so a recompute repeats
+    # that whole stage per branch — identical-subtree exchange reuse is
+    # not reliable under AQE here. Round 10: persist the per-doc SET
+    # ARRAYS (one collect_set aggregation — exchange-free on the
+    # already doc_id-partitioned exact_keep subtree) instead of the
+    # exploded rows; signatures and both verify sides read the same
+    # 1-row-per-doc cache (_word_shingle_sets rationale).
+    sets = eager(
+        dedup.shingle_sets(dedup.shingle_hashes(exact_keep, n=3)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(
-        pairs, hashed.distinct(), min_jaccard=0.5
+    verified = dedup.jaccard_pairs_arrays(
+        pairs, None, min_jaccard=0.5, sets=sets
     ).where(F.col("jaccard") >= 0.5)
     drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = exact_keep.join(drops, "doc_id", "left_anti")
@@ -839,8 +863,8 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", zero).alias("n_kept"),
         F.coalesce("tokens_kept", zero).alias("tokens_kept"),
     )
-    rotate_scoped("llm.curation_funnel", hashed)
-    return attach_cached(result, hashed)
+    rotate_scoped("llm.curation_funnel", sets)
+    return attach_cached(result, sets)
 
 
 _IVF_COS = (
@@ -3019,20 +3043,14 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop. The matrix rollup adds two doc_id-co-partitioned hash joins
     (pairs side is LSH-bounded, tiny vs corpus) and one combinable
     groupBy on top of the shared near-dup pipeline."""
-    from pyspark import StorageLevel
-
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(
-        pairs, hashed.distinct(), min_jaccard=0.5
+    verified = dedup.jaccard_pairs_arrays(
+        pairs, None, min_jaccard=0.5, sets=sets
     ).where(F.col("jaccard") >= 0.5)
     src = docs.select("doc_id", "source")
     m = verified.join(
@@ -3046,8 +3064,8 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
-    rotate_scoped("cross_source_dup_matrix", hashed)
-    return attach_cached(out, hashed)
+    rotate_scoped("cross_source_dup_matrix", sets)
+    return attach_cached(out, sets)
 
 
 _SEMDEDUP_ORACLE = f"""
@@ -3611,6 +3629,12 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE home for the leg tuple (ADVICE r9): the banding call and the
+    # legs_lit literal frame below must enumerate the SAME configurations
+    # — two separate literals could drift and silently emit phantom
+    # zero-candidate rows (legs_lit-only) or drop banding legs
+    # (banding-only) instead of failing.
+    legs = (1, 2, 4, 8)
     # hashed is persisted but NOT eager'd: its cache fills as a side
     # effect of cand_all's materialization (it is in that job's
     # lineage), saving one barrier, and that is SAFE under the
@@ -3623,7 +3647,7 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = dedup.minhash_signatures(hashed, num_hashes=8)
     banded = dedup.minhash_band_rows(
-        sig, num_hashes=8, rows_per_band_legs=(1, 2, 4, 8)
+        sig, num_hashes=8, rows_per_band_legs=legs
     )
     cand_all = eager(
         dedup.bucket_pairs(
@@ -3642,7 +3666,7 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    legs_lit = spark.createDataFrame([(r,) for r in (1, 2, 4, 8)], "leg long")
+    legs_lit = spark.createDataFrame([(r,) for r in legs], "leg long")
     agg = (
         cand_all.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
         .groupBy("leg")
@@ -3819,21 +3843,15 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     LSH-bounded (tiny vs corpus), so the two embedding joins are
     pair-side lookups, not corpus shuffles; cosine is the shared
     left-fold dot product (deterministic evaluation order)."""
-    from pyspark import StorageLevel
-
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    hashed = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(
-        pairs, hashed.distinct(), min_jaccard=0.5
+    verified = dedup.jaccard_pairs_arrays(
+        pairs, None, min_jaccard=0.5, sets=sets
     ).where(F.col("jaccard") >= 0.5)
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_va"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_vb"))
@@ -3847,8 +3865,8 @@ def q_nearpair_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFram
             similarity.cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
     )
-    rotate_scoped("nearpair_embedding_agreement", hashed)
-    return attach_cached(out, hashed)
+    rotate_scoped("nearpair_embedding_agreement", sets)
+    return attach_cached(out, sets)
 
 
 # ---------------------------------------------------------------------------
@@ -4557,7 +4575,7 @@ def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     fps = text_arrow.winnow_fingerprint_set_arrow(
-        docs, k=_WIN_K, w=_WIN_W
+        docs, k=_WIN_K, w=_WIN_W, internal_hash=True
     ).select("doc_id", "wmin")
     counts = dedup.bucket_pair_counts(
         fps, ["wmin"], stop_bucket_size=_WINNOW_STOP_DF
@@ -4721,11 +4739,11 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiled = ntile_from_ordinal(ranked, 10, ordinal_col="_rn", out_col="decile")
 
-    sh = eager(dedup.shingle_hashes(docs, n=3).repartition("doc_id").persist())
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    verified = dedup.jaccard_pairs(
-        pairs, sh.distinct(), min_jaccard=0.5
+    verified = dedup.jaccard_pairs_arrays(
+        pairs, None, min_jaccard=0.5, sets=sets
     ).where(F.col("jaccard") >= 0.5)
     dups = (
         verified.select(F.col("doc_a").alias("doc_id"))
@@ -4748,9 +4766,9 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mdio_python_spark.operators.caching import rotate_scoped
 
-    rotate_scoped("llm.quality_dup_deciles.shingles", sh)
+    rotate_scoped("llm.quality_dup_deciles.shingles", sets)
     return attach_cached(
-        out, sh, *getattr(ranked, CACHE_ATTR, [])
+        out, sets, *getattr(ranked, CACHE_ATTR, [])
     )
 
 
@@ -4805,18 +4823,19 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    sh = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     # size-bound prefilter at the SWEEP'S MINIMUM threshold: a pair
     # whose size ratio is below min(_THRESHOLDS) cannot pass any row of
-    # the sweep — provably output-identical for every threshold.
+    # the sweep — provably output-identical for every threshold. (The
+    # sweep's lowest threshold also guards the arrays-variant n_common=0
+    # rows: jaccard 0.0 < min(_THRESHOLDS) never enters any leg.)
     verified = (
-        dedup.jaccard_pairs(pairs, sh.distinct(), min_jaccard=min(_THRESHOLDS))
+        dedup.jaccard_pairs_arrays(
+            pairs, None, min_jaccard=min(_THRESHOLDS), sets=sets
+        )
+        .where(F.col("jaccard") >= min(_THRESHOLDS))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # carry an INTEGER threshold index through the explode and join the
@@ -4846,8 +4865,8 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per.join(F.broadcast(aff), "t_idx").select(
         "threshold", "n_pairs", "n_docs_affected", "n_docs_dropped"
     )
-    rotate_scoped("llm.dedup_threshold_sweep", sh, verified)
-    return attach_cached(out, sh, verified)
+    rotate_scoped("llm.dedup_threshold_sweep", sets, verified)
+    return attach_cached(out, sets, verified)
 
 
 _CONTAINMENT_MIN = 0.6
@@ -4891,23 +4910,17 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one extra double divide over the same exact overlap counts
     (operators/dedup.py:containment_pairs), so this adds zero joins and
     zero exchanges to the near-dup DAG."""
-    from pyspark import StorageLevel
-
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    sh = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    out = dedup.containment_pairs(pairs, sh.distinct()).where(
+    out = dedup.containment_pairs_arrays(pairs, None, sets=sets).where(
         F.col("containment") >= _CONTAINMENT_MIN
     )
-    rotate_scoped("llm.containment_dup_pairs", sh)
-    return attach_cached(out, sh)
+    rotate_scoped("llm.containment_dup_pairs", sets)
+    return attach_cached(out, sets)
 
 
 _EDGE_DENSITY_ORACLE = f"""
@@ -4958,18 +4971,14 @@ def q_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    sh = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     clusters = dedup.connected_components(pairs)
-    verified = dedup.jaccard_pairs(
-        pairs, sh.distinct(), min_jaccard=0.5
+    verified = dedup.jaccard_pairs_arrays(
+        pairs, None, min_jaccard=0.5, sets=sets
     ).where(F.col("jaccard") >= 0.5)
     ca = clusters.withColumnRenamed("doc_id", "doc_a")
     sizes = clusters.groupBy("cluster_id").agg(
@@ -5000,8 +5009,8 @@ def q_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verified_density"),
         )
     )
-    rotate_scoped("llm.cluster_edge_density", sh, pairs)
-    return attach_cached(out, sh, pairs)
+    rotate_scoped("llm.cluster_edge_density", sets, pairs)
+    return attach_cached(out, sets, pairs)
 
 
 # shared oracle fragment for the IVF-QC queries: literal-centroid argmax

@@ -26,11 +26,12 @@ All four are pure additions registered AFTER every earlier module
 position moves.
 
 Scale notes: the three pair-based queries share the ``near_dup_jaccard``
-plan shape — ONE persisted repartition(doc_id) exchange of the hashed
-shingles feeds signatures, set sizes, and both intersection sides; pairs
-are LSH-bounded (capped buckets) so nothing corpus-quadratic exists; the
-agree-join moves 8 longs per doc. ``soft_dedup_weights`` is one
-map-side-combinable groupBy on a 16-byte hash plus one join that
+plan shape — ONE persisted collect_set aggregation of the hashed shingle
+scan (the round-10 set-array stage, ``llm_queries._word_shingle_sets``)
+feeds signatures, set sizes, and both verify sides via array_intersect;
+pairs are LSH-bounded (capped buckets) so nothing corpus-quadratic
+exists; the agree-join moves 8 longs per doc. ``soft_dedup_weights`` is
+one map-side-combinable groupBy on a 16-byte hash plus one join that
 shuffles (doc_id, hash) longs only.
 """
 
@@ -41,7 +42,6 @@ from pyspark.sql import functions as F
 
 from mdio_python_spark.functions.determinism import dsum, sql_dsum
 from mdio_python_spark.operators import dedup
-from mdio_python_spark.operators.caching import eager
 from mdio_python_spark.plans.llm_queries import (
     _BANDS_CTE,
     _SHINGLES_CTE,
@@ -85,25 +85,25 @@ _JOINED_CTE = """
 
 
 def _gated_candidates(spark: SparkSession, sf_dir: str):
-    """Shared Spark-side stage for the pair QC queries: persisted hashed
-    shingles -> signatures -> LSH candidates -> (agree, exact jaccard)
-    with the zero-overlap candidates re-entering at jaccard 0.0."""
-    from pyspark import StorageLevel
+    """Shared Spark-side stage for the pair QC queries: the persisted
+    per-doc shingle SET-ARRAY stage (round 10 — llm_queries.
+    _word_shingle_sets: one collect_set aggregation feeds signatures AND
+    the exact verify) -> LSH candidates -> (agree, exact jaccard). The
+    array verify scores EVERY candidate (zero-overlap pairs come out at
+    jaccard 0.0 directly), so the left join's coalesce is a no-op kept
+    for shape stability."""
+    from mdio_python_spark.plans.llm_queries import _word_shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = eager(
-        dedup.shingle_hashes(docs, n=3)
-        .repartition("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    sets = _word_shingle_sets(docs)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     agree = dedup.minhash_agreement_counts(pairs, sig, num_hashes=8)
-    exact = dedup.jaccard_pairs(pairs, hashed.distinct())
+    exact = dedup.jaccard_pairs_arrays(pairs, None, sets=sets)
     joined = agree.join(exact, ["doc_a", "doc_b"], "left").select(
         "agree", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
     )
-    return joined, hashed
+    return joined, sets
 
 
 @register(
@@ -127,7 +127,7 @@ def q_minhash_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pass_05 below the cut is a real near-dup the gate drops."""
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
-    joined, hashed = _gated_candidates(spark, sf_dir)
+    joined, sets = _gated_candidates(spark, sf_dir)
     out = joined.groupBy("agree").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         (dsum("jaccard", 6) / F.count(F.lit(1)).cast("double")).alias(
@@ -135,8 +135,8 @@ def q_minhash_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("n_pass_05"),
     )
-    rotate_scoped("minhash_gate_calibration", hashed)
-    return attach_cached(out, hashed)
+    rotate_scoped("minhash_gate_calibration", sets)
+    return attach_cached(out, sets)
 
 
 @register(
@@ -159,7 +159,7 @@ def q_jaccard_bin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     should track bin midpoints upward."""
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
-    joined, hashed = _gated_candidates(spark, sf_dir)
+    joined, sets = _gated_candidates(spark, sf_dir)
     out = joined.groupBy(
         F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
             "jaccard_bin"
@@ -171,8 +171,8 @@ def q_jaccard_bin_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(8.0) * F.count(F.lit(1)).cast("double"))
         ).alias("mean_estimate"),
     )
-    rotate_scoped("jaccard_bin_histogram", hashed)
-    return attach_cached(out, hashed)
+    rotate_scoped("jaccard_bin_histogram", sets)
+    return attach_cached(out, sets)
 
 
 @register(
@@ -199,7 +199,7 @@ def q_gate_false_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a one-off measurement)."""
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
-    joined, hashed = _gated_candidates(spark, sf_dir)
+    joined, sets = _gated_candidates(spark, sf_dir)
     out = joined.agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.sum((F.col("agree") >= 3).cast("long")).alias("n_gated_kept"),
@@ -208,8 +208,8 @@ def q_gate_false_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("agree") < 3) & (F.col("jaccard") >= 0.5)).cast("long")
         ).alias("n_false_drops"),
     )
-    rotate_scoped("gate_false_drop_audit", hashed)
-    return attach_cached(out, hashed)
+    rotate_scoped("gate_false_drop_audit", sets)
+    return attach_cached(out, sets)
 
 
 @register(

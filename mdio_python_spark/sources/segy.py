@@ -494,6 +494,14 @@ def write_segy_store_aligned(
     # zstd on low-entropy seismic (quiet/constant traces) routinely
     # decodes past 3x, and an over-admitted chunk OOMs the encode task
     # instead of falling back to the streaming shuffle path (ADVICE r8).
+    # The exact row basis carries a x3 COPY-HEADROOM factor (ADVICE r9):
+    # encode_chunk holds ~3-4 concurrent copies of the decoded bytes
+    # (concatenated Arrow table, flat numpy array, the flat[order]
+    # reorder copy, the encoded output block — the Arrow table drops
+    # before the output block materializes), so admitting up to
+    # max_part_bytes of DECODED data would peak the task at several
+    # times the budget on incompressible cubes — exactly the OOM the
+    # gate exists to route to the streaming shuffle path instead.
     import pyarrow.parquet as _pq
 
     ns = write_spec.samples_per_trace
@@ -502,7 +510,7 @@ def write_segy_store_aligned(
         sum(_pq.ParquetFile(f).metadata.num_rows for f in fs)
         for _, fs in files_by_chunk
     )
-    if max_chunk_rows * trace_bytes > max_part_bytes:
+    if max_chunk_rows * trace_bytes * 3 > max_part_bytes:
         return None
     data_format = write_spec.data_format
     store = staging_mod.staging_for(

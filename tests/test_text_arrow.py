@@ -80,7 +80,7 @@ def test_winnow_arrow_bit_equal_sf(spark):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         ref = _sorted_rows(_declarative_set(docs, 16, 8))
         got = _sorted_rows(
-            text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8)
+            text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8, internal_hash=True)
         )
         assert len(got) == len(ref) > 0
         assert got == ref
@@ -107,7 +107,7 @@ def test_winnow_arrow_non_ascii_and_edges(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     ref = _sorted_rows(_declarative_set(docs, 16, 8))
     got = _sorted_rows(
-        text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8)
+        text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8, internal_hash=True)
     )
     assert got == ref
     assert not any(r[0] in (4, 7) for r in got)
@@ -138,7 +138,7 @@ def test_winnow_arrow_non16_k_uses_scalar_path(spark):
     for k, w in ((8, 4), (20, 8)):
         ref = _sorted_rows(_declarative_set(docs, k, w))
         got = _sorted_rows(
-            text_arrow.winnow_fingerprint_set_arrow(docs, k=k, w=w)
+            text_arrow.winnow_fingerprint_set_arrow(docs, k=k, w=w, internal_hash=True)
         )
         assert got == ref and len(got) > 0, (k, w)
 
@@ -218,3 +218,20 @@ def test_winnow_fingerprints_arrow_bit_equal(spark):
             text_arrow.winnow_fingerprints_arrow(docs, k=16, w=8)
         )
         assert got == ref and len(got) > 0
+
+
+def test_winnow_arrow_default_hash_family_matches_declarative(spark):
+    """ADVICE r9 pin: under DEFAULT args the Arrow twin and the
+    declarative twin must select the SAME fingerprint hash family
+    (md5/hash64, the published contract) — a default drift between the
+    twins silently changes every fingerprint."""
+    from mdio_python_spark.operators import text, text_arrow
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs for the long winter"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = _sorted_rows(text.winnow_fingerprint_set(docs, k=16, w=8))
+    got = _sorted_rows(text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8))
+    assert got == ref and len(got) > 0
