@@ -116,6 +116,78 @@ def build_cube(
     return n_inline * n_crossline
 
 
+def _disk_baseline(work: Path, n_bytes: int = 2 << 30) -> dict:
+    """Single-stream sequential write + read MB/s of the work device
+    (round 10, VERDICT r9 item 5): the per-stage MB/s stamps below are
+    only meaningful against a measured device baseline — a concat stage
+    running at ~device write speed is DEVICE-BOUND (scales horizontally
+    on an object store), while one running well under it is a plan
+    regression. Incompressible data (urandom) + fsync on the write;
+    the read drops the page cache first when the process can (root),
+    and records whether it could — a warm-cache read baseline would
+    overstate the device and make honest stages look slow."""
+    import os
+
+    p = work / "_disk_baseline.bin"
+    buf = os.urandom(64 << 20)
+    t0 = time.perf_counter()
+    written = 0
+    with open(p, "wb") as f:
+        while written < n_bytes:
+            f.write(buf)
+            written += len(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    w_s = time.perf_counter() - t0
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as dc:
+            dc.write("3")
+        cold = True
+    except OSError:
+        cold = False
+    t0 = time.perf_counter()
+    with open(p, "rb") as f:
+        while f.read(32 << 20):
+            pass
+    r_s = time.perf_counter() - t0
+    p.unlink()
+    mb = written / 1e6
+    return {
+        "write_mb_s": round(mb / w_s, 1),
+        "read_mb_s": round(mb / r_s, 1),
+        "read_cold_cache": cold,
+        "bytes": written,
+    }
+
+
+# Bytes each clocked stage streams, as a multiple of the leg's SEG-Y file
+# size: header_scan reads the cube once; pivot_write reads the cube and
+# writes the (similar-sized, pre-compression) store; export_encode reads
+# the store and writes ~cube-sized encoded parts; export_concat reads the
+# parts AND writes the final file (2x). The stamped mb_s is bytes_moved /
+# stage_s — compare against disk_baseline to classify device-bound vs
+# plan-bound (the r9 50x concat ran at ~375 MB/s combined against a
+# 223 MB/s single-stream disk: device-bound, not a regression).
+_STAGE_IO_MULT = {
+    ("ingest_stages", "header_scan_s"): 1.0,
+    ("ingest_stages", "pivot_write_s"): 2.0,
+    ("export_stages", "export_encode_s"): 2.0,
+    ("export_stages", "export_concat_s"): 2.0,
+}
+
+
+def _stamp_stage_mb_s(leg: dict, segy_bytes: int) -> None:
+    leg["segy_bytes"] = segy_bytes
+    mbs: dict[str, float] = {}
+    for (grp, key), mult in _STAGE_IO_MULT.items():
+        s = leg.get(grp, {}).get(key)
+        if isinstance(s, (int, float)) and s > 0:
+            mbs[f"{grp[:-7]}.{key[:-2]}"] = round(
+                segy_bytes * mult / 1e6 / s, 1
+            )
+    leg["stage_mb_s"] = mbs
+
+
 def _sha256(path: str) -> str:
     import hashlib
 
@@ -148,6 +220,7 @@ def _run_leg(
     store_path = str(work / f"store_{tag}.mdio")
     out_path = str(work / f"export_{tag}.sgy")
 
+    segy_bytes = Path(segy_path).stat().st_size
     digest_in = _sha256(segy_path) if hash_verify else None
 
     ingest_stages: dict = {}
@@ -182,6 +255,7 @@ def _run_leg(
     }
     if hash_verify:
         out["roundtrip_verify_method"] = "sha256_input_deleted_before_export"
+    _stamp_stage_mb_s(out, segy_bytes)
     return out
 
 
@@ -250,6 +324,9 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    disk = _disk_baseline(work)
+    print(f"disk baseline: {json.dumps(disk)}", file=sys.stderr)
+
     # warm codegen/classloading so the base leg isn't charged for it
     _run_leg(spark, legs["warm"][0], work, "warm")
     base = _run_leg(spark, legs["base"][0], work, "base")
@@ -290,6 +367,7 @@ def main() -> None:
         "metric": "seismic_pipeline_scale_ratio",
         "scales": scales,
         "base_traces": base["n_traces"],
+        "disk_baseline": disk,
         "base": base,
         "points": points,
         "superlinear": superlinear,
