@@ -219,6 +219,11 @@ def run_stress(scale: int, out_name: str, only: list[str] | None = None) -> None
         "scale": scale,
         "base_dir": base_dir,
         "timing": "best_of_2_gc_isolated",
+        # host-health provenance: loadavg + first-touch page bandwidth
+        # at run end (see _mem_touch_mb_s — a degraded value flags
+        # host-co-tenant contamination invisible to loadavg)
+        "end_load": round(os.getloadavg()[0], 2),
+        "mem_touch_mb_s": _mem_touch_mb_s(),
         "queries": report,
         "superlinear": superlinear,
     }
@@ -236,6 +241,24 @@ def run_stress(scale: int, out_name: str, only: list[str] | None = None) -> None
     }))
 
 
+def _mem_touch_mb_s(n_bytes: int = 1 << 28) -> float:
+    """First-touch page-allocation bandwidth (MB/s): allocate and write
+    fresh pages once. On a healthy box this is multiple GB/s; under
+    host-level memory contention (this box is a VM — a noisy co-tenant
+    is invisible to our loadavg) it was measured collapsing to
+    ~90 MB/s, which uniformly inflates every Spark stage that touches
+    new memory. Recording it makes ambient contamination self-evident
+    in the artifact even when loadavg reads 0."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.empty(n_bytes // 8, dtype=np.float64)
+    a[:] = 1.0  # first touch of every page
+    dt = time.perf_counter() - t0
+    del a
+    return round(n_bytes / 1e6 / dt, 1)
+
+
 def _wait_for_quiet(max_wait_s: float = 600.0, load_gate: float = 1.5):
     """Quiet-run gate (round 10, VERDICT r9 item 2): the r9 official
     bench regressed 1.20x purely from ambient co-tenancy while the
@@ -250,20 +273,29 @@ def _wait_for_quiet(max_wait_s: float = 600.0, load_gate: float = 1.5):
     because loadavg decays over minutes: a just-finished compile leaves
     residual load with no remaining CPU contention, and blocking the
     bench on the decay tail would trade a real measurement for an
-    idle wait."""
+    idle wait.
+
+    Also gates on HOST health via :func:`_mem_touch_mb_s` (threshold
+    500 MB/s — degraded is ~90, healthy is several 1000): this box is a
+    VM, and a noisy host co-tenant inflates every query uniformly while
+    our own loadavg reads 0. Returns (start_load_1m, waited_s,
+    mem_touch_mb_s)."""
     waited = 0.0
     load = os.getloadavg()[0]
-    while load > load_gate and waited < max_wait_s:
+    touch = _mem_touch_mb_s()
+    while (load > load_gate or touch < 500.0) and waited < max_wait_s:
         time.sleep(15.0)
         waited += 15.0
         load = os.getloadavg()[0]
-    if load > load_gate:
+        touch = _mem_touch_mb_s()
+    if load > load_gate or touch < 500.0:
         print(
-            f"bench: WARNING starting under ambient load {load:.2f} "
-            f"after waiting {waited:.0f}s — timings may be inflated",
+            f"bench: WARNING starting under ambient load {load:.2f} / "
+            f"first-touch {touch} MB/s after waiting {waited:.0f}s — "
+            f"timings may be inflated",
             file=sys.stderr,
         )
-    return round(load, 2), round(waited, 1)
+    return round(load, 2), round(waited, 1), touch
 
 
 def _unique_run_id() -> str:
@@ -284,7 +316,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    start_load, waited_s = _wait_for_quiet()
+    start_load, waited_s, mem_touch = _wait_for_quiet()
     spark = get_spark("mdio-spark-bench")
     # Warm-up: run every query once at the smallest SF so the timed runs
     # measure the plan, not JVM codegen/classloading for each operator's
@@ -362,6 +394,7 @@ def main() -> None:
         "start_load": start_load,
         "end_load": end_load,
         "quiet_wait_s": waited_s,
+        "mem_touch_mb_s": mem_touch,
         "queries": timings,
         "errors": errors,
     }
@@ -381,6 +414,7 @@ def main() -> None:
         "start_load": start_load,
         "end_load": end_load,
         "quiet_wait_s": waited_s,
+        "mem_touch_mb_s": mem_touch,
         "top5": top,
         "detail": sidecar.name,
     }
