@@ -430,3 +430,77 @@ def test_minhash_agreement_counts_match_filter_semantics(spark):
         ).collect()
     }
     assert kept == {p for p, a in counts.items() if a >= 3}
+
+
+def test_shingle_sets_feeds_identical_signatures_and_jaccard(spark):
+    """Round-10 set-array reshape pin: signatures derived from the
+    per-doc set arrays (shingle_sets + minhash_signatures_from_sets)
+    are bit-identical to the classic exploded-row minhash, and the
+    arrays-based Jaccard verify returns the same doubles as the
+    exploded-join verify for every candidate pair."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "entirely different text about sparks and queries here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "tiny"),  # < 3 tokens: no shingles at all
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = dedup.shingle_hashes(docs, n=3)
+    sets = dedup.shingle_sets(hashed)
+    sig_sets = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
+    sig_rows = dedup.minhash_signatures(hashed, num_hashes=8)
+    assert sorted(map(tuple, sig_sets.collect())) == sorted(
+        map(tuple, sig_rows.collect())
+    )
+    # doc 5 has no shingles -> absent from both
+    assert not any(r[0] == 5 for r in sig_sets.collect())
+
+    pairs = dedup.lsh_candidate_pairs(sig_sets, num_hashes=8, rows_per_band=2)
+    via_sets = dedup.jaccard_pairs_arrays(pairs, None, sets=sets)
+    via_rows = dedup.jaccard_pairs(pairs, hashed.distinct())
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in via_sets.collect()}
+    ref = {(r.doc_a, r.doc_b): r.jaccard for r in via_rows.collect()}
+    # arrays variant also emits zero-overlap pairs; on shared keys the
+    # doubles are identical, and extras must all be exactly 0.0
+    for k, v in ref.items():
+        assert got[k] == v, k
+    for k in set(got) - set(ref):
+        assert got[k] == 0.0, k
+
+
+def test_word_ngram_hash_arrays_edges(spark):
+    """In-row gram-array builder: distinct counts per n match the
+    exploded shingle path; docs shorter than n yield empty arrays;
+    extra columns ride through."""
+    rows = [
+        (1, True, "a b c d e f g h i j k l m"),
+        (2, False, "a b c"),          # exactly one 3-gram, no 4-gram
+        (3, False, "a b"),            # too short for any leg
+        (4, True, None),              # null text
+        (5, False, "x x x x x x"),    # heavy duplication within doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, flag boolean, text string")
+    out = dedup.word_ngram_hash_arrays(
+        docs, (3, 4), extra_cols=("flag",)
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["flag"] is True and by_id[2]["flag"] is False
+    # null text propagates as NULL arrays — downstream explode() drops
+    # them, identical to the exploded path where NULL yields no rows
+    assert by_id[4]["_g3"] is None and by_id[4]["_g4"] is None
+    for n in (3, 4):
+        exploded = dedup.word_shingles(docs, n, distinct=True)
+        counts = {
+            r["doc_id"]: r["c"]
+            for r in exploded.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        for doc_id, r in by_id.items():
+            got_n = 0 if r[f"_g{n}"] is None else len(r[f"_g{n}"])
+            assert got_n == counts.get(doc_id, 0), (doc_id, n)
+        # per-doc distinctness of the hash arrays themselves
+        for r in out:
+            arr = r[f"_g{n}"] or []
+            assert len(arr) == len(set(arr))
