@@ -235,7 +235,16 @@ def minhash_signatures_from_sets(
     aggregates the per-doc sorted set arrays for an array-intersect
     verify (:func:`pair_overlap_counts_arrays`), this removes the
     second corpus-sized aggregation entirely: one collect_set exchange
-    feeds signatures AND both verify sides."""
+    feeds signatures AND both verify sides.
+
+    When ``sets`` already carries ``mh_0..mh_{K-1}`` (the Arrow kernel's
+    ``minhashes=K`` output — bit-identical mins computed in-map), they
+    are selected directly: the K interpreted higher-order ``transform``
+    passes over every set array disappear."""
+    if all(f"mh_{k}" in sets.columns for k in range(num_hashes)):
+        return sets.select(
+            F.col(id_col), *[f"mh_{k}" for k in range(num_hashes)]
+        )
     aggs = [
         F.array_min(
             F.transform(
@@ -1247,28 +1256,40 @@ def incremental_dedup(
 
     from mdio_python_spark.operators.caching import eager
 
+    # Round 10b: the locally-computed shingle stages persist per-doc SET
+    # ARRAYS built by the shuffle-free Arrow kernel (explode + JVM md5 +
+    # collect_set exchange collapsed into one vectorized-MD5 map pass;
+    # bit-identical rows — tests/test_text_arrow.py) — signatures derive
+    # from the arrays and the Jaccard verify joins the same caches. An
+    # exogenous row-based index (existing_shingles) is aggregated to the
+    # same set-array shape ONCE and reused for both consumers.
+    from mdio_python_spark.operators.text_arrow import shingle_sets_arrow
+
     cached: list[DataFrame] = []
-    sh_new = eager(
-        shingle_hashes(new2, n, text_col, id_col).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+    sets_new = eager(
+        shingle_sets_arrow(
+            new2, n, unit="word", text_col=text_col, id_col=id_col,
+            spread=False,  # new2 is shuffle-rooted (anti-join + window)
+            minhashes=num_hashes,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cached.append(sh_new)
+    cached.append(sets_new)
     if existing_shingles is not None:
-        sh_old = existing_shingles
+        sets_old = shingle_sets(existing_shingles, id_col)
     else:
-        sh_old = eager(
-            shingle_hashes(existing_docs, n, text_col, id_col).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+        sets_old = eager(
+            shingle_sets_arrow(
+                existing_docs, n, unit="word", text_col=text_col,
+                id_col=id_col, minhashes=num_hashes,
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cached.append(sh_old)
+        cached.append(sets_old)
     rotate_scoped("dedup.incremental_shingles", *cached)
-    sig_new = minhash_signatures(sh_new, num_hashes, id_col)
+    sig_new = minhash_signatures_from_sets(sets_new, num_hashes, id_col)
     sig_old = (
         existing_signatures
         if existing_signatures is not None
-        else minhash_signatures(sh_old, num_hashes, id_col)
+        else minhash_signatures_from_sets(sets_old, num_hashes, id_col)
     )
 
     def banded(sig: DataFrame, flag: int) -> DataFrame:
@@ -1333,9 +1354,13 @@ def incremental_dedup(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    shingle_sets = sh_old.distinct().unionByName(sh_new.distinct())
+    all_sets = sets_old.select(id_col, "_set").unionByName(
+        sets_new.select(id_col, "_set")
+    )
     drops = (
-        jaccard_pairs(pairs, shingle_sets, id_col, min_jaccard=jaccard_threshold)
+        jaccard_pairs_arrays(
+            pairs, None, id_col, min_jaccard=jaccard_threshold, sets=all_sets
+        )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select(F.col("doc_b").alias(id_col))
         .distinct()

@@ -128,20 +128,16 @@ def _rotl32(x: np.ndarray, s: int) -> np.ndarray:
     return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
 
 
-def _md5_hash64_16_vec(w: list[np.ndarray]) -> np.ndarray:
-    """hash64 of 16-byte inputs given their four little-endian uint32
-    message words: one vectorized MD5 block per row, then the first 15
-    hex digits of the digest as a signed (always-positive 60-bit) int64
-    — bit-identical to ``conv(substr(md5(x),1,15),16,10)``."""
-    n = len(w[0])
-    M = w + [np.full(n, 0x80, dtype=np.uint32)] + [
-        np.zeros(n, dtype=np.uint32) for _ in range(9)
-    ] + [np.full(n, 128, dtype=np.uint32), np.zeros(n, dtype=np.uint32)]
-    a = np.full(n, 0x67452301, dtype=np.uint32)
-    b = np.full(n, 0xEFCDAB89, dtype=np.uint32)
-    c = np.full(n, 0x98BADCFE, dtype=np.uint32)
-    d = np.full(n, 0x10325476, dtype=np.uint32)
-    A0, B0 = a.copy(), b.copy()
+def _md5_compress(
+    M: list[np.ndarray],
+    state: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One vectorized MD5 compression: 64 rounds over the 16 uint32
+    message words ``M`` applied to ``state`` (A, B, C, D), returning the
+    per-spec chained state (state + working vars). Shared by the
+    16-byte fast path and the any-length :func:`_md5_hash64_vec`."""
+    A0, B0, C0, D0 = state
+    a, b, c, d = A0, B0, C0, D0
     for i in range(64):
         if i < 16:
             f = (b & c) | (~b & d)
@@ -158,11 +154,26 @@ def _md5_hash64_16_vec(w: list[np.ndarray]) -> np.ndarray:
             a + f + np.uint32(_MD5_K[i]) + M[_MD5_G[i]], _MD5_S[i]
         )
         a = tmp
-    A = (A0 + a).astype(np.uint64)
-    B = (B0 + b).astype(np.uint64)
-    # digest bytes 0..7 are A then B, little-endian; the hex string is
-    # those bytes in order, so the first 15 hex digits are bytes 0..6
-    # plus byte 7's high nibble
+    return A0 + a, B0 + b, C0 + c, D0 + d
+
+
+def _md5_init(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        np.full(n, 0x67452301, dtype=np.uint32),
+        np.full(n, 0xEFCDAB89, dtype=np.uint32),
+        np.full(n, 0x98BADCFE, dtype=np.uint32),
+        np.full(n, 0x10325476, dtype=np.uint32),
+    )
+
+
+def _digest_hash64(A32: np.ndarray, B32: np.ndarray) -> np.ndarray:
+    """First 15 hex digits of the MD5 digest as signed (always-positive
+    60-bit) int64 — bit-identical to ``conv(substr(md5(x),1,15),16,10)``.
+    Digest bytes 0..7 are A then B, little-endian; the hex string is
+    those bytes in order, so the value is bytes 0..6 plus byte 7's high
+    nibble."""
+    A = A32.astype(np.uint64)
+    B = B32.astype(np.uint64)
     v = np.zeros(len(A), dtype=np.uint64)
     for j in range(7):
         byte = (A >> np.uint64(8 * j) if j < 4 else B >> np.uint64(8 * (j - 4))) & np.uint64(0xFF)
@@ -170,6 +181,61 @@ def _md5_hash64_16_vec(w: list[np.ndarray]) -> np.ndarray:
     b7 = (B >> np.uint64(24)) & np.uint64(0xFF)
     v = (v << np.uint64(4)) | (b7 >> np.uint64(4))
     return v.view(np.int64)
+
+
+def _md5_hash64_16_vec(w: list[np.ndarray]) -> np.ndarray:
+    """hash64 of 16-byte inputs given their four little-endian uint32
+    message words: one vectorized MD5 block per row via
+    :func:`_md5_compress`."""
+    n = len(w[0])
+    M = w + [np.full(n, 0x80, dtype=np.uint32)] + [
+        np.zeros(n, dtype=np.uint32) for _ in range(9)
+    ] + [np.full(n, 128, dtype=np.uint32), np.zeros(n, dtype=np.uint32)]
+    A, B, _, _ = _md5_compress(M, _md5_init(n))
+    return _digest_hash64(A, B)
+
+
+def _md5_hash64_vec(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """hash64 (the md5/conv contract) of N variable-length byte slices
+    ``data[starts[i] : starts[i] + lens[i]]``, fully vectorized: rows are
+    grouped by MD5 block count (message + 0x80 pad + 8-byte LE bit
+    length), each group's padded message matrix is built with one fancy
+    gather and compressed block-by-block through :func:`_md5_compress`.
+    Word/char shingles are almost always one block (len <= 55), so the
+    grouping loop runs once or twice per batch. Bit-identical to
+    hashlib/Spark/DuckDB md5 for any input bytes (property-pinned in
+    tests/test_text_arrow.py)."""
+    out = np.empty(len(starts), dtype=np.int64)
+    if not len(starts):
+        return out
+    starts = starts.astype(np.int64)
+    lens = lens.astype(np.int64)
+    nblocks = (lens + 8) // 64 + 1
+    for nb in np.unique(nblocks):
+        sel = np.flatnonzero(nblocks == nb)
+        s, ln = starts[sel], lens[sel]
+        total = int(64 * nb)
+        idx = s[:, None] + np.arange(total, dtype=np.int64)[None, :]
+        mask = np.arange(total, dtype=np.int64)[None, :] < ln[:, None]
+        padded = np.where(
+            mask, data[np.minimum(idx, len(data) - 1)], 0
+        ).astype(np.uint8)
+        padded[np.arange(len(sel)), ln] = 0x80
+        bits = (ln.astype(np.uint64) * np.uint64(8))
+        for j in range(8):
+            padded[:, total - 8 + j] = (
+                (bits >> np.uint64(8 * j)) & np.uint64(0xFF)
+            ).astype(np.uint8)
+        W = np.ascontiguousarray(padded).view("<u4")
+        state = _md5_init(len(sel))
+        for blk in range(int(nb)):
+            state = _md5_compress(
+                [W[:, blk * 16 + t] for t in range(16)], state
+            )
+        out[sel] = _digest_hash64(state[0], state[1])
+    return out
 
 
 def hash64_py(data: bytes) -> int:
@@ -424,3 +490,271 @@ def winnow_fingerprints_arrow(
             )
 
     return source.mapInPandas(winnow_agg, out_schema)
+
+
+# --- Arrow shingle-set builder (round 10) ----------------------------------
+#
+# The set-array dedup plan's ONE remaining corpus-sized stage is building
+# the per-doc sorted DISTINCT shingle-hash arrays: explode word/char
+# n-shingles, hash64 (md5 + hex conv) per occurrence in the JVM, then a
+# collect_set exchange + ObjectHashAggregate (dedup.shingle_sets). The
+# in-row declarative build (transform + array_distinct) was measured
+# SLOWER (word 1.45->1.57 s, char 3.46->10.6 s at sf0.1): md5 inside an
+# interpreted higher-order function costs more than the exchange it
+# removes. This kernel computes the IDENTICAL (id, _set) table inside
+# one mapInArrow pass — no explode, no JVM md5, no exchange:
+#
+# - word n-shingles of whitespace-split tokens are CONTIGUOUS byte
+#   ranges of the single-space-joined token text, so the kernel builds
+#   that normalized buffer once per batch from the Arrow list<string>
+#   offsets (no per-token Python objects) and hashes slices;
+# - char n-shingles are contiguous CODE-POINT ranges of lower(trim(text));
+#   code-point starts are the non-continuation UTF-8 bytes — this
+#   matches DuckDB substr semantics for ALL text (the declarative
+#   split(t, '') twin is UTF-16-code-unit based; identical on BMP text,
+#   which every parity corpus is);
+# - hash64 runs through _md5_hash64_vec (block-grouped vectorized MD5,
+#   bit-identical to conv(substr(md5(x),1,15),16,10) for any bytes);
+# - per-doc distinct + sort is one lexsort per batch.
+#
+# Tokenization is NOT reimplemented: the word path receives the JVM's
+# own split(trim(lower(text)), '\s+') token arrays, the char path the
+# JVM's lower(trim(text)) — normalization parity is by construction.
+
+
+def _cumsum_excl(counts: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], dtype=np.int64, out=out[1:])
+    return out
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        _cumsum_excl(counts), counts
+    )
+
+
+def _var_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, slice-adjusted], data[uint8]) of a pyarrow
+    (large_)string/binary array; offsets index the full data buffer."""
+    import pyarrow as pa
+
+    dt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    off = np.frombuffer(arr.buffers()[1], dtype=dt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return off, data
+
+
+def _valid_mask(arr) -> np.ndarray:
+    if arr.null_count == 0:
+        return np.ones(len(arr), dtype=bool)
+    return np.asarray(arr.is_valid())
+
+
+def _distinct_sets_batch(
+    ids: np.ndarray, h: np.ndarray, sh_doc: np.ndarray, n_docs: int
+):
+    """Per-doc sorted distinct hashes -> (ids_out, offsets_int64,
+    values) ready for a ListArray; docs with zero shingles are dropped
+    (matching the explode path, where they never produce a row)."""
+    order = np.lexsort((h, sh_doc))
+    ds, hs = sh_doc[order], h[order]
+    keep = np.ones(len(ds), dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    ds, hs = ds[keep], hs[keep]
+    counts = np.bincount(ds, minlength=n_docs)
+    sel = counts > 0
+    offsets = np.concatenate(
+        [[0], np.cumsum(counts[sel], dtype=np.int64)]
+    )
+    return ids[sel], offsets, hs
+
+
+def _word_sets_batch(ids: np.ndarray, lst, n: int):
+    """One batch of the word path: list<string> token arrays ->
+    (ids_out, offsets, hash values)."""
+    D = len(lst)
+    off = np.asarray(lst.offsets, dtype=np.int64)
+    valid = _valid_mask(lst)
+    vals = lst.values
+    voff_raw, data = _var_buffers(vals)
+    ntok = np.where(valid, off[1:] - off[:-1], 0)
+    t_start = _cumsum_excl(ntok)
+    # selected (non-null-doc) tokens as indices into the child array
+    tok_idx = np.repeat(off[:-1], ntok) + _ragged_arange(ntok)
+    tok_doc = np.repeat(np.arange(D, dtype=np.int64), ntok)
+    tl = voff_raw[tok_idx + 1] - voff_raw[tok_idx]
+    tl_cum = np.concatenate([[0], np.cumsum(tl, dtype=np.int64)])
+    first_t = t_start[tok_doc]
+    tokbytes = tl_cum[t_start + ntok] - tl_cum[t_start]
+    norm_len = tokbytes + np.maximum(ntok - 1, 0)
+    doc_dest0 = _cumsum_excl(norm_len)
+    # dest byte start of each selected token in the normalized buffer
+    dest_t = (
+        doc_dest0[tok_doc]
+        + (tl_cum[np.arange(len(tok_idx), dtype=np.int64)] - tl_cum[first_t])
+        + (np.arange(len(tok_idx), dtype=np.int64) - first_t)
+    )
+    norm = np.full(int(norm_len.sum()), 32, dtype=np.uint8)
+    dst = np.repeat(dest_t, tl) + _ragged_arange(tl)
+    src = np.repeat(voff_raw[tok_idx], tl) + _ragged_arange(tl)
+    norm[dst] = data[src]
+    m = np.maximum(ntok - (n - 1), 0)
+    sh_doc = np.repeat(np.arange(D, dtype=np.int64), m)
+    j = _ragged_arange(m)
+    first_sel = t_start[sh_doc] + j
+    last_sel = first_sel + n - 1
+    starts_sh = dest_t[first_sel]
+    lens_sh = dest_t[last_sel] + tl[last_sel] - starts_sh
+    h = _md5_hash64_vec(norm, starts_sh, lens_sh)
+    return _distinct_sets_batch(ids, h, sh_doc, D)
+
+
+def _char_sets_batch(ids: np.ndarray, arr, n: int):
+    """One batch of the char path: lower(trim(text)) strings ->
+    (ids_out, offsets, hash values). Code-point starts are the
+    non-continuation UTF-8 bytes."""
+    D = len(arr)
+    soff, data = _var_buffers(arr)
+    valid = _valid_mask(arr)
+    blen = np.where(valid, soff[1:] - soff[:-1], 0)
+    pos = np.repeat(soff[:-1], blen) + _ragged_arange(blen)
+    byte_doc = np.repeat(np.arange(D, dtype=np.int64), blen)
+    is_start = (data[pos] & 0xC0) != 0x80
+    cp_pos = pos[is_start]
+    cp_doc = byte_doc[is_start]
+    n_cp = np.bincount(cp_doc, minlength=D)
+    cp_start = _cumsum_excl(n_cp)
+    doc_end = soff[:-1] + blen
+    m = np.maximum(n_cp - (n - 1), 0)
+    sh_doc = np.repeat(np.arange(D, dtype=np.int64), m)
+    j = _ragged_arange(m)
+    first_cp = cp_start[sh_doc] + j
+    end_idx = first_cp + n
+    in_doc_end = cp_start[sh_doc] + n_cp[sh_doc]
+    ends = np.where(
+        end_idx < in_doc_end,
+        cp_pos[np.minimum(end_idx, max(len(cp_pos) - 1, 0))],
+        doc_end[sh_doc],
+    )
+    starts_sh = cp_pos[first_cp] if len(cp_pos) else np.zeros(0, np.int64)
+    lens_sh = ends - starts_sh
+    h = _md5_hash64_vec(data, starts_sh, lens_sh)
+    return _distinct_sets_batch(ids, h, sh_doc, D)
+
+
+def shingle_sets_arrow(
+    df: DataFrame,
+    n: int,
+    unit: str = "word",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = True,
+    minhashes: int = 0,
+    emit_sets: bool = True,
+) -> DataFrame:
+    """Arrow-executed twin of
+    ``dedup.shingle_sets(dedup.shingle_hashes(df, n))`` (unit='word') /
+    the char-shingle equivalent (unit='char'): per-doc sorted DISTINCT
+    hash64 shingle arrays ``(id, _set)``, bit-identical rows — docs with
+    zero shingles produce no row, exactly like the explode path. One
+    shuffle-free map pass replaces the explode + JVM md5 scan + the
+    collect_set exchange + ObjectHashAggregate.
+
+    ``minhashes=K`` additionally emits ``mh_0..mh_{K-1}`` — the
+    ``dedup.minhash_signatures`` family (min over the XOR-mixed set,
+    ``dedup.mix_constant`` mixes) computed with one ``reduceat`` per
+    mix inside the kernel, bit-identical to the declarative aggregate
+    (``minhash_signatures_from_sets`` recognizes the precomputed
+    columns and skips its K interpreted higher-order transforms).
+    ``emit_sets=False`` drops the ``_set`` column from the OUTPUT (the
+    signatures-only shape: the per-doc arrays never cross the Arrow
+    boundary back to the JVM — the cheapest plan for consumers that
+    only band signatures).
+
+    ``spread`` (default True) applies the :func:`_spread` rule — only
+    pass it for SCAN-rooted inputs. For shuffle-rooted inputs (a join /
+    window subtree) pass ``spread=False``: ``_spread`` sizes itself via
+    ``df.rdd.getNumPartitions()``, and under AQE that call MATERIALIZES
+    the shuffle subtree once before the real job runs it again
+    (measured on corpus_curation_funnel: the exact-dedup window
+    executed twice). Shuffle-rooted inputs already carry the shuffle's
+    partitioning, which AQE scales with data size."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.dedup import mix_constant
+    from mdio_python_spark.operators.text import tokens
+
+    if not emit_sets and not minhashes:
+        raise ValueError("emit_sets=False requires minhashes > 0")
+    if unit == "word":
+        src = df.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_in")
+        )
+        batch_fn = _word_sets_batch
+    elif unit == "char":
+        src = df.select(
+            F.col(id_col), F.lower(F.trim(F.col(text_col))).alias("_in")
+        )
+        batch_fn = _char_sets_batch
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    source = _spread(src, [id_col, "_in"]) if spread else src
+    fields = [(id_col, pa.int64())]
+    if emit_sets:
+        fields.append(("_set", pa.list_(pa.int64())))
+    fields += [(f"mh_{k}", pa.int64()) for k in range(minhashes)]
+    out_type = pa.schema(fields)
+    mixes = [np.int64(mix_constant(k)) for k in range(minhashes)]
+    sql_fields = ", ".join(
+        [f"{id_col} long"]
+        + (["_set array<bigint>"] if emit_sets else [])
+        + [f"mh_{k} long" for k in range(minhashes)]
+    )
+
+    def build(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = np.asarray(batch.column(0), dtype=np.int64)
+            ids_out, offsets, values = batch_fn(ids, batch.column(1), n)
+            cols = [pa.array(ids_out, type=pa.int64())]
+            if emit_sets:
+                cols.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(values, type=pa.int64()),
+                    )
+                )
+            if mixes:
+                # per-doc min over the XOR-mixed DISTINCT hashes — the
+                # values are 60-bit non-negative and the mixes < 2^60,
+                # so signed and unsigned mins agree
+                starts = offsets[:-1]
+                for mix in mixes:
+                    cols.append(
+                        pa.array(
+                            np.minimum.reduceat(values ^ mix, starts)
+                            if len(values)
+                            else np.zeros(0, dtype=np.int64),
+                            type=pa.int64(),
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(cols, schema=out_type)
+
+    return source.mapInArrow(build, sql_fields)

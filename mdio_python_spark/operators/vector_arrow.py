@@ -471,3 +471,99 @@ def semantic_dedup_arrow(
         return out
 
     return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
+
+
+def cosine_topk_arrow(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow twin of ``similarity.cosine_topk`` (brute-force cosine
+    top-k, query side small and collected): identical rows — same
+    left-fold cosine doubles, same (cosine DESC, candidate_id) tie
+    order, and Spark's NaN-IS-LARGEST ordering for zero-norm rows
+    (cosine_topk does NOT pre-filter them, so 0/0 NaNs flow into the
+    window; numpy comparisons would silently DROP them, hence the
+    explicit +inf ordering key with the true NaN double still emitted).
+
+    Each task emits its LOCAL top-k per query (the global top-k is a
+    subset of every local top-k under the same total-order comparator);
+    one JVM window over the tasks x queries x k survivors — bounded —
+    assigns the global ranks. The declarative plan's 100k-row
+    crossJoin of interpreted zip_with folds becomes one vectorized
+    map pass."""
+    from pyspark.sql import Window
+
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = (
+        np.array([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    q_norm = fold_norm(Q)
+    source = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_v")
+    )
+    n_parts = candidates.sparkSession.sparkContext.defaultParallelism
+    if source.rdd.getNumPartitions() < n_parts:
+        source = source.repartition(n_parts)
+    out_schema = "query_id long, candidate_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        neg_inf = -np.inf
+        for pdf in batches:
+            if not len(pdf) or not len(q_ids):
+                continue
+            c_ids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            Cv = _stack(pdf["_v"])
+            c_norm = fold_norm(Cv)
+            cos = fold_dot_matrix(Q, Cv) / (q_norm[:, None] * c_norm[None, :])
+            key = np.where(np.isnan(cos), np.inf, cos)
+            self_mask = q_ids[:, None] == c_ids[None, :]
+            key[self_mask] = neg_inf
+            nc = len(c_ids)
+            if nc > k:
+                thr = np.partition(key, nc - k, axis=1)[:, nc - k]
+            else:
+                thr = np.full(len(q_ids), neg_inf)
+            sel_r, sel_c = np.nonzero(
+                (key >= thr[:, None]) & (key > neg_inf)
+            )
+            sel_key = key[sel_r, sel_c]
+            order = np.lexsort((c_ids[sel_c], -sel_key, sel_r))
+            sel_r, sel_c = sel_r[order], sel_c[order]
+            starts = (
+                np.flatnonzero(np.r_[True, sel_r[1:] != sel_r[:-1]])
+                if len(sel_r)
+                else np.array([], dtype=np.int64)
+            )
+            counts = np.diff(np.r_[starts, len(sel_r)])
+            rank = (
+                np.arange(len(sel_r), dtype=np.int64)
+                - np.repeat(starts, counts)
+                + 1
+            )
+            keep = rank <= k
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[sel_r[keep]],
+                    "candidate_id": c_ids[sel_c[keep]],
+                    "cosine": cos[sel_r[keep], sel_c[keep]],
+                }
+            )
+
+    local = source.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "candidate_id"
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cosine", "rank")
+    )

@@ -20,6 +20,7 @@ from mdio_python_spark.functions.scalars import (
 )
 from mdio_python_spark.operators import curation, dedup, similarity, text
 from mdio_python_spark.operators.caching import eager
+from mdio_python_spark.operators.text_arrow import shingle_sets_arrow
 from mdio_python_spark.plans.registry import register
 from mdio_python_spark.sources.tables import load_table
 
@@ -180,11 +181,18 @@ def _word_shingle_sets(docs: DataFrame) -> DataFrame:
     per-row doc_id repetition). Eagerly materialized so dependent plans
     see measured cache stats (round-7 rule). Callers still own
     rotate_scoped/attach_cached under their query scope.
+
+    Round 10b: the stage itself now builds through the Arrow kernel
+    (``text_arrow.shingle_sets_arrow`` — bit-identical (id, _set) rows,
+    pinned in tests/test_text_arrow.py): the explode + per-shingle JVM
+    md5 + collect_set exchange collapse into one shuffle-free
+    vectorized-MD5 map pass (word sets stage 0.72 -> 0.56 s sf0.1
+    isolated; the JVM md5+conv per shingle occurrence was the floor).
     """
     from pyspark import StorageLevel
 
     return eager(
-        dedup.shingle_sets(dedup.shingle_hashes(docs, n=3)).persist(
+        shingle_sets_arrow(docs, n=3, unit="word", minhashes=8).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
@@ -231,8 +239,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over word 3-shingles): the shuffle
     carries 8 longs per doc regardless of document length; the md5 base
     hash is a scan-stage projection, the aggregate only XOR-mins longs."""
-    sh = dedup.shingle_hashes(_t(spark, sf_dir, "documents"), n=3)
-    return dedup.minhash_signatures(sh, num_hashes=8)
+    return dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(
+            _t(spark, sf_dir, "documents"),
+            n=3,
+            unit="word",
+            minhashes=8,
+            emit_sets=False,
+        ),
+        num_hashes=8,
+    )
 
 
 @register(
@@ -243,8 +259,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands x 2 rows): near-dup candidates via bucket
     self-join — the scale path that avoids the quadratic all-pairs scan."""
-    sh = dedup.shingle_hashes(_t(spark, sf_dir, "documents"), n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(
+            _t(spark, sf_dir, "documents"),
+            n=3,
+            unit="word",
+            minhashes=8,
+            emit_sets=False,
+        ),
+        num_hashes=8,
+    )
     return dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
 
 
@@ -315,8 +339,10 @@ def q_dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation, pruned to labels below the receiving node.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_hashes(docs, n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(docs, n=3, unit="word", minhashes=8, emit_sets=False),
+        num_hashes=8,
+    )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     return dedup.connected_components(pairs)
 
@@ -634,12 +660,20 @@ SELECT query_id, candidate_id, cosine, rank FROM (
 """
 
 
-@register("embedding_topk_cosine", _COSINE_ORACLE)
+@register("embedding_topk_cosine", _COSINE_ORACLE, eager=True)
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (correctness baseline for ANN): queries are
-    broadcast; candidate scan parallelizes; left-fold double dot products."""
+    """Brute-force cosine top-k (correctness baseline for ANN): queries
+    collected driver-side (bounded sample); the candidate scan runs the
+    vectorized left-fold kernel (vector_arrow.cosine_topk_arrow —
+    bit-identical doubles and tie order; round 10b: the 100k-row
+    crossJoin of interpreted zip_with folds was the query's whole
+    wall). eager=True because construction now collects the query
+    sample (the round-5 rule: build-time distributed work must sit
+    inside the timed window)."""
+    from mdio_python_spark.operators.vector_arrow import cosine_topk_arrow
+
     emb = _t(spark, sf_dir, "embeddings")
-    out = similarity.cosine_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+    out = cosine_topk_arrow(emb.where(F.col("vec_id") < 20), emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -827,12 +861,15 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sits on the exact-dedup window subtree, so a recompute repeats
     # that whole stage per branch — identical-subtree exchange reuse is
     # not reliable under AQE here. Round 10: persist the per-doc SET
-    # ARRAYS (one collect_set aggregation — exchange-free on the
-    # already doc_id-partitioned exact_keep subtree) instead of the
-    # exploded rows; signatures and both verify sides read the same
-    # 1-row-per-doc cache (_word_shingle_sets rationale).
+    # ARRAYS instead of the exploded rows; signatures and both verify
+    # sides read the same 1-row-per-doc cache (_word_shingle_sets
+    # rationale). Round 10b: the arrays build through the shuffle-free
+    # Arrow kernel (shingle_sets_arrow — vectorized MD5, no explode,
+    # no collect_set aggregation), bit-identical rows.
     sets = eager(
-        dedup.shingle_sets(dedup.shingle_hashes(exact_keep, n=3)).persist(
+        shingle_sets_arrow(
+        exact_keep, n=3, unit="word", spread=False, minhashes=8
+    ).persist(
             StorageLevel.MEMORY_AND_DISK
         )
     )
@@ -998,7 +1035,7 @@ GROUP BY e.query_id
 """
 
 
-@register("ann_recall_at_k", _RECALL_ORACLE)
+@register("ann_recall_at_k", _RECALL_ORACLE, eager=True)
 def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF-flat ANN against the exact brute-force top-10
     per query point — the QC query that turns the exact baseline into the
@@ -1012,9 +1049,14 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a SAMPLE of queries). The recall join itself touches only
     n_queries x k rows per side; the ANN side broadcasts. recall is one
     IEEE division of two exact integers — cross-engine deterministic."""
+    from mdio_python_spark.operators.vector_arrow import cosine_topk_arrow
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
-    exact = similarity.cosine_topk(queries, emb, k=10).select(
+    # round 10b: exact leg on the vectorized left-fold kernel
+    # (bit-identical); eager=True — construction collects the query
+    # sample (round-5 rule)
+    exact = cosine_topk_arrow(queries, emb, k=10).select(
         "query_id", "candidate_id"
     )
     approx = (
@@ -1220,8 +1262,16 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the band buckets (as in simhash_band_pairs), so the estimate
     needs no join back against the signature table and the shingle
     subtree is computed exactly once."""
-    sh = dedup.shingle_hashes(_t(spark, sf_dir, "documents"), n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(
+            _t(spark, sf_dir, "documents"),
+            n=3,
+            unit="word",
+            minhashes=8,
+            emit_sets=False,
+        ),
+        num_hashes=8,
+    )
     mh = [F.col(f"mh_{k}") for k in range(8)]
     bands = F.array(
         *[
@@ -2497,8 +2547,10 @@ def q_similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_hashes(docs, n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(docs, n=3, unit="word", minhashes=8, emit_sets=False),
+        num_hashes=8,
+    )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -3635,17 +3687,21 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-candidate rows (legs_lit-only) or drop banding legs
     # (banding-only) instead of failing.
     legs = (1, 2, 4, 8)
-    # hashed is persisted but NOT eager'd: its cache fills as a side
-    # effect of cand_all's materialization (it is in that job's
-    # lineage), saving one barrier, and that is SAFE under the
-    # cache-stats rule because every estimate-sensitive plan (the truth
-    # verify joins, the final agg) is built after cand_all's eager()
-    # returns — cand_all's own plan is joins-free (agg + explode +
-    # distinct), so it never consults hashed's size estimate.
-    hashed = dedup.shingle_hashes(docs, n=3).repartition("doc_id").persist(
+    # Round 10b: the persisted corpus stage is the per-doc SET-ARRAY
+    # table from the Arrow kernel (one shuffle-free vectorized-MD5 map
+    # pass) instead of the exploded hashed-shingle rows behind a
+    # repartition("doc_id") exchange: signatures derive bit-identically
+    # from the arrays and the truth verify joins the same 1-row-per-doc
+    # cache (sets=) — the corpus-sized exchange and the two implicit
+    # per-side collect_set re-aggregations disappear. Persisted but NOT
+    # eager'd: its cache fills as a side effect of cand_all's
+    # materialization (same barrier-saving rationale as before —
+    # cand_all's own plan is joins-free, so it never consults the
+    # stage's size estimate).
+    sets = shingle_sets_arrow(docs, n=3, unit="word", minhashes=8).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = dedup.minhash_signatures(hashed, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     banded = dedup.minhash_band_rows(
         sig, num_hashes=8, rows_per_band_legs=legs
     )
@@ -3657,8 +3713,9 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = eager(
         dedup.jaccard_pairs_arrays(
             cand_all.where(F.col("leg") == 1).select("doc_a", "doc_b"),
-            hashed,
+            None,
             min_jaccard=0.5,
+            sets=sets,
         )
         .where(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
@@ -3694,8 +3751,8 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
-    rotate_scoped("lsh_tuning_curve", hashed, cand_all, truth)
-    return attach_cached(out, hashed, cand_all, truth)
+    rotate_scoped("lsh_tuning_curve", sets, cand_all, truth)
+    return attach_cached(out, sets, cand_all, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -3799,8 +3856,10 @@ def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame
     from mdio_python_spark.operators.scoring import model_score
 
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_hashes(docs, n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(docs, n=3, unit="word", minhashes=8, emit_sets=False),
+        num_hashes=8,
+    )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     clusters = dedup.connected_components(pairs)
     scores = model_score(docs).select("doc_id", "score")
@@ -4119,19 +4178,23 @@ def q_char_shingle_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jaccard_pairs_arrays(sets=)), and nothing else touches corpus-
     sized data. The round-8 shape aggregated the persisted 171M-row
     fork three times (minhash agg + one collect_set per join side):
-    measured at 100x, those re-aggregations were the actual wall."""
+    measured at 100x, those re-aggregations were the actual wall.
+
+    Round 10b: the set-array stage builds through the Arrow kernel
+    (text_arrow.shingle_sets_arrow, unit='char' — bit-identical rows):
+    the char-8 explode + 12M-per-sf0.1 JVM md5+conv scan + collect_set
+    exchange collapse into one shuffle-free vectorized-MD5 map pass,
+    measured 3.53 -> 0.58 s isolated at sf0.1 (the whole stage was the
+    query's wall)."""
     from pyspark import StorageLevel
 
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = dedup.char_shingles(docs, n=8).select(
-        "doc_id", hash64(F.col("shingle")).alias("sh")
-    )
     sets = eager(
-        hashed.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("sh")).alias("_set"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        shingle_sets_arrow(docs, n=8, unit="char", minhashes=8).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     sig = dedup.minhash_signatures_from_sets(sets, num_hashes=8)
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=4)
@@ -4365,8 +4428,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.curation import split_hash
 
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_hashes(docs, n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(docs, n=3, unit="word", minhashes=8, emit_sets=False),
+        num_hashes=8,
+    )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     clusters = dedup.connected_components(pairs)
     full = (
@@ -4418,8 +4483,10 @@ def q_dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the shared LSH + connected-components DAG, one left
     join against the clustered subset, one combinable groupBy(source)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingle_hashes(docs, n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    sig = dedup.minhash_signatures_from_sets(
+        shingle_sets_arrow(docs, n=3, unit="word", minhashes=8, emit_sets=False),
+        num_hashes=8,
+    )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
     clusters = dedup.connected_components(pairs)
     base = (
@@ -6270,7 +6337,7 @@ UNION ALL SELECT * FROM agg_ivf
 """
 
 
-@register("ann_method_shootout", _shootout_oracle())
+@register("ann_method_shootout", _shootout_oracle(), eager=True)
 def q_ann_method_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'which index do I deploy' table: aggregate recall@10 of every
     ANN method the engine ships — axis-aligned sign buckets, 4-band
@@ -6291,10 +6358,15 @@ def q_ann_method_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
     from mdio_python_spark.operators.similarity import random_project, sign_bucket
 
+    from mdio_python_spark.operators.vector_arrow import cosine_topk_arrow
+
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 50)
+    # round 10b: exact leg on the vectorized left-fold kernel
+    # (bit-identical); eager=True — construction collects the query
+    # sample (round-5 rule)
     exact = (
-        similarity.cosine_topk(qs, emb, k=10)
+        cosine_topk_arrow(qs, emb, k=10)
         .select("query_id", "candidate_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

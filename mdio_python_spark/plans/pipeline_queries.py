@@ -178,7 +178,7 @@ def _recall_gain_oracle() -> str:
     """
 
 
-@register("rerank_recall_gain", _recall_gain_oracle())
+@register("rerank_recall_gain", _recall_gain_oracle(), eager=True)
 def q_rerank_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does the exact re-rank earn its corpus scan? Per query: recall@3
     of the ADC-only top-3 vs the reranked top-3, both against the exact
@@ -187,11 +187,14 @@ def q_rerank_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison joins; the exact leg is the same broadcast-query corpus
     scan the recall QC family uses."""
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
-    from mdio_python_spark.operators.similarity import cosine_topk
+    from mdio_python_spark.operators.vector_arrow import cosine_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
     short = _fitted_shortlist(emb).persist()
-    exact = cosine_topk(
+    # round 10b: exact leg on the vectorized left-fold kernel
+    # (bit-identical); eager=True — construction collects the query
+    # sample (round-5 rule)
+    exact = cosine_topk_arrow(
         emb.where(F.col("vec_id") < 50), emb, k=_RERANK_K
     ).select("query_id", "candidate_id").persist()
     adc3 = short.where(F.col("rank") <= _RERANK_K).select(

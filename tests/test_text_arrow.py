@@ -235,3 +235,126 @@ def test_winnow_arrow_default_hash_family_matches_declarative(spark):
     ref = _sorted_rows(text.winnow_fingerprint_set(docs, k=16, w=8))
     got = _sorted_rows(text_arrow.winnow_fingerprint_set_arrow(docs, k=16, w=8))
     assert got == ref and len(got) > 0
+
+
+def test_variable_length_md5_hash64_matches_hashlib():
+    """_md5_hash64_vec (block-grouped vectorized MD5) vs hashlib across
+    every block-count regime incl. the 55/56 and 119/120 pad
+    boundaries, empty input, and arbitrary (non-UTF8) bytes."""
+    import hashlib
+
+    import numpy as np
+
+    from mdio_python_spark.operators.text_arrow import _md5_hash64_vec
+
+    rng = random.Random(11)
+    lengths = [0, 1, 7, 16, 54, 55, 56, 63, 64, 100, 119, 120, 200, 500]
+    msgs = [
+        bytes(rng.randrange(256) for _ in range(n))
+        for n in lengths
+        for _ in range(20)
+    ]
+    rng.shuffle(msgs)
+    data = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    got = _md5_hash64_vec(data, starts, lens)
+    want = np.array(
+        [int(hashlib.md5(m).hexdigest()[:15], 16) for m in msgs],
+        dtype=np.int64,
+    )
+    assert (got == want).all()
+
+
+def test_shingle_sets_arrow_bit_equal_declarative(spark):
+    """shingle_sets_arrow == shingle_sets(shingle_hashes(...)) /
+    the char equivalent — same rows (incl. docs dropped for having no
+    shingles) on a corpus of edge cases: empty/whitespace-only text,
+    tab/newline runs (trim strips spaces only), NULL text, short docs,
+    non-ASCII BMP text, >55-byte shingles (2-block MD5)."""
+    from mdio_python_spark.functions.scalars import hash64
+    from mdio_python_spark.operators import dedup
+    from mdio_python_spark.operators.text_arrow import shingle_sets_arrow
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "   "),
+        (4, "a  b\t\tc   d"),
+        (5, "\tleading tab and trailing\n"),
+        (6, "one two"),
+        (7, "single"),
+        (8, "répété répété déjà vu déjà vu naïve café"),
+        (9, None),
+        (10, "x " * 300),
+        (11, "longtoken" * 20 + " b c d e f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n, unit in [(3, "word"), (2, "word"), (8, "char"), (5, "char")]:
+        if unit == "word":
+            old = dedup.shingle_sets(dedup.shingle_hashes(docs, n=n))
+        else:
+            old = dedup.shingle_sets(
+                dedup.char_shingles(docs, n=n).select(
+                    "doc_id", hash64(F.col("shingle")).alias("sh")
+                )
+            )
+        new = shingle_sets_arrow(docs, n=n, unit=unit)
+        assert _sorted_rows(old) == _sorted_rows(new), (unit, n)
+
+
+def test_shingle_sets_arrow_bit_equal_sf(spark):
+    """Corpus-scale bit-equality at the smoke SF for both units (the
+    word tables feed the whole LSH verify family; char feeds
+    char_shingle_near_dup)."""
+    from mdio_python_spark.functions.scalars import hash64
+    from mdio_python_spark.operators import dedup
+    from mdio_python_spark.operators.text_arrow import shingle_sets_arrow
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old_w = dedup.shingle_sets(dedup.shingle_hashes(docs, n=3))
+    new_w = shingle_sets_arrow(docs, n=3, unit="word")
+    assert _sorted_rows(old_w) == _sorted_rows(new_w)
+    old_c = dedup.shingle_sets(
+        dedup.char_shingles(docs, n=8).select(
+            "doc_id", hash64(F.col("shingle")).alias("sh")
+        )
+    )
+    new_c = shingle_sets_arrow(docs, n=8, unit="char")
+    assert _sorted_rows(old_c) == _sorted_rows(new_c)
+
+
+def test_shingle_sets_arrow_minhashes_bit_equal(spark):
+    """Kernel-computed mh_0..7 == dedup.minhash_signatures (exploded
+    aggregate) == minhash_signatures_from_sets (interpreted transforms)
+    on the smoke corpus, for both the sets+minhashes and the
+    signatures-only (emit_sets=False) shapes."""
+    from mdio_python_spark.operators import dedup
+    from mdio_python_spark.operators.text_arrow import shingle_sets_arrow
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = _sorted_rows(
+        dedup.minhash_signatures(dedup.shingle_hashes(docs, n=3), num_hashes=8)
+    )
+    both = shingle_sets_arrow(docs, n=3, unit="word", minhashes=8)
+    got_cols = _sorted_rows(
+        both.select("doc_id", *[f"mh_{k}" for k in range(8)])
+    )
+    assert got_cols == want
+    # from_sets must take the precomputed-column shortcut and agree
+    got_detect = _sorted_rows(
+        dedup.minhash_signatures_from_sets(both, num_hashes=8)
+    )
+    assert got_detect == want
+    # transform path over the kernel's arrays also agrees
+    got_transform = _sorted_rows(
+        dedup.minhash_signatures_from_sets(
+            both.select("doc_id", "_set"), num_hashes=8
+        )
+    )
+    assert got_transform == want
+    sig_only = shingle_sets_arrow(
+        docs, n=3, unit="word", minhashes=8, emit_sets=False
+    )
+    assert "_set" not in sig_only.columns
+    assert _sorted_rows(sig_only) == want

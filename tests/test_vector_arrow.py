@@ -136,3 +136,29 @@ def test_multiprobe_matches_python_reference(spark):
         df, k=k, nprobe=nprobe, centroids=cents, max_cell=max_cell
     )
     assert _sorted_rows(got) == sorted(expected)
+
+
+def test_cosine_topk_arrow_bit_equal(spark):
+    """cosine_topk_arrow == similarity.cosine_topk: same left-fold
+    cosine doubles, same (cosine DESC, candidate_id) tie order — on a
+    tie-heavy synthetic (colinear vectors) and the smoke corpus."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.similarity import cosine_topk
+    from mdio_python_spark.operators.vector_arrow import cosine_topk_arrow
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [1.0, 0.0]), (3, [2.0, 0.0]),
+        (4, [0.0, 1.0]), (5, [1.0, 1.0]), (6, [2.0, 2.0]), (7, [-1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 3)
+    old = sorted(tuple(r) for r in cosine_topk(q, df, k=3).collect())
+    new = sorted(tuple(r) for r in cosine_topk_arrow(q, df, k=3).collect())
+    assert old == new
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 50)
+    old = sorted(tuple(r) for r in cosine_topk(qs, emb, k=10).collect())
+    new = sorted(tuple(r) for r in cosine_topk_arrow(qs, emb, k=10).collect())
+    assert old == new
