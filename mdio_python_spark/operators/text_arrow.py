@@ -213,23 +213,29 @@ def _md5_hash64_vec(
     starts = starts.astype(np.int64)
     lens = lens.astype(np.int64)
     nblocks = (lens + 8) // 64 + 1
+    limit = len(data) - 1
     for nb in np.unique(nblocks):
         sel = np.flatnonzero(nblocks == nb)
         s, ln = starts[sel], lens[sel]
         total = int(64 * nb)
-        idx = s[:, None] + np.arange(total, dtype=np.int64)[None, :]
-        mask = np.arange(total, dtype=np.int64)[None, :] < ln[:, None]
-        padded = np.where(
-            mask, data[np.minimum(idx, len(data) - 1)], 0
-        ).astype(np.uint8)
-        padded[np.arange(len(sel)), ln] = 0x80
-        bits = (ln.astype(np.uint64) * np.uint64(8))
+        m = len(sel)
+        # column-wise padding build: one (m,) gather per message column
+        # instead of an (m, total) int64 index matrix — the matrix form
+        # is O(8 * total) bytes per row of transient memory, which at a
+        # 10k-doc char-shingle batch is gigabytes per task
+        padded = np.zeros((m, total), dtype=np.uint8)
+        for j in range(total - 8):
+            col = data[np.minimum(s + j, limit)]
+            np.putmask(col, ln <= j, 0)
+            padded[:, j] = col
+        padded[np.arange(m), ln] = 0x80
+        bits = ln.astype(np.uint64) * np.uint64(8)
         for j in range(8):
             padded[:, total - 8 + j] = (
                 (bits >> np.uint64(8 * j)) & np.uint64(0xFF)
             ).astype(np.uint8)
-        W = np.ascontiguousarray(padded).view("<u4")
-        state = _md5_init(len(sel))
+        W = padded.view("<u4")
+        state = _md5_init(m)
         for blk in range(int(nb)):
             state = _md5_compress(
                 [W[:, blk * 16 + t] for t in range(16)], state
@@ -727,34 +733,48 @@ def shingle_sets_arrow(
         + [f"mh_{k} long" for k in range(minhashes)]
     )
 
+    # Bound per-call transient memory by slicing each Arrow batch to a
+    # fixed doc count: a 10k-row batch of ~2.4k-char docs is ~24M char
+    # shingles, whose hash/sort intermediates would be GBs per task —
+    # per-batch peak must stay O(chunk), not O(batch), or the 100x
+    # stress corpus OOMs 32 concurrent tasks. 256 docs x ~2.4k chars
+    # keeps every intermediate under ~50 MB while staying fully
+    # vectorized.
+    chunk_docs = 256
+
     def build(batches):
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            ids = np.asarray(batch.column(0), dtype=np.int64)
-            ids_out, offsets, values = batch_fn(ids, batch.column(1), n)
-            cols = [pa.array(ids_out, type=pa.int64())]
-            if emit_sets:
+        for full in batches:
+            for lo in range(0, full.num_rows, chunk_docs):
+                batch = full.slice(lo, chunk_docs)
+                if not batch.num_rows:
+                    continue
+                yield from _emit(batch)
+
+    def _emit(batch):
+        ids = np.asarray(batch.column(0), dtype=np.int64)
+        ids_out, offsets, values = batch_fn(ids, batch.column(1), n)
+        cols = [pa.array(ids_out, type=pa.int64())]
+        if emit_sets:
+            cols.append(
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(values, type=pa.int64()),
+                )
+            )
+        if mixes:
+            # per-doc min over the XOR-mixed DISTINCT hashes — the
+            # values are 60-bit non-negative and the mixes < 2^60,
+            # so signed and unsigned mins agree
+            starts = offsets[:-1]
+            for mix in mixes:
                 cols.append(
-                    pa.ListArray.from_arrays(
-                        pa.array(offsets, type=pa.int32()),
-                        pa.array(values, type=pa.int64()),
+                    pa.array(
+                        np.minimum.reduceat(values ^ mix, starts)
+                        if len(values)
+                        else np.zeros(0, dtype=np.int64),
+                        type=pa.int64(),
                     )
                 )
-            if mixes:
-                # per-doc min over the XOR-mixed DISTINCT hashes — the
-                # values are 60-bit non-negative and the mixes < 2^60,
-                # so signed and unsigned mins agree
-                starts = offsets[:-1]
-                for mix in mixes:
-                    cols.append(
-                        pa.array(
-                            np.minimum.reduceat(values ^ mix, starts)
-                            if len(values)
-                            else np.zeros(0, dtype=np.int64),
-                            type=pa.int64(),
-                        )
-                    )
-            yield pa.RecordBatch.from_arrays(cols, schema=out_type)
+        yield pa.RecordBatch.from_arrays(cols, schema=out_type)
 
     return source.mapInArrow(build, sql_fields)
