@@ -15,7 +15,7 @@ bit-for-bit (no murmur3 — Spark's and DuckDB's native hashes differ).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from mdio_python_spark.functions.scalars import hash64
@@ -1019,6 +1019,7 @@ def connected_components(
     id_b: str = "doc_b",
     id_col: str = "doc_id",
     max_iter: int = 25,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Duplicate clusters from near-dup pairs: connected components via
     alternating large-star / small-star rounds (Kiveris et al.,
@@ -1036,24 +1037,35 @@ def connected_components(
     partitioning on the center. Lineage is truncated every round with an
     eager ``localCheckpoint`` (on a cluster: ``checkpoint`` to
     fault-tolerant storage), and convergence is detected by an
-    order-independent fingerprint aggregate (count + bit_xor of the pair
-    hash) — one tiny driver row per round, never the edge set.
+    order-independent fingerprint (count + bit_xor of the native edge
+    hash) computed via ``observe`` INSIDE the checkpoint's own
+    materialization job — one tiny driver row per round with no second
+    scan of the edge set (the wall of this loop is round-count x job
+    latency, not data volume, so every per-round job counts).
+
+    ``assume_distinct=True`` skips the initial distinct exchange; pass
+    it only when ``pairs`` is already a distinct ``id_a < id_b`` set
+    (the :func:`bucket_pairs` output contract every LSH caller uses).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    if not assume_distinct:
+        edges = edges.where(F.col("u") != F.col("v")).distinct()
+    edges = edges.localCheckpoint()
     fingerprint = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        fp = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(
-                hash64(F.concat_ws("_", F.col("u"), F.col("v")))
-            ).alias("x"),
-        ).first()
+        obs = Observation()
+        edges = (
+            _small_star(_large_star(edges))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # internal convergence hash only — never published, so
+                # the cheap native xxhash64 is the right pick
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("x"),
+            )
+            .localCheckpoint()
+        )
+        fp = obs.get
         if fingerprint == (fp["n"], fp["x"]):
             break
         fingerprint = (fp["n"], fp["x"])
@@ -1061,8 +1073,13 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    # At the fixpoint every edge is (member, root); roots appear only on
-    # the v side and cluster under themselves.
+    # At the fixpoint the edge set is a star forest: each non-root
+    # appears in exactly one (member, root) edge — a set that were it
+    # not functional would change under another star round, which the
+    # fingerprint proved it does not. Roots appear only on the v side
+    # and cluster under themselves, so the union is already duplicate-
+    # free: no final distinct exchange (pinned by
+    # tests/test_dedup_ops.py::test_connected_components_star_forest).
     members = edges.select(
         F.col("u").alias(id_col), F.col("v").alias("cluster_id")
     )
@@ -1071,7 +1088,7 @@ def connected_components(
         .distinct()
         .select(id_col, F.col(id_col).alias("cluster_id"))
     )
-    return members.union(roots).distinct()
+    return members.union(roots)
 
 
 def segment_dedup_stats(

@@ -344,7 +344,7 @@ def q_dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8,
     )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(pairs, assume_distinct=True)
 
 
 def _shingles_from(src: str, alias: str) -> str:
@@ -3861,7 +3861,7 @@ def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame
         num_hashes=8,
     )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    clusters = dedup.connected_components(pairs)
+    clusters = dedup.connected_components(pairs, assume_distinct=True)
     scores = model_score(docs).select("doc_id", "score")
     m = clusters.join(scores, "doc_id")
     best = m.groupBy("cluster_id").agg(
@@ -4433,7 +4433,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8,
     )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    clusters = dedup.connected_components(pairs)
+    clusters = dedup.connected_components(pairs, assume_distinct=True)
     full = (
         docs.select("doc_id")
         .join(clusters, "doc_id", "left")
@@ -4488,7 +4488,7 @@ def q_dedup_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8,
     )
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2)
-    clusters = dedup.connected_components(pairs)
+    clusters = dedup.connected_components(pairs, assume_distinct=True)
     base = (
         docs.select(
             "doc_id", "source", text.token_count(F.col("text")).alias("n_tok")
@@ -5043,7 +5043,7 @@ def q_cluster_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(sig, num_hashes=8, rows_per_band=2).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    clusters = dedup.connected_components(pairs)
+    clusters = dedup.connected_components(pairs, assume_distinct=True)
     verified = dedup.jaccard_pairs_arrays(
         pairs, None, min_jaccard=0.5, sets=sets
     ).where(F.col("jaccard") >= 0.5)

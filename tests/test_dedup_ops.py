@@ -164,6 +164,53 @@ def test_connected_components_path_clique_pair(spark):
     assert got == want
 
 
+def test_connected_components_star_forest(spark):
+    # the final union carries NO distinct: the detected fixpoint must be
+    # a star forest (exactly one output ROW per node — not just one per
+    # set-collapsed tuple). Adversarial shapes: long chain (max rounds),
+    # crossing stars, random multigraph, binary tree; plus the
+    # assume_distinct fast path on a pre-distinct a<b pair set.
+    import random
+
+    random.seed(7)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(1, 40)],
+        "cross_star": [(1, 50), (50, 2), (2, 60), (60, 3), (3, 70)],
+        "rand": [
+            (random.randint(1, 60), random.randint(1, 60)) for _ in range(150)
+        ],
+        "tree": [(i, 2 * i) for i in range(1, 32)]
+        + [(i, 2 * i + 1) for i in range(1, 32)],
+    }
+    for name, es in graphs.items():
+        es = [e for e in es if e[0] != e[1]]
+        df = spark.createDataFrame(es, "doc_a long, doc_b long")
+        rows = dedup.connected_components(df).collect()
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids)), f"{name}: duplicate output rows"
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {x: find(x) for x in parent}
+        assert {r.doc_id: r.cluster_id for r in rows} == truth, name
+        # assume_distinct fast path: distinct a<b input, same answer
+        dd = sorted({(min(a, b), max(a, b)) for a, b in es})
+        df2 = spark.createDataFrame(dd, "doc_a long, doc_b long")
+        rows2 = dedup.connected_components(df2, assume_distinct=True).collect()
+        ids2 = [r.doc_id for r in rows2]
+        assert len(ids2) == len(set(ids2)), f"{name}: dup rows (fast path)"
+        assert {r.doc_id: r.cluster_id for r in rows2} == truth, name
+
+
 def test_connected_components_handles_reversed_and_duplicate_edges(spark):
     df = spark.createDataFrame(
         [(5, 3), (3, 5), (3, 1), (9, 7), (9, 7)], "doc_a long, doc_b long"
