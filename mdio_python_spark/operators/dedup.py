@@ -1046,30 +1046,58 @@ def connected_components(
     ``assume_distinct=True`` skips the initial distinct exchange; pass
     it only when ``pairs`` is already a distinct ``id_a < id_b`` set
     (the :func:`bucket_pairs` output contract every LSH caller uses).
+
+    Small graphs (edge count known free from the entry checkpoint's
+    observe) run the loop with AQE off and 8 shuffle partitions: each
+    star round holds ~5 tiny exchanges, and AQE's per-exchange stage
+    materialization costs ~4 scheduler round-trips per round while
+    buying nothing under the threshold. Large graphs keep AQE — skew
+    handling and partition coalescing matter there — so the knob is
+    edge-count-adaptive, not a local[32] constant.
     """
+    obs0 = Observation()
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     if not assume_distinct:
         edges = edges.where(F.col("u") != F.col("v")).distinct()
-    edges = edges.localCheckpoint()
-    fingerprint = None
-    for _ in range(max_iter):
-        obs = Observation()
-        edges = (
-            _small_star(_large_star(edges))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                # internal convergence hash only — never published, so
-                # the cheap native xxhash64 is the right pick
-                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("x"),
+    edges = edges.observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    spark = edges.sparkSession
+    # ~16 B/edge -> the fast loop caps at ~2 MB/partition; beyond it the
+    # exchanges are real and AQE earns its round-trips.
+    small = obs0.get["n"] <= 1_000_000
+    loop_confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {}
+    if small:
+        for key, val in loop_confs.items():
+            saved[key] = spark.conf.get(key)
+            spark.conf.set(key, val)
+    converged = False
+    try:
+        fingerprint = None
+        for _ in range(max_iter):
+            obs = Observation()
+            edges = (
+                _small_star(_large_star(edges))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    # internal convergence hash only — never published,
+                    # so the cheap native xxhash64 is the right pick
+                    F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("x"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        fp = obs.get
-        if fingerprint == (fp["n"], fp["x"]):
-            break
-        fingerprint = (fp["n"], fp["x"])
-    else:
+            fp = obs.get
+            if fingerprint == (fp["n"], fp["x"]):
+                converged = True
+                break
+            fingerprint = (fp["n"], fp["x"])
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

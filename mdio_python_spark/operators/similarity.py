@@ -59,7 +59,7 @@ def cosine_topk(
         .select(
             "query_id",
             "candidate_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            F.expr(_sql_cosine("`q_vec`", "`c_vec`")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -72,13 +72,20 @@ def cosine_topk(
     )
 
 
-def sign_bucket(vec: Column, bits: int = 8) -> Column:
+def sign_bucket(vec: Column | str, bits: int = 8) -> Column:
     """IVF-style coarse bucket: sign pattern of the first ``bits`` dims.
 
     A degenerate (data-independent) random-hyperplane LSH — axis-aligned
     planes. Deterministic, oracle-expressible, and the right *shape* for the
     scale path: bucket id becomes the partition key.
+
+    ``vec`` as a str is a SQL fragment — the whole bit chain then builds
+    as ONE server-parsed expression (see the SQL-builder note below:
+    ~bits×7 py4j round-trips per call site otherwise, and this helper
+    sits inside eager-timed query construction).
     """
+    if isinstance(vec, str):
+        return F.expr(_sql_sign_bucket(vec, bits))
     b = F.lit(0).cast("long")
     for i in range(bits):
         b = b + F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
@@ -98,12 +105,12 @@ def bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        sign_bucket(_q(vec_col), bits).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("candidate_id"),
         F.col(vec_col).alias("c_vec"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        sign_bucket(_q(vec_col), bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -112,7 +119,7 @@ def bucketed_topk(
             "query_id",
             "candidate_id",
             "bucket",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            F.expr(_sql_cosine("`q_vec`", "`c_vec`")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -125,11 +132,15 @@ def bucketed_topk(
     )
 
 
-def band_sign_bucket(vec: Column, band: int, bits: int) -> Column:
+def band_sign_bucket(vec: Column | str, band: int, bits: int) -> Column:
     """Sign bucket over the ``band``-th block of ``bits`` dimensions —
     band 0 is :func:`sign_bucket`'s leading block, band b uses dims
     ``[b*bits, (b+1)*bits)``. Multiple bands give MinHash-LSH-style OR
-    semantics over independent hyperplane sets."""
+    semantics over independent hyperplane sets. ``vec`` as a str builds
+    the chain as one SQL expression (same contract as
+    :func:`sign_bucket`)."""
+    if isinstance(vec, str):
+        return F.expr(_sql_sign_bucket(vec, bits, band=band))
     b = F.lit(0).cast("long")
     for i in range(bits):
         b = b + F.when(
@@ -157,14 +168,14 @@ def multiband_topk(
     independently — bands multiply probe cost, not corpus cost."""
 
     def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(bd).alias("band_id"),
-                    band_sign_bucket(F.col(vec_col), bd, bits).alias("bucket"),
-                )
+        structs = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('band_id', {bd}, 'bucket', "
+                f"{_sql_sign_bucket(_q(vec_col), bits, band=bd)})"
                 for bd in range(bands)
-            ]
+            )
+            + ")"
         )
         return df.select(
             F.col(id_col).alias(out_id),
@@ -181,7 +192,7 @@ def multiband_topk(
             "query_id",
             "candidate_id",
             "band_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            F.expr(_sql_cosine("`q_vec`", "`c_vec`")).alias("cosine"),
         )
     )
     pairs = matched.groupBy("query_id", "candidate_id").agg(
@@ -255,6 +266,22 @@ def _sql_dot(a: str, b: str) -> str:
 
 def _sql_norm(a: str) -> str:
     return f"SQRT({_sql_dot(a, a)})"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    # same tree as cosine(): dot / (norm(a) * norm(b))
+    return f"({_sql_dot(a, b)}) / (({_sql_norm(a)}) * ({_sql_norm(b)}))"
+
+
+def _sql_sign_bucket(vec_sql: str, bits: int, band: int = 0) -> str:
+    # same tree as the Column chain in sign_bucket/band_sign_bucket:
+    # CAST(0 AS BIGINT) + per-bit CASE terms, left-associated
+    terms = " + ".join(
+        f"(CASE WHEN element_at({vec_sql}, {band * bits + i + 1}) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"(CAST(0 AS BIGINT) + {terms})"
 
 
 def _sql_l2sq(a: str, b: str) -> str:
@@ -364,7 +391,7 @@ def ivf_candidate_cells(
         candidates.select(
             F.col(id_col).alias("candidate_id"),
             F.col(vec_col),
-            norm(F.col(vec_col)).alias("c_norm"),
+            F.expr(_sql_norm(_q(vec_col))).alias("c_norm"),
         )
         .withColumn(
             "_cells", _cell_structs(_q(vec_col), "`c_norm`", cents, cnorms)
@@ -434,7 +461,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col),
-            norm(F.col(vec_col)).alias("q_norm"),
+            F.expr(_sql_norm(_q(vec_col))).alias("q_norm"),
         )
         .withColumn("_cells", cell_structs("`q_norm`"))
         .select(
@@ -454,9 +481,8 @@ def ivf_topk(
             "query_id",
             "candidate_id",
             "cell",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
+            F.expr(
+                f"({_sql_dot('`q_vec`', '`c_vec`')}) / (`q_norm` * `c_norm`)"
             ).alias("cosine"),
         )
     )
@@ -512,7 +538,7 @@ def ivf_recall_curve(
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        F.expr(_sql_norm(_q(vec_col))).alias("q_norm"),
     ).withColumn(
         "_probes",
         F.sort_array(
@@ -563,9 +589,8 @@ def ivf_recall_curve(
             "leg",
             "query_id",
             "candidate_id",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
+            F.expr(
+                f"({_sql_dot('`q_vec`', '`c_vec`')}) / (`q_norm` * `c_norm`)"
             ).alias("cosine"),
         )
     )
@@ -632,7 +657,7 @@ def embedding_near_dup_pairs(
     from mdio_python_spark.operators.dedup import bucket_pairs
 
     keyed = vectors.select(
-        F.col(id_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+        F.col(id_col), sign_bucket(_q(vec_col), bits).alias("bucket")
     )
     pairs = (
         bucket_pairs(keyed.withColumnRenamed(id_col, "doc_id"), ["bucket"])
@@ -647,7 +672,7 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+            F.expr(_sql_cosine("`a_vec`", "`b_vec`")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -726,13 +751,13 @@ def ivf_cell_assignments_join(
     cent = vectors.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_cnorm"),
+        F.expr(_sql_norm(_q(vec_col))).alias("_cnorm"),
     )
     base = vectors.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_norm")
+        F.col(id_col), F.col(vec_col), F.expr(_sql_norm(_q(vec_col))).alias("_norm")
     ).where(F.col("_norm") > 0)
-    cos = dot(F.col(vec_col), F.col("_cvec")) / (
-        F.col("_norm") * F.col("_cnorm")
+    cos = F.expr(
+        f"({_sql_dot(_q(vec_col), '`_cvec`')}) / (`_norm` * `_cnorm`)"
     )
     return (
         base.join(F.broadcast(cent))
@@ -766,7 +791,7 @@ def norm_health(
     integers."""
     inf = F.lit(float("inf"))
     bad_any = F.exists(vec_col, lambda x: F.isnan(x) | (F.abs(x) == inf))
-    nrm = norm(F.col(vec_col))
+    nrm = F.expr(_sql_norm(_q(vec_col)))
     per = vectors.select(
         F.col(label_col).alias("label"),
         bad_any.cast("int").alias("bad"),
@@ -972,7 +997,7 @@ def knn_graph(
         )
         assigned = (
             vectors.select(
-                F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_norm")
+                F.col(id_col), F.col(vec_col), F.expr(_sql_norm(_q(vec_col))).alias("_norm")
             )
             # zero-norm vectors have no defined cosine (NaN would silently
             # poison every rank they touch): exclude them from the graph —
@@ -1021,9 +1046,8 @@ def knn_graph(
         .select(
             "query_id",
             "candidate_id",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
+            F.expr(
+                f"({_sql_dot('`q_vec`', '`c_vec`')}) / (`q_norm` * `c_norm`)"
             ).alias("cosine"),
         )
     )
@@ -1101,7 +1125,7 @@ def semantic_dedup_drops(
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine"),
+            F.expr(_sql_cosine("`a_vec`", "`b_vec`")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -1369,7 +1393,7 @@ def ivfpq_topk(
         candidates.select(
             F.col(id_col).alias("candidate_id"),
             F.col(vec_col),
-            norm(F.col(vec_col)).alias("_n"),
+            F.expr(_sql_norm(_q(vec_col))).alias("_n"),
         )
         .withColumn(
             "_cells", _cell_structs(_q(vec_col), "`_n`", cents, cnorms)
@@ -1386,7 +1410,7 @@ def ivfpq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_q_vec"),
-        norm(F.col(vec_col)).alias("_qn"),
+        F.expr(_sql_norm(_q(vec_col))).alias("_qn"),
     ).withColumn(
         "_cells", _cell_structs("`_q_vec`", "`_qn`", cents, cnorms)
     )

@@ -2489,7 +2489,7 @@ def q_rp_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     proj = random_project(emb, out_dim=8, in_dim=64).withColumn(
         "bucket",
-        sign_bucket(F.array(*[F.col(f"rp_{j}") for j in range(8)]), 8),
+        sign_bucket("array(" + ",".join(f"rp_{j}" for j in range(8)) + ")", 8),
     )
     q = proj.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
@@ -6379,7 +6379,7 @@ def q_ann_method_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     proj = random_project(emb, out_dim=8, in_dim=64).withColumn(
         "bucket",
-        sign_bucket(F.array(*[F.col(f"rp_{j}") for j in range(8)]), 8),
+        sign_bucket("array(" + ",".join(f"rp_{j}" for j in range(8)) + ")", 8),
     )
     rq = proj.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),

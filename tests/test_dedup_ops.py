@@ -211,6 +211,25 @@ def test_connected_components_star_forest(spark):
         assert {r.doc_id: r.cluster_id for r in rows2} == truth, name
 
 
+def test_connected_components_restores_session_confs(spark):
+    # the small-graph fast loop flips adaptive/shuffle-partition confs
+    # for the duration of the fixpoint loop; they must come back on BOTH
+    # exits — convergence and the max_iter RuntimeError.
+    import pytest
+
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    before = {k: spark.conf.get(k) for k in keys}
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    dedup.connected_components(df)
+    assert {k: spark.conf.get(k) for k in keys} == before
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
+    assert {k: spark.conf.get(k) for k in keys} == before
+
+
 def test_connected_components_handles_reversed_and_duplicate_edges(spark):
     df = spark.createDataFrame(
         [(5, 3), (3, 5), (3, 1), (9, 7), (9, 7)], "doc_a long, doc_b long"
