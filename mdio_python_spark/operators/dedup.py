@@ -1013,6 +1013,72 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return spokes.union(centers).distinct()
 
 
+# Edge-count gate for the single-task union-find kernel: ~16 B/edge, so
+# the cap puts ≤ ~16 MB of edge payload (plus small numpy intermediates)
+# on one task — far under executor memory, and the kernel itself is
+# O(E α(V)) vectorized passes. Above it the graph is big enough that the
+# distributed star rounds (and AQE's skew handling inside them) earn
+# their per-round jobs. Module-level so tests can force the loop path.
+_UNIONFIND_EDGE_LIMIT = 1_000_000
+
+
+def _cc_union_find(edges: DataFrame, id_col: str) -> DataFrame:
+    """Single-task vectorized connected components for SMALL edge sets
+    (caller gates on :data:`_UNIONFIND_EDGE_LIMIT`): coalesce the edge
+    rows onto one task and run Shiloach-Vishkin-style min-hooking with
+    full pointer-jumping compression in numpy — O(log V) vectorized
+    passes, no per-round Spark jobs at all. Labels monotonically
+    decrease and only ever name nodes of the same component, so the
+    fixpoint root of every component is exactly its minimum node id —
+    bit-identical to the star-round fixpoint (pinned by
+    tests/test_dedup_ops.py::test_connected_components_star_forest,
+    which runs both paths).
+
+    The whole computation is LAZY (one MapInArrow node over a narrow
+    coalesce of the checkpointed edges), so a consumer that reads the
+    cluster table k times pays k cheap kernel re-runs instead of the
+    loop's round-count x job-latency wall every build."""
+    import numpy as np
+    import pyarrow as pa
+
+    def compute(batches):
+        us, vs = [], []
+        for b in batches:
+            us.append(np.asarray(b.column(0), dtype=np.int64))
+            vs.append(np.asarray(b.column(1), dtype=np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        ids = np.unique(np.concatenate([u, v]))  # sorted ascending
+        ia = np.searchsorted(ids, u)
+        ib = np.searchsorted(ids, v)
+        comp = np.arange(len(ids), dtype=np.int64)
+        while True:
+            # hook: every edge pulls both endpoints' current roots to
+            # the pair's minimum (min over same-component labels only)
+            ra, rb = comp[ia], comp[ib]
+            m = np.minimum(ra, rb)
+            np.minimum.at(comp, ra, m)
+            np.minimum.at(comp, rb, m)
+            # compress: full pointer jumping to a self-rooted map
+            while True:
+                nxt = comp[comp]
+                if np.array_equal(nxt, comp):
+                    break
+                comp = nxt
+            if np.array_equal(comp[ia], comp[ib]):
+                break
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, type=pa.int64()), pa.array(ids[comp], type=pa.int64())],
+            names=[id_col, "cluster_id"],
+        )
+
+    return edges.coalesce(1).mapInArrow(
+        compute, f"{id_col} long, cluster_id long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -1048,11 +1114,13 @@ def connected_components(
     (the :func:`bucket_pairs` output contract every LSH caller uses).
 
     Small graphs (edge count known free from the entry checkpoint's
-    observe) run the loop with AQE off and 8 shuffle partitions: each
-    star round holds ~5 tiny exchanges, and AQE's per-exchange stage
-    materialization costs ~4 scheduler round-trips per round while
-    buying nothing under the threshold. Large graphs keep AQE — skew
-    handling and partition coalescing matter there — so the knob is
+    observe, gate :data:`_UNIONFIND_EDGE_LIMIT`) skip the loop entirely:
+    a single-task vectorized union-find kernel
+    (:func:`_cc_union_find`) computes the identical min-id labeling
+    LAZILY — zero per-round jobs, zero session-conf churn (``max_iter``
+    does not apply there: the kernel always converges). Large graphs
+    run the distributed star rounds with AQE on — skew handling and
+    partition coalescing matter at that size — so the choice is
     edge-count-adaptive, not a local[32] constant.
     """
     obs0 = Observation()
@@ -1060,43 +1128,28 @@ def connected_components(
     if not assume_distinct:
         edges = edges.where(F.col("u") != F.col("v")).distinct()
     edges = edges.observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint()
-    spark = edges.sparkSession
-    # ~16 B/edge -> the fast loop caps at ~2 MB/partition; beyond it the
-    # exchanges are real and AQE earns its round-trips.
-    small = obs0.get["n"] <= 1_000_000
-    loop_confs = {
-        "spark.sql.adaptive.enabled": "false",
-        "spark.sql.shuffle.partitions": "8",
-    }
-    saved = {}
-    if small:
-        for key, val in loop_confs.items():
-            saved[key] = spark.conf.get(key)
-            spark.conf.set(key, val)
+    if obs0.get["n"] <= _UNIONFIND_EDGE_LIMIT:
+        return _cc_union_find(edges, id_col)
     converged = False
-    try:
-        fingerprint = None
-        for _ in range(max_iter):
-            obs = Observation()
-            edges = (
-                _small_star(_large_star(edges))
-                .observe(
-                    obs,
-                    F.count(F.lit(1)).alias("n"),
-                    # internal convergence hash only — never published,
-                    # so the cheap native xxhash64 is the right pick
-                    F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("x"),
-                )
-                .localCheckpoint()
+    fingerprint = None
+    for _ in range(max_iter):
+        obs = Observation()
+        edges = (
+            _small_star(_large_star(edges))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # internal convergence hash only — never published,
+                # so the cheap native xxhash64 is the right pick
+                F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("x"),
             )
-            fp = obs.get
-            if fingerprint == (fp["n"], fp["x"]):
-                converged = True
-                break
-            fingerprint = (fp["n"], fp["x"])
-    finally:
-        for key, val in saved.items():
-            spark.conf.set(key, val)
+            .localCheckpoint()
+        )
+        fp = obs.get
+        if fingerprint == (fp["n"], fp["x"]):
+            converged = True
+            break
+        fingerprint = (fp["n"], fp["x"])
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

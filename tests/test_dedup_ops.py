@@ -211,23 +211,52 @@ def test_connected_components_star_forest(spark):
         assert {r.doc_id: r.cluster_id for r in rows2} == truth, name
 
 
-def test_connected_components_restores_session_confs(spark):
-    # the small-graph fast loop flips adaptive/shuffle-partition confs
-    # for the duration of the fixpoint loop; they must come back on BOTH
-    # exits — convergence and the max_iter RuntimeError.
+def test_connected_components_unionfind_matches_star_rounds(
+    spark, monkeypatch
+):
+    # the small-graph single-task union-find kernel and the distributed
+    # star-round loop must produce the IDENTICAL (doc_id, cluster_id)
+    # set on adversarial shapes: long chain (max pointer-jump depth),
+    # crossing stars, random multigraph (dups + both orders), binary
+    # tree, isolated pair. The loop path is forced by zeroing the gate.
+    import random
+
     import pytest
 
-    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-    before = {k: spark.conf.get(k) for k in keys}
-    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
-    dedup.connected_components(df)
-    assert {k: spark.conf.get(k) for k in keys} == before
+    from mdio_python_spark.operators import dedup as dd
+
+    random.seed(11)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(1, 64)],
+        "cross_star": [(1, 50), (50, 2), (2, 60), (60, 3), (3, 70)],
+        "rand": [
+            (random.randint(1, 80), random.randint(1, 80)) for _ in range(200)
+        ],
+        "tree": [(i, 2 * i) for i in range(1, 32)]
+        + [(i, 2 * i + 1) for i in range(1, 32)],
+        "pair": [(9, 4)],
+    }
+    for name, es in graphs.items():
+        es = [e for e in es if e[0] != e[1]]
+        df = spark.createDataFrame(es, "doc_a long, doc_b long")
+        fast = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.connected_components(df).collect()
+        }
+        monkeypatch.setattr(dd, "_UNIONFIND_EDGE_LIMIT", -1)
+        loop = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.connected_components(df).collect()
+        }
+        monkeypatch.undo()
+        assert fast == loop and len(fast) > 0, name
+    # max_iter still governs the loop path
+    monkeypatch.setattr(dd, "_UNIONFIND_EDGE_LIMIT", -1)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 200)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=1)
-    assert {k: spark.conf.get(k) for k in keys} == before
 
 
 def test_connected_components_handles_reversed_and_duplicate_edges(spark):
