@@ -773,10 +773,25 @@ def containment_pairs_arrays(
 def simhash(
     df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
+    """SimHash over the token multiset — executed by the Arrow kernel
+    (:func:`text_arrow.simhash_arrow`): one shuffle-free map pass
+    computes per-token md5 hash64 and the per-bit vote signs in
+    vectorized numpy, replacing the token explode + ``bits``-column
+    vote exchange of :func:`simhash_declarative` (bit-identical rows,
+    pinned by tests/test_text_arrow.py)."""
+    from mdio_python_spark.operators.text_arrow import simhash_arrow
+
+    return simhash_arrow(df, bits=bits, text_col=text_col, id_col=id_col)
+
+
+def simhash_declarative(
+    df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """SimHash over the token multiset: per-bit ±1 votes summed per doc,
     sign of each vote becomes the bit. One combinable groupBy shuffling
     ``bits`` longs per doc. ``bits`` caps at 60 — the shared ``hash64``
-    is a 60-bit hash, so higher bit positions would vote constantly."""
+    is a 60-bit hash, so higher bit positions would vote constantly.
+    Kept as the declarative twin the Arrow kernel is pinned against."""
     if bits > 60:
         raise ValueError("bits must be <= 60 (hash64 is a 60-bit hash)")
     tok = df.select(

@@ -213,6 +213,10 @@ def _md5_hash64_vec(
     starts = starts.astype(np.int64)
     lens = lens.astype(np.int64)
     nblocks = (lens + 8) // 64 + 1
+    if not len(data):
+        # every slice is zero-length (md5 of b"") — give the padding
+        # gather a 1-byte buffer; putmask zeroes all of it anyway
+        data = np.zeros(1, dtype=np.uint8)
     limit = len(data) - 1
     for nb in np.unique(nblocks):
         sel = np.flatnonzero(nblocks == nb)
@@ -660,6 +664,79 @@ def _char_sets_batch(ids: np.ndarray, arr, n: int):
     lens_sh = ends - starts_sh
     h = _md5_hash64_vec(data, starts_sh, lens_sh)
     return _distinct_sets_batch(ids, h, sh_doc, D)
+
+
+def simhash_arrow(
+    df: DataFrame,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spread: bool = True,
+) -> DataFrame:
+    """Arrow-executed twin of :func:`dedup.simhash`: per-doc SimHash of
+    the token MULTISET (every occurrence votes), bit-identical rows —
+    one shuffle-free map pass replaces the token explode + JVM md5 scan
+    + the ``bits``-column vote exchange (and the ~``bits`` py4j
+    round-trips of vote-expression plan construction per call).
+
+    Tokenization is NOT reimplemented: the JVM's own
+    ``split(trim(lower(text)), '\\s+')`` arrays cross the boundary, so
+    normalization parity (including the ``['']`` single-empty-token
+    shape ``split`` gives whitespace-only text) is by construction;
+    docs whose token array is NULL emit no row, exactly like the
+    explode path. Per-bit vote sign: ``v_b = 2*c_b - n >= 0`` with
+    ``c_b`` the count of token hashes carrying bit ``b``."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.text import tokens
+
+    if bits > 60:
+        raise ValueError("bits must be <= 60 (hash64 is a 60-bit hash)")
+    src = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_in")
+    )
+    source = _spread(src, [id_col, "_in"]) if spread else src
+    out_type = pa.schema([(id_col, pa.int64()), ("simhash", pa.int64())])
+    chunk_docs = 256  # same transient-memory bound as shingle_sets_arrow
+
+    def build(batches):
+        for full in batches:
+            for lo in range(0, full.num_rows, chunk_docs):
+                batch = full.slice(lo, chunk_docs)
+                if batch.num_rows:
+                    yield from _emit(batch)
+
+    def _emit(batch):
+        ids = np.asarray(batch.column(0), dtype=np.int64)
+        lst = batch.column(1)
+        D = len(lst)
+        off = np.asarray(lst.offsets, dtype=np.int64)
+        valid = _valid_mask(lst)
+        voff_raw, data = _var_buffers(lst.values)
+        ntok = np.where(valid, off[1:] - off[:-1], 0)
+        sel = ntok > 0
+        if not sel.any():
+            return
+        tok_idx = np.repeat(off[:-1], ntok) + _ragged_arange(ntok)
+        starts = voff_raw[tok_idx]
+        h = _md5_hash64_vec(data, starts, voff_raw[tok_idx + 1] - starts)
+        doc_start = _cumsum_excl(ntok)[sel]
+        n_sel = ntok[sel]
+        sim = np.zeros(int(sel.sum()), dtype=np.int64)
+        for b in range(bits):
+            c_b = np.add.reduceat((h >> b) & 1, doc_start)
+            sim += np.where(2 * c_b >= n_sel, np.int64(1) << b, np.int64(0))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids[sel], type=pa.int64()),
+                pa.array(sim, type=pa.int64()),
+            ],
+            schema=out_type,
+        )
+
+    return source.mapInArrow(build, f"{id_col} long, simhash long")
 
 
 def shingle_sets_arrow(

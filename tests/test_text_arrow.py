@@ -358,3 +358,34 @@ def test_shingle_sets_arrow_minhashes_bit_equal(spark):
     )
     assert "_set" not in sig_only.columns
     assert _sorted_rows(sig_only) == want
+
+
+def test_simhash_arrow_bit_equal_declarative(spark):
+    """simhash_arrow == dedup.simhash_declarative — same rows (incl.
+    the [''] single-empty-token shape split gives whitespace-only text,
+    and NULL-text docs dropped) on the edge-case corpus and the smoke
+    corpus, at both published bit widths (16 for simhash_16 /
+    simhash_bit_balance, 60 for simhash_hamming_pairs)."""
+    from mdio_python_spark.operators import dedup
+    from mdio_python_spark.operators.text_arrow import simhash_arrow
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, "   "),
+        (4, "a  b\t\tc   d"),
+        (5, "\tleading tab and trailing\n"),
+        (6, "one two one two one"),
+        (7, "single"),
+        (8, "répété répété déjà vu déjà vu naïve café"),
+        (9, None),
+        (10, "x " * 300),
+        (11, "longtoken" * 20 + " b c d e f"),
+    ]
+    edge = spark.createDataFrame(rows, "doc_id long, text string")
+    smoke = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for docs in (edge, smoke):
+        for bits in (16, 60):
+            want = _sorted_rows(dedup.simhash_declarative(docs, bits=bits))
+            got = _sorted_rows(simhash_arrow(docs, bits=bits))
+            assert got == want, bits
