@@ -473,6 +473,114 @@ def semantic_dedup_arrow(
     return assigned.groupBy("cell").applyInPandas(per_cell, out_schema)
 
 
+def hard_negatives_arrow(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Arrow twin of the hard-negative-mining shape: per collected query
+    vector, the ``k`` highest-cosine candidates with a DIFFERENT label —
+    the labeled variant of :func:`cosine_topk_arrow` (same left-fold
+    cosine doubles, same (cosine DESC, candidate_id) tie order, same
+    NaN-IS-LARGEST ordering with the true NaN double emitted). The
+    declarative plan's corpus x queries crossJoin of interpreted
+    zip_with folds becomes one vectorized map pass; each task emits its
+    local top-k per query and one bounded JVM window assigns global
+    ranks."""
+    from pyspark.sql import Window
+
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]], int(r[2]))
+        for r in queries.select(id_col, vec_col, label_col).collect()
+    )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_labels = np.array([r[2] for r in rows], dtype=np.int64)
+    Q = (
+        np.array([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    q_norm = fold_norm(Q)
+    source = candidates.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("candidate_label"),
+    )
+    n_parts = candidates.sparkSession.sparkContext.defaultParallelism
+    if source.rdd.getNumPartitions() < n_parts:
+        source = source.repartition(n_parts)
+    out_schema = (
+        "query_id long, query_label int, candidate_id long, "
+        "candidate_label int, cosine double"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        neg_inf = -np.inf
+        for pdf in batches:
+            if not len(pdf) or not len(q_ids):
+                continue
+            c_ids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            c_labels = pdf["candidate_label"].to_numpy(dtype=np.int64)
+            Cv = _stack(pdf["_v"])
+            c_norm = fold_norm(Cv)
+            cos = fold_dot_matrix(Q, Cv) / (q_norm[:, None] * c_norm[None, :])
+            key = np.where(np.isnan(cos), np.inf, cos)
+            drop = (q_ids[:, None] == c_ids[None, :]) | (
+                q_labels[:, None] == c_labels[None, :]
+            )
+            key[drop] = neg_inf
+            nc = len(c_ids)
+            if nc > k:
+                thr = np.partition(key, nc - k, axis=1)[:, nc - k]
+            else:
+                thr = np.full(len(q_ids), neg_inf)
+            sel_r, sel_c = np.nonzero((key >= thr[:, None]) & (key > neg_inf))
+            sel_key = key[sel_r, sel_c]
+            order = np.lexsort((c_ids[sel_c], -sel_key, sel_r))
+            sel_r, sel_c = sel_r[order], sel_c[order]
+            starts = (
+                np.flatnonzero(np.r_[True, sel_r[1:] != sel_r[:-1]])
+                if len(sel_r)
+                else np.array([], dtype=np.int64)
+            )
+            counts = np.diff(np.r_[starts, len(sel_r)])
+            rank = (
+                np.arange(len(sel_r), dtype=np.int64)
+                - np.repeat(starts, counts)
+                + 1
+            )
+            keep = rank <= k
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[sel_r[keep]],
+                    "query_label": q_labels[sel_r[keep]].astype(np.int32),
+                    "candidate_id": c_ids[sel_c[keep]],
+                    "candidate_label": c_labels[sel_c[keep]].astype(np.int32),
+                    "cosine": cos[sel_r[keep], sel_c[keep]],
+                }
+            )
+
+    local = source.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "candidate_id"
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def cosine_topk_arrow(
     queries: DataFrame,
     candidates: DataFrame,

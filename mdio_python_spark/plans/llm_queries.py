@@ -5247,7 +5247,7 @@ FROM (
 """
 
 
-@register("hard_negative_mining", _HARD_NEG_ORACLE)
+@register("hard_negative_mining", _HARD_NEG_ORACLE, eager=True)
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query vector,
     the 5 highest-cosine candidates with a DIFFERENT label — the
@@ -5257,50 +5257,19 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the embedding_topk_cosine convention); a production run swaps the
     exact leg for ivf_topk candidates + exact re-rank, same downstream.
 
-    Scale shape: queries broadcast (bounded), candidate scan
-    parallelizes over the corpus, label filter prunes before the rank,
-    top-k compiles to WindowGroupLimit."""
-    from pyspark.sql import Window
-
+    Scale shape (round 10): the corpus x queries crossJoin of
+    interpreted zip_with cosine folds runs as the vectorized Arrow map
+    pass (vector_arrow.hard_negatives_arrow — bit-identical doubles,
+    tie order, and NaN ordering, pinned in tests/test_vector_arrow.py);
+    each task emits its local label-filtered top-5 per query and one
+    bounded window assigns global ranks. Eager: construction collects
+    the bounded query sample (the round-5 rule — build-time distributed
+    work sits inside the timed window)."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("label").alias("query_label"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("candidate_id"),
-        F.col("embedding").alias("c_vec"),
-        F.col("label").alias("candidate_label"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(
-            (F.col("query_id") != F.col("candidate_id"))
-            & (F.col("query_label") != F.col("candidate_label"))
-        )
-        .select(
-            "query_id",
-            "query_label",
-            "candidate_id",
-            "candidate_label",
-            similarity.cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("candidate_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            "query_label",
-            "candidate_id",
-            "candidate_label",
-            "cosine",
-            "rank",
-        )
+    from mdio_python_spark.operators.vector_arrow import hard_negatives_arrow
+
+    return hard_negatives_arrow(
+        emb.where(F.col("vec_id") < 50), emb, k=5
     )
 
 

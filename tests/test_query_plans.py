@@ -317,13 +317,17 @@ def test_cell_balance_single_corpus_scan(spark):
     assert "WindowExec" not in plan, plan
 
 
-def test_hard_negatives_broadcast_queries_topk(spark):
-    """Hard-negative mining broadcasts the bounded query set against the
-    corpus scan and ranks via WindowGroupLimit."""
+def test_hard_negatives_arrow_pass_topk(spark):
+    """Hard-negative mining scores the corpus against the collected
+    query sample in ONE Arrow map pass (no join of any kind — the
+    round-10 vector_arrow.hard_negatives_arrow rewrite) and ranks the
+    bounded local-top-k survivors via WindowGroupLimit."""
     plan = _plan(spark, "hard_negative_mining")
-    assert "BroadcastExchange" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "WindowGroupLimit" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
 
 
 def test_edge_density_persists_shared_stages(spark):

@@ -162,3 +162,79 @@ def test_cosine_topk_arrow_bit_equal(spark):
     old = sorted(tuple(r) for r in cosine_topk(qs, emb, k=10).collect())
     new = sorted(tuple(r) for r in cosine_topk_arrow(qs, emb, k=10).collect())
     assert old == new
+
+
+def test_hard_negatives_arrow_bit_equal(spark):
+    """hard_negatives_arrow == the declarative crossJoin + label filter
+    + window shape: same left-fold cosine doubles, same (cosine DESC,
+    candidate_id) tie order, same label/self exclusion — on a tie-heavy
+    labeled synthetic and the smoke corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators import similarity
+    from mdio_python_spark.operators.vector_arrow import hard_negatives_arrow
+
+    def declarative(queries, candidates, k):
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("query_label"),
+        )
+        c = candidates.select(
+            F.col("vec_id").alias("candidate_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("label").alias("candidate_label"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(
+                (F.col("query_id") != F.col("candidate_id"))
+                & (F.col("query_label") != F.col("candidate_label"))
+            )
+            .select(
+                "query_id",
+                "query_label",
+                "candidate_id",
+                "candidate_label",
+                similarity.cosine(F.col("q_vec"), F.col("c_vec")).alias(
+                    "cosine"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("candidate_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "query_label",
+                "candidate_id",
+                "candidate_label",
+                "cosine",
+                "rank",
+            )
+        )
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [3.0, 0.0], 1), (2, [1.0, 0.0], 0),
+        (3, [2.0, 0.0], 1), (4, [0.0, 1.0], 0), (5, [1.0, 1.0], 1),
+        (6, [2.0, 2.0], 0), (7, [-1.0, 0.5], 1), (8, [1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = df.where(F.col("vec_id") < 3)
+    old = sorted(tuple(r) for r in declarative(q, df, 3).collect())
+    new = sorted(tuple(r) for r in hard_negatives_arrow(q, df, k=3).collect())
+    assert old == new and len(new) > 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 50)
+    old = sorted(tuple(r) for r in declarative(qs, emb, 5).collect())
+    new = sorted(tuple(r) for r in hard_negatives_arrow(qs, emb, k=5).collect())
+    assert old == new and len(new) > 0
+    assert [f.name for f in hard_negatives_arrow(qs, emb, k=5).schema.fields] \
+        == [f.name for f in declarative(qs, emb, 5).schema.fields]
