@@ -505,10 +505,21 @@ def ivf_recall_curve(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Aggregate recall@k of the IVF index at every ``probes`` setting
     against the exact top-k — the whole tuning curve as ONE declarative
     pipeline (round 9, VERDICT r8 item 5).
+
+    ``arrow=True`` (round 10, default) computes every leg's local
+    top-k in one vectorized Arrow map pass over the corpus
+    (:func:`vector_arrow.ivf_recall_local_topk` — the query sample is
+    collected at construction, so consumers are eager) and ranks the
+    bounded survivors with one JVM window; the leg-exploded broadcast
+    cell join of interpreted zip_with folds and its corpus-sized rank
+    exchange disappear. Bit-identical rows (pinned in
+    tests/test_vector_arrow.py); the rollup below is shared by both
+    paths.
 
     The nprobe legs are NESTED (the cells probed at p are the first p of
     the same descending probe order), and the exhaustive truth is the
@@ -534,6 +545,29 @@ def ivf_recall_curve(
     cents, cnorms = _resolve_centroids(
         candidates, n_centroids, id_col, vec_col, centroids
     )
+    if arrow:
+        from mdio_python_spark.operators.vector_arrow import (
+            ivf_recall_local_topk,
+        )
+
+        local = ivf_recall_local_topk(
+            queries,
+            candidates,
+            k=k,
+            centroids=cents,
+            probes=probes,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        w_rank = Window.partitionBy("leg", "query_id").orderBy(
+            F.col("cosine").desc(), F.col("candidate_id")
+        )
+        top = (
+            local.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("leg", "query_id", "candidate_id")
+        )
+        return _recall_curve_rollup(top)
     c = ivf_candidate_cells(candidates, n_centroids, id_col, vec_col, cents)
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
@@ -609,6 +643,13 @@ def ivf_recall_curve(
         .where(F.col("rank") <= k)
         .select("leg", "query_id", "candidate_id")
     )
+    return _recall_curve_rollup(top)
+
+
+def _recall_curve_rollup(top: DataFrame) -> DataFrame:
+    """Shared tail of :func:`ivf_recall_curve`: mark each (leg, query,
+    candidate) top-k row that also appears in the leg-0 truth, roll up
+    hits per leg, ride the truth size to every row over the tiny agg."""
     w_pair = Window.partitionBy("query_id", "candidate_id")
     marked = top.withColumn(
         "_t",

@@ -3241,7 +3241,7 @@ exact_topk AS (
 """
 
 
-@register("ann_tuning_curve", _recall_curve_oracle())
+@register("ann_tuning_curve", _recall_curve_oracle(), eager=True)
 def q_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall-vs-nprobe tuning curve ann_recall_at_k is one point of:
     aggregate recall@10 of the IVF index at nprobe in {1,2,4,8} against
@@ -3258,7 +3258,13 @@ def q_ann_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ran a probe-join + window + aggregate chain per configuration
     (8 bounded SinglePartition joins, serial AQE stages). No persist,
     no cache, same numbers (shared expression trees; tie order and
-    NaN-first DESC semantics unchanged), same oracle."""
+    NaN-first DESC semantics unchanged), same oracle.
+
+    Round 10: every leg's local top-k runs in one vectorized Arrow map
+    pass over the corpus (vector_arrow.ivf_recall_local_topk,
+    bit-identical rows) — the leg-exploded broadcast cell join of
+    interpreted zip_with folds is gone. Eager: construction collects
+    the bounded query sample."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
     return similarity.ivf_recall_curve(

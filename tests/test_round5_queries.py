@@ -183,19 +183,16 @@ def test_ann_tuning_curve_consistent_with_point_query(spark):
 
 
 def test_ann_tuning_curve_plan_one_corpus_pass(spark):
-    """Round 9 (VERDICT r8 item 5): the whole curve — exact truth AND
-    all four nprobe legs — is ONE pipeline: a single broadcast cell
-    join scores every leg (no persisted fork, no per-leg rebuild), ONE
-    corpus-sized hash exchange (the query_id repartition both windows
-    share) plus the tiny post-top-k leg aggregate, and exactly one
-    bounded SinglePartition window over the |probes|+1-row aggregate.
-    No sort-merge or nested-loop joins; the rank window compiles to
-    WindowGroupLimit."""
+    """Round 10: the whole curve — exact truth AND all four nprobe
+    legs — is ONE Arrow map pass over the corpus
+    (vector_arrow.ivf_recall_local_topk): no join of ANY kind remains
+    (the round-9 broadcast cell join of interpreted zip_with folds is
+    gone), every exchange after the kernel carries only the bounded
+    tasks x legs x queries x k survivors, and the rank window compiles
+    to WindowGroupLimit."""
     plan = _plan(spark, "ann_tuning_curve")
-    assert plan.count("Exchange hashpartitioning") == 2, plan
-    assert plan.count("Exchange SinglePartition") == 1, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
 
 

@@ -238,3 +238,52 @@ def test_hard_negatives_arrow_bit_equal(spark):
     assert old == new and len(new) > 0
     assert [f.name for f in hard_negatives_arrow(qs, emb, k=5).schema.fields] \
         == [f.name for f in declarative(qs, emb, 5).schema.fields]
+
+
+def test_ivf_recall_curve_arrow_bit_equal(spark):
+    """ivf_recall_curve(arrow=True) == the declarative leg-join path:
+    identical curve rows on the smoke corpus and on a tie-heavy
+    synthetic (colinear vectors force cosine ties through both the
+    probe order and the rank window). Zero-norm vectors are NOT in the
+    pin: the declarative path itself rejects them under ANSI
+    (DIVIDE_BY_ZERO), the documented pre-existing divergence."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.similarity import ivf_recall_curve
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 50)
+    old = sorted(
+        tuple(r)
+        for r in ivf_recall_curve(
+            qs, emb, k=10, n_centroids=16, arrow=False
+        ).collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in ivf_recall_curve(
+            qs, emb, k=10, n_centroids=16, arrow=True
+        ).collect()
+    )
+    assert old == new and len(new) == 4
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [1.0, 0.0]), (3, [2.0, 0.0]),
+        (4, [0.0, 1.0]), (5, [1.0, 1.0]), (6, [2.0, 2.0]), (7, [-1.0, 0.5]),
+        (8, [0.5, 0.5]), (9, [4.0, 0.1]), (10, [0.1, 4.0]), (11, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5)
+    old = sorted(
+        tuple(r)
+        for r in ivf_recall_curve(
+            q, df, k=3, n_centroids=4, probes=(1, 2), arrow=False
+        ).collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in ivf_recall_curve(
+            q, df, k=3, n_centroids=4, probes=(1, 2), arrow=True
+        ).collect()
+    )
+    assert old == new and len(new) == 2
