@@ -1400,6 +1400,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: tuple[list[list[list[float]]], int] | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """IVF-PQ ANN (Jegou et al. TPAMI 2011, the full system): coarse
     Voronoi cells bound WHICH candidates a query scores, PQ codes bound
@@ -1428,6 +1429,33 @@ def ivfpq_topk(
     cents, cnorms = _resolve_centroids(
         candidates, n_centroids, id_col, vec_col, centroids
     )
+    if arrow:
+        # round 10: cell assignment, PQ encode, and the ADC scoring run
+        # in one vectorized Arrow map pass over the corpus
+        # (vector_arrow.ivfpq_local_topk, bit-identical doubles); one
+        # bounded JVM window assigns the global ranks. The query sample
+        # is collected at construction — consumers are eager.
+        from mdio_python_spark.operators.vector_arrow import ivfpq_local_topk
+
+        local = ivfpq_local_topk(
+            queries,
+            candidates,
+            k=k,
+            centroids=cents,
+            codebooks=books,
+            sub_dim=sub,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            "adc_dist", "candidate_id"
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("query_id", "candidate_id", "cell", "adc_dist", "rank")
+        )
 
     # argmax via array_max over (cos, -cid) structs, as in ivf_topk
     c = (

@@ -86,6 +86,19 @@ def fold_dot_matrix(q: np.ndarray, c: np.ndarray) -> np.ndarray:
     return acc
 
 
+def fold_l2sq_matrix(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """All-pairs left-fold squared-L2: ``q`` (nq, d) x ``c`` (nc, d) ->
+    (nq, nc), accumulating ``(x - y) * (x - y)`` in dimension order —
+    the numpy twin of ``similarity._sql_l2sq`` / ``_py_l2sq``."""
+    q = np.ascontiguousarray(q, dtype=np.float64)
+    c = np.ascontiguousarray(c, dtype=np.float64)
+    acc = np.zeros((q.shape[0], c.shape[0]), dtype=np.float64)
+    for d in range(q.shape[1]):
+        diff = q[:, d : d + 1] - c[:, d][None, :]
+        acc += diff * diff
+    return acc
+
+
 def fold_norm(a: np.ndarray) -> np.ndarray:
     """Row-wise left-fold L2 norm (sqrt of the dim-ordered square sum) —
     the numpy twin of ``similarity.norm`` / ``_lfold_norm``."""
@@ -586,6 +599,127 @@ def ivf_recall_local_topk(
                         "cosine": cos[sel_r[keep], sel_c[keep]],
                     }
                 )
+
+    return source.mapInPandas(score, out_schema)
+
+
+def ivfpq_local_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    centroids: Iterable[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    sub_dim: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-task local ADC top-k of ``similarity.ivfpq_topk`` in ONE
+    Arrow map pass over the corpus: candidate cell assignment (argmax
+    fold-cosine, ties to the smallest cid, NaN-as-largest), PQ codes
+    (argmin fold-L2 per subspace, ties to the smallest code), per-query
+    nprobe'd probe order, and the ADC lookup-table scoring all in
+    vectorized numpy — replacing the corpus-sized interpreted
+    cell/encode projections and the probe join. Emits
+    ``(query_id, candidate_id, cell, adc_dist)``; the caller ranks the
+    bounded tasks x queries x k survivors with one JVM window
+    (adc_dist ASC, candidate_id — the global top-k is a subset of
+    every local top-k under the same comparator). ADC distances are
+    finite (no division), so no NaN-ordering special case. Same
+    left-fold doubles as the declarative path — pinned equal in
+    tests/test_vector_arrow.py."""
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = (
+        np.array([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    q_norm = fold_norm(Q)
+    cids, C, cnorms = _centroid_arrays(centroids)
+    nq, ncent = len(q_ids), len(cids)
+    books = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        qcos = fold_dot_matrix(Q, C) / (q_norm[:, None] * cnorms[None, :])
+    qkey = np.where(np.isnan(qcos), np.inf, qcos)
+    order = np.argsort(-qkey, axis=1, kind="stable")[:, :nprobe]
+    allowed = np.zeros((nq, ncent), dtype=bool)
+    np.put_along_axis(allowed, order, True, axis=1)
+    # per-query ADC tables: tab[m][q, code] = left-fold L2^2 of the
+    # query's m-th subvector against codeword `code`
+    tabs = [
+        fold_l2sq_matrix(Q[:, m * sub_dim : (m + 1) * sub_dim], cb)
+        if nq
+        else np.zeros((0, len(cb)))
+        for m, cb in enumerate(books)
+    ]
+    source = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_v")
+    )
+    n_parts = candidates.sparkSession.sparkContext.defaultParallelism
+    if source.rdd.getNumPartitions() < n_parts:
+        source = source.repartition(n_parts)
+    out_schema = "query_id long, candidate_id long, cell long, adc_dist double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            c_ids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            Cv = _stack(pdf["_v"])
+            c_norm = fold_norm(Cv)
+            nc = len(c_ids)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ckey = fold_dot_matrix(Cv, C) / (
+                    c_norm[:, None] * cnorms[None, :]
+                )
+            ckey = np.where(np.isnan(ckey), np.inf, ckey)
+            cell_idx = np.argmax(ckey, axis=1)  # first max = smallest cid
+            adc = None
+            for m, cb in enumerate(books):
+                dmat = fold_l2sq_matrix(
+                    Cv[:, m * sub_dim : (m + 1) * sub_dim], cb
+                )
+                codes = np.argmin(
+                    np.where(np.isnan(dmat), np.inf, dmat), axis=1
+                )  # first min = smallest code
+                term = tabs[m][:, codes]  # (nq, nc)
+                adc = term.copy() if adc is None else adc + term
+            mask = allowed[:, cell_idx] & (
+                q_ids[:, None] != c_ids[None, :]
+            )
+            key = np.where(mask, adc, np.inf)
+            if nc > k:
+                thr = np.partition(key, k - 1, axis=1)[:, k - 1]
+            else:
+                thr = np.full(nq, np.inf)
+            sel_r, sel_c = np.nonzero((key <= thr[:, None]) & mask)
+            sel_key = key[sel_r, sel_c]
+            ordr = np.lexsort((c_ids[sel_c], sel_key, sel_r))
+            sel_r, sel_c = sel_r[ordr], sel_c[ordr]
+            starts = (
+                np.flatnonzero(np.r_[True, sel_r[1:] != sel_r[:-1]])
+                if len(sel_r)
+                else np.array([], dtype=np.int64)
+            )
+            counts = np.diff(np.r_[starts, len(sel_r)])
+            rank = (
+                np.arange(len(sel_r), dtype=np.int64)
+                - np.repeat(starts, counts)
+                + 1
+            )
+            keep = rank <= k
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[sel_r[keep]],
+                    "candidate_id": c_ids[sel_c[keep]],
+                    "cell": cids[cell_idx[sel_c[keep]]],
+                    "adc_dist": adc[sel_r[keep], sel_c[keep]],
+                }
+            )
 
     return source.mapInPandas(score, out_schema)
 

@@ -2273,7 +2273,7 @@ def _ivfpq_serve_oracle(k: int = 3) -> str:
     """
 
 
-@register("embedding_ivfpq_adc", _ivfpq_serve_oracle())
+@register("embedding_ivfpq_adc", _ivfpq_serve_oracle(), eager=True)
 def q_embedding_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ serving — the full Jegou et al. system with the FITTED
     canonical model: Voronoi cells bound which candidates each query

@@ -121,7 +121,7 @@ def _exact_rerank(short: DataFrame, emb: DataFrame) -> DataFrame:
     )
 
 
-@register("pq_shortlist_rerank", _rerank_oracle())
+@register("pq_shortlist_rerank", _rerank_oracle(), eager=True)
 def q_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval in its deployed shape: IVF-PQ ADC shortlist
     (10 per query) from the committed fit-once model artifacts, then

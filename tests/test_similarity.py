@@ -216,16 +216,30 @@ def test_ivfpq_fitted_path_runs_and_ranks(spark, emb):
 
 
 def test_ivfpq_candidate_vector_never_crosses_probe_join(spark, emb):
-    """The point of PQ at scale: the corpus embedding column must be
-    pruned before the cell join — only (id, cell, codes) shuffle."""
+    """The point of PQ at scale: the corpus embedding never crosses a
+    shuffle. Declarative path: the embedding column must be pruned
+    before the cell join — only (id, cell, codes) shuffle. Arrow path
+    (the round-10 default): no join at all — only the bounded local
+    top-k rows (id, cell, adc_dist) leave the scoring map pass."""
     out = sim.ivfpq_topk(
-        emb.where(F.col("vec_id") < 10), emb, k=3, n_centroids=16, nprobe=4
+        emb.where(F.col("vec_id") < 10), emb, k=3, n_centroids=16,
+        nprobe=4, arrow=False,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     join_at = plan.find("BroadcastHashJoin")
     assert join_at != -1
     # above the join (output side) no embedding attribute may remain
     assert "embedding#" not in plan[:join_at]
+
+    out = sim.ivfpq_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=3, n_centroids=16, nprobe=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    map_at = plan.find("MapInPandas")
+    # above the kernel (output side) no embedding attribute may remain
+    assert "embedding#" not in plan[:map_at]
 
 
 def test_random_project_matches_numpy(spark):

@@ -287,3 +287,63 @@ def test_ivf_recall_curve_arrow_bit_equal(spark):
         ).collect()
     )
     assert old == new and len(new) == 2
+
+
+def test_ivfpq_topk_arrow_bit_equal(spark):
+    """ivfpq_topk(arrow=True) == the declarative cell/encode/ADC path:
+    identical (query_id, candidate_id, cell, adc_dist, rank) rows on the
+    smoke corpus with the committed fitted model, with the id-prefix
+    default model, and on a tie-heavy synthetic (colinear vectors force
+    ties through the cell argmax, the code argmin, and the rank)."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.model_store import (
+        load_ivf_centroids,
+        load_pq_codebooks,
+    )
+    from mdio_python_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 50)
+    for kwargs in (
+        dict(centroids=load_ivf_centroids(), codebooks=load_pq_codebooks()),
+        dict(),
+    ):
+        old = sorted(
+            tuple(r)
+            for r in ivfpq_topk(
+                qs, emb, k=3, n_centroids=16, nprobe=4, arrow=False, **kwargs
+            ).collect()
+        )
+        new = sorted(
+            tuple(r)
+            for r in ivfpq_topk(
+                qs, emb, k=3, n_centroids=16, nprobe=4, arrow=True, **kwargs
+            ).collect()
+        )
+        assert old == new and len(new) > 0, kwargs.keys()
+
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.0]), (1, [3.0, 0.0, 3.0, 0.0]),
+        (2, [1.0, 0.0, 1.0, 0.0]), (3, [2.0, 0.0, 0.0, 2.0]),
+        (4, [0.0, 1.0, 0.0, 1.0]), (5, [1.0, 1.0, 1.0, 1.0]),
+        (6, [2.0, 2.0, 2.0, 2.0]), (7, [-1.0, 0.5, -1.0, 0.5]),
+        (8, [1.0, 0.0, 1.0, 0.0]), (9, [4.0, 0.1, 4.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 4)
+    old = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            q, df, k=3, n_centroids=4, nprobe=2, n_subspaces=2,
+            n_codes=4, arrow=False,
+        ).collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in ivfpq_topk(
+            q, df, k=3, n_centroids=4, nprobe=2, n_subspaces=2,
+            n_codes=4, arrow=True,
+        ).collect()
+    )
+    assert old == new and len(new) > 0
