@@ -244,19 +244,24 @@ def dsir_importance_weights(
     Scale: the per-(doc, bucket) count stage is built once and persisted
     (three consumers: target totals, raw totals, the scoring join — the
     persist-the-fork rule); bucket ratio tables are <= n_buckets rows and
-    broadcast, so the corpus-side scoring join is shuffle-free.
+    broadcast, so the corpus-side scoring join is shuffle-free. Round 11:
+    the per-doc bigram counts come from the Arrow gram-multiset kernel
+    (``text_arrow.gram_multiset_arrow`` — no explode, exact per-doc
+    counts), so the md5 bucket hash runs once per DISTINCT (doc, bigram)
+    instead of once per occurrence, weighted by the kernel's exact c.
     """
     from pyspark import StorageLevel
 
     from mdio_python_spark.functions.determinism import dec
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
+    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
 
-    bi = word_shingles(df, n=2, text_col=text_col, id_col=id_col, distinct=False)
-    bucket = F.pmod(hash64(F.col("shingle")), F.lit(n_buckets)).alias("bucket")
+    bi = gram_multiset_arrow(df, n=2, key_col=id_col, text_col=text_col)
+    bucket = F.pmod(hash64(F.col("gram")), F.lit(n_buckets)).alias("bucket")
     ge = (
-        bi.select(id_col, bucket)
+        bi.select(id_col, bucket, "c")
         .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
         .withColumn("is_eval", eval_split_pred(id_col=id_col))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -415,6 +415,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     candidate_cells: DataFrame | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into ``n_centroids`` Voronoi
     cells, probe the ``nprobe`` nearest cells per query, exact-rank inside.
@@ -439,11 +440,41 @@ def ivf_topk(
 
     ``candidate_cells`` short-circuits the candidate-side projection with
     a prebuilt (persisted) :func:`ivf_candidate_cells` stage — the
-    multi-configuration sweep path.
+    multi-configuration sweep path (that path stays declarative: the
+    prebuilt stage already carries the assignment).
+
+    ``arrow=True`` (round 11, default) computes every task's local
+    top-k in one vectorized Arrow map pass over the corpus
+    (:func:`vector_arrow.ivf_local_topk` — the query sample is
+    collected at construction, so consumers are eager) and ranks the
+    bounded survivors with one JVM window; the corpus-sized interpreted
+    cell projection and the broadcast probe join of interpreted
+    zip_with folds disappear. Bit-identical rows (pinned in
+    tests/test_vector_arrow.py).
     """
     cents, cnorms = _resolve_centroids(
         candidates, n_centroids, id_col, vec_col, centroids
     )
+    if arrow and candidate_cells is None:
+        from mdio_python_spark.operators.vector_arrow import ivf_local_topk
+
+        local = ivf_local_topk(
+            queries,
+            candidates,
+            k=k,
+            centroids=cents,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("candidate_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("query_id", "candidate_id", "cell", "cosine", "rank")
+        )
 
     def cell_structs(vnorm_sql: str) -> Column:
         # cosine vs each centroid: dot / (vec_norm * centroid_norm), the

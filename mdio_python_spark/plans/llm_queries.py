@@ -945,13 +945,14 @@ SELECT query_id, candidate_id, cell, cosine, rank FROM (
 """
 
 
-@register("embedding_ivf_ann", _IVF_ORACLE)
+@register("embedding_ivf_ann", _IVF_ORACLE, eager=True)
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN — data-dependent Voronoi cells (vs the data-oblivious
     sign-bucket/multiband LSH variants): 16 centroid cells, 4-probe, exact
-    re-rank inside probed cells. Cell assignment is a shuffle-free
-    projection (centroid literals + array_max argmax); the cell id is the
-    storage partition key at scale."""
+    re-rank inside probed cells. Round 11: scoring runs in the
+    ivf_local_topk Arrow kernel (eager=True — construction collects the
+    query sample, round-5 rule); the cell id is the storage partition
+    key at scale."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") < 50), emb, k=3, n_centroids=16, nprobe=4
@@ -1370,12 +1371,17 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side combinable count; the final top-k is TakeOrderedAndProject
     over the aggregated table — per-task local top-20, never a
     single-task sort of the vocab-sized counts."""
+    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
+
     docs = _t(spark, sf_dir, "documents")
-    bi = dedup.word_shingles(docs, n=2, distinct=False).withColumnRenamed(
-        "shingle", "bigram"
+    # round 11: exact per-doc (doc_id, bigram, c) rows from the Arrow
+    # multiset kernel — sum(c) == count(*) over occurrences, and each
+    # (doc, bigram) appears once so the distinct doc count is unchanged
+    bi = gram_multiset_arrow(docs, n=2, key_col="doc_id").withColumnRenamed(
+        "gram", "bigram"
     )
     counted = bi.groupBy("bigram").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("n"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
     # TakeOrderedAndProject, not a partitionless row_number window (which
@@ -2300,12 +2306,12 @@ def q_embedding_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ivf_fitted", _ivf_serve_oracle())
+@register("embedding_ivf_fitted", _ivf_serve_oracle(), eager=True)
 def q_embedding_ivf_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat serving with PRODUCTION-path centroids read from the
     persisted model artifact (fit-once/serve-many): the Lloyd-fitted
-    centroids enter as plan literals into the same shuffle-free
-    assignment projection the id-prefix variant uses. The fit leg is
+    centroids enter the ivf_local_topk Arrow kernel (round 11;
+    eager=True — construction collects the query sample). The fit leg is
     `ivf_model_fit` (plans/model_queries.py); serving is oracle-paired —
     DuckDB reads the same artifact via read_parquet."""
     from mdio_python_spark.operators.model_store import load_ivf_centroids
@@ -2534,16 +2540,19 @@ def _pagerank_oracle() -> str:
     """
 
 
-@register("similarity_graph_pagerank", _pagerank_oracle())
+@register("similarity_graph_pagerank", _pagerank_oracle(), eager=True)
 def q_similarity_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-duplicate similarity graph (LSH candidate
     pairs, both directions): high-rank documents sit at the center of
     duplicate clusters — the centrality signal used to pick canonical
     representatives and to spot template farms. Three synchronous
-    iterations unrolled as DataFrame plans (`operators.graph.pagerank`);
-    neighbor sums run in exact decimal so the chained-CTE oracle matches
-    bit-for-bit. Scale: edges hash-partitioned on src once, each
-    iteration is one edge⨝rank join + one combinable groupBy."""
+    iterations (`operators.graph.pagerank`); neighbor sums run in exact
+    decimal so the chained-CTE oracle matches bit-for-bit. Round 11:
+    small graphs (edge-count-gated via the entry checkpoint's observe —
+    eager=True, the cc precedent) run in a single-task kernel with zero
+    joins; large graphs keep the distributed iterations (edges
+    hash-partitioned on src once, each iteration one edge⨝rank join +
+    one combinable groupBy)."""
     from mdio_python_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
@@ -3372,6 +3381,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(_BPE_STEPS)
     )}
     """,
+    eager=True,
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed BPE trainer itself: 6 merge steps, each = one
@@ -3409,6 +3419,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bpe_occurrences o JOIN bpe_final_counts c USING (word)
     GROUP BY o.doc_id
     """,
+    eager=True,
 )
 def q_bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-apply end to end: tokenize the corpus with the 6
@@ -4388,11 +4399,16 @@ def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one task (phase 1 ranks inside (lang, 64 hash buckets),
     phase 2 sees <= 64k survivors per lang)."""
     from mdio_python_spark.operators.retrieval import grouped_topk
+    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
 
     docs = _t(spark, sf_dir, "documents")
-    grams = dedup.word_shingles(docs, n=3, id_col="lang", distinct=False)
+    # round 11: per-chunk (lang, gram, c) partials from the Arrow
+    # multiset kernel — no explode; sum(c) == the explode path's count(*)
+    grams = gram_multiset_arrow(docs, n=3, key_col="lang").withColumnRenamed(
+        "gram", "shingle"
+    )
     counts = grams.groupBy("lang", "shingle").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
+        F.sum("c").alias("n_occurrences")
     )
     return grouped_topk(counts, ["lang"], "n_occurrences", "shingle", k=10)
 
@@ -5456,6 +5472,7 @@ def q_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN documents d USING (doc_id)
     GROUP BY d.lang
     """,
+    eager=True,
 )
 def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (BPE symbols per whitespace word) per
@@ -5465,10 +5482,13 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     training run silently under-trains it. Same train-then-apply DAG as
     bpe_tokenized_docs, rolled up by language instead of document.
 
-    Scale shape: the merge training is the declarative 6-step chain
-    (combinable aggregates + 1-row argmax broadcasts); apply joins token
-    occurrences to the vocab-bounded symbol counts; the lang join rides
-    doc_id before the final combinable groupBy(lang)."""
+    Scale shape: the merge training gates on the observed vocab size
+    (round 11): small vocabularies run the single-task kernel, large
+    ones the declarative 6-step chain (combinable aggregates + 1-row
+    argmax broadcasts); apply joins token occurrences to the
+    vocab-bounded symbol counts; the lang join rides doc_id before the
+    final combinable groupBy(lang). eager=True — construction
+    checkpoints the word-count table (the observe gate)."""
     from mdio_python_spark.operators import bpe
     from mdio_python_spark.operators.text import tokens as _tokens
 
@@ -5788,14 +5808,18 @@ def q_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators import retrieval
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
+    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
+
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "lang",
-        F.explode(text.tokens(F.lower(F.trim(F.col("text"))))).alias("token"),
-    ).where(F.col("token") != "")
+    # round 11: per-chunk (lang, token, c) partials from the Arrow
+    # multiset kernel (n=1 grams ARE the tokens; drop_empty mirrors the
+    # token <> '' filter) — no explode; sum(c) == count(*)
+    tok = gram_multiset_arrow(
+        docs, n=1, key_col="lang", trim=True, drop_empty=True
+    ).withColumnRenamed("gram", "token")
     counts = (
         tok.groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("c").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top = retrieval.grouped_topk(counts, ["lang"], "n", "token", k=100)

@@ -143,13 +143,72 @@ def test_segment_consistent_with_reference(spark):
 
 
 def test_bpe_train_plan_shape(spark):
-    """Trainer plan: no SortMergeJoin, no global window; the only
-    nested-loop joins are the 1-row argmax broadcasts; vocab stages are
-    persisted (cache scan present)."""
+    """Trainer plan (round 11, kernel path at smoke scale): no joins, no
+    windows, no exchanges downstream of the checkpointed word counts —
+    the whole M-step chain is one MapInArrow over a single-task
+    coalesce. The distributed chain's shape is pinned separately by the
+    kernel-vs-chain bit-equality test."""
     df = queries()["bpe_train_merges"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
-    assert (
-        "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
-    ), plan
+    assert "MapInArrow" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_train_merges_kernel_bit_equal_to_chain(spark, monkeypatch):
+    """The single-task trainer kernel (round 11) == the distributed
+    M-step chain, bit-for-bit on BOTH returned frames (merges AND the
+    final vocab) over the real smoke corpus and a tie-heavy synthetic.
+    The chain is forced via the module gate (the cc-limit convention)."""
+    from mdio_python_spark.operators import bpe
+    from mdio_python_spark.operators.caching import release_cached
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    crafted = spark.createDataFrame(
+        [
+            (1, "aa aa ab ba"),
+            (2, "aa ab ab b a"),
+            (3, "zz zz zz yy"),
+            (4, ""),  # whitespace-only: tokens() gives [''], filtered
+            (5, "aaaa"),  # in-word repeats exercise the replace scan
+        ],
+        "doc_id long, text string",
+    )
+    for df in (docs, crafted):
+        wc = bpe.word_counts(df)
+        monkeypatch.setattr(bpe, "_BPE_KERNEL_WORD_LIMIT", -1)
+        m_old, f_old = bpe.train_merges(wc, 6, scope="test.bpe_pin_loop")
+        want_m = sorted(tuple(r) for r in m_old.collect())
+        want_f = sorted(tuple(r) for r in f_old.collect())
+        release_cached(m_old)
+        monkeypatch.setattr(bpe, "_BPE_KERNEL_WORD_LIMIT", 500_000)
+        m_new, f_new = bpe.train_merges(wc, 6, scope="test.bpe_pin_kern")
+        assert sorted(tuple(r) for r in m_new.collect()) == want_m
+        assert sorted(tuple(r) for r in f_new.collect()) == want_f
+        assert len(want_m) == 6 and len(want_f) > 0
+
+
+def test_train_merges_kernel_empty_top_pair_edge(spark, monkeypatch):
+    """When every word collapses to one symbol before the step budget is
+    spent, the declarative chain's 0-row argmax crossJoin EMPTIES the
+    vocab and every later step — the kernel must reproduce that edge,
+    not 'helpfully' keep the vocab."""
+    from mdio_python_spark.operators import bpe
+    from mdio_python_spark.operators.caching import release_cached
+
+    # single-char words: step 0 merges (c, </w>), after which every sym
+    # is one symbol and step 1 has no pairs
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a")], "doc_id long, text string"
+    )
+    wc = bpe.word_counts(df)
+    monkeypatch.setattr(bpe, "_BPE_KERNEL_WORD_LIMIT", -1)
+    m_old, f_old = bpe.train_merges(wc, 4, scope="test.bpe_edge_loop")
+    want_m = sorted(tuple(r) for r in m_old.collect())
+    want_f = sorted(tuple(r) for r in f_old.collect())
+    release_cached(m_old)
+    monkeypatch.setattr(bpe, "_BPE_KERNEL_WORD_LIMIT", 500_000)
+    m_new, f_new = bpe.train_merges(wc, 4, scope="test.bpe_edge_kern")
+    assert sorted(tuple(r) for r in m_new.collect()) == want_m
+    assert sorted(tuple(r) for r in f_new.collect()) == want_f

@@ -140,12 +140,21 @@ def test_random_projection_is_pure_scan(spark):
 
 
 def test_pagerank_caches_edges_no_cartesian(spark):
-    """The similarity-graph edge list must be persisted (the LSH subtree
-    otherwise recomputes once per unrolled iteration) and every
-    iteration join must be an equi-join."""
+    """Round 11: at test scale the edge set is small, so the plan must
+    be the single-task kernel over the checkpointed edges — zero joins
+    and zero exchanges (the LSH subtree ran exactly once INTO the
+    checkpoint at construction). The distributed loop's shape (persisted
+    edges, equi-joins only) is pinned by
+    tests/test_graph.py::test_pagerank_kernel_bit_equal_* which forces
+    both paths."""
     plan = _plan(spark, "similarity_graph_pagerank")
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
-    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+    assert "MapInArrow" in plan, plan
+    for bad in (
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "SortMergeJoin",
+        "Exchange",
+    ):
         assert bad not in plan, plan
 
 

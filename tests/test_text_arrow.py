@@ -389,3 +389,91 @@ def test_simhash_arrow_bit_equal_declarative(spark):
             want = _sorted_rows(dedup.simhash_declarative(docs, bits=bits))
             got = _sorted_rows(simhash_arrow(docs, bits=bits))
             assert got == want, bits
+
+
+def test_gram_multiset_arrow_matches_explode_counts(spark):
+    """gram_multiset_arrow (round 11): the summed (key, gram, c)
+    partials == the explode path's occurrence counts, for every consumer
+    shape — per-doc bigrams (bigram LM / DSIR / top_bigrams), per-lang
+    3-grams (top_ngrams_by_lang), per-lang tokens with the empty filter
+    (zipf), and per-source tokens WITHOUT it (vocab_diversity) — on the
+    smoke corpus and a crafted unicode/empty/null batch."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators import dedup
+    from mdio_python_spark.operators.text import tokens
+    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    crafted = spark.createDataFrame(
+        [
+            (1, "a", "x  x  x y", "s1"),
+            (2, "a", "héllo wörld héllo wörld héllo", "s1"),
+            (3, "b", "", "s2"),  # whitespace-only -> [''] token
+            (4, "b", None, "s2"),  # null text -> no rows
+            (5, "a", "ONE one One", "s1"),  # lowering collapses
+            (6, "c", "日本 語 日本 語 日本", "s3"),
+        ],
+        "doc_id long, lang string, text string, source string",
+    )
+
+    def counts_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for df in (docs, crafted):
+        # per-doc bigram counts (exact, not just summed)
+        old = (
+            dedup.word_shingles(df, n=2, distinct=False)
+            .groupBy("doc_id", "shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new = gram_multiset_arrow(df, n=2, key_col="doc_id").withColumnRenamed(
+            "gram", "shingle"
+        )
+        assert counts_of(new) == counts_of(old)
+        # per-lang 3-gram totals (partials summed)
+        old3 = (
+            dedup.word_shingles(df, n=3, id_col="lang", distinct=False)
+            .groupBy("lang", "shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new3 = (
+            gram_multiset_arrow(df, n=3, key_col="lang")
+            .groupBy("lang", "gram")
+            .agg(F.sum("c").alias("c"))
+        )
+        assert counts_of(new3) == counts_of(old3)
+        # per-lang token counts, empty tokens dropped (the zipf shape)
+        oldt = (
+            df.select(
+                "lang",
+                F.explode(tokens(F.lower(F.trim(F.col("text"))))).alias("t"),
+            )
+            .where(F.col("t") != "")
+            .groupBy("lang", "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        newt = (
+            gram_multiset_arrow(
+                df, n=1, key_col="lang", trim=True, drop_empty=True
+            )
+            .groupBy("lang", F.col("gram").alias("t"))
+            .agg(F.sum("c").alias("c"))
+        )
+        assert counts_of(newt) == counts_of(oldt)
+    # per-source token counts KEEPING empty tokens (vocab_diversity)
+    olds = (
+        crafted.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    news = (
+        gram_multiset_arrow(crafted, n=1, key_col="source")
+        .groupBy("source", F.col("gram").alias("t"))
+        .agg(F.sum("c").alias("c"))
+    )
+    assert counts_of(news) == counts_of(olds)
+    # the empty token from doc 3 must be present (no silent drop)
+    assert any(r[1] == "" for r in news.collect())

@@ -347,3 +347,68 @@ def test_ivfpq_topk_arrow_bit_equal(spark):
         ).collect()
     )
     assert old == new and len(new) > 0
+
+
+def test_ivf_topk_arrow_bit_equal(spark):
+    """ivf_topk(arrow=True) == the declarative cell/probe-join path
+    (round 11, VERDICT r10 item 1): identical (query_id, candidate_id,
+    cell, cosine, rank) rows on the smoke corpus with the id-prefix
+    centroids AND with the committed fitted model, and on a tie-heavy
+    synthetic (colinear vectors force ties through the cell argmax, the
+    probe order, and the rank window)."""
+    from pyspark.sql import functions as F
+
+    from mdio_python_spark.operators.model_store import load_ivf_centroids
+    from mdio_python_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 50)
+    for kwargs in (dict(), dict(centroids=load_ivf_centroids())):
+        old = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                qs, emb, k=3, n_centroids=16, nprobe=4, arrow=False, **kwargs
+            ).collect()
+        )
+        new = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                qs, emb, k=3, n_centroids=16, nprobe=4, arrow=True, **kwargs
+            ).collect()
+        )
+        assert old == new and len(new) > 0, kwargs.keys()
+    # the k=10 shape ann_recall_at_k / ann_method_shootout consume
+    old = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            qs, emb, k=10, n_centroids=16, nprobe=4, arrow=False
+        ).collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            qs, emb, k=10, n_centroids=16, nprobe=4, arrow=True
+        ).collect()
+    )
+    assert old == new and len(new) > 0
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [1.0, 0.0]), (3, [2.0, 0.0]),
+        (4, [0.0, 1.0]), (5, [1.0, 1.0]), (6, [2.0, 2.0]), (7, [-1.0, 0.5]),
+        (8, [0.5, 0.5]), (9, [4.0, 0.1]), (10, [0.1, 4.0]), (11, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5)
+    old = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            q, df, k=3, n_centroids=4, nprobe=2, arrow=False
+        ).collect()
+    )
+    new = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            q, df, k=3, n_centroids=4, nprobe=2, arrow=True
+        ).collect()
+    )
+    assert old == new and len(new) > 0
