@@ -175,13 +175,17 @@ def _bpe_train_py(
     and every later step."""
     syms = [_symbolize_py(w) for w in words]
     merges: list[tuple[int, str, str, int]] = []
+    # full pair count once; each step then updates only the words the
+    # merge actually rewrote (subtract their old pairs, add the new —
+    # exact integer bookkeeping, zeroed entries deleted so the counts
+    # dict is at every step EXACTLY the full recount of the current
+    # vocabulary, just cheaper: the classic incremental BPE trainer)
+    counts: dict[tuple[str, str], int] = {}
+    for s, n in zip(syms, ns):
+        sy = s[1:-1].split(SEP2)
+        for p in zip(sy, sy[1:]):
+            counts[p] = counts.get(p, 0) + n
     for step in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for s, n in zip(syms, ns):
-            sy = s[1:-1].split(SEP2)
-            for i in range(len(sy) - 1):
-                p = (sy[i], sy[i + 1])
-                counts[p] = counts.get(p, 0) + n
         if not counts:
             return merges, [], True
         (left, right), pair_n = min(
@@ -190,7 +194,22 @@ def _bpe_train_py(
         merges.append((step, left, right, pair_n))
         pat = SEP + left + SEP2 + right + SEP
         rep = SEP + left + right + SEP
-        syms = [s.replace(pat, rep) for s in syms]
+        for idx, s in enumerate(syms):
+            if pat not in s:  # replace is a no-op <=> pairs unchanged
+                continue
+            old_sy = s[1:-1].split(SEP2)
+            s_new = s.replace(pat, rep)
+            new_sy = s_new[1:-1].split(SEP2)
+            n = ns[idx]
+            for p in zip(old_sy, old_sy[1:]):
+                c = counts[p] - n
+                if c:
+                    counts[p] = c
+                else:
+                    del counts[p]
+            for p in zip(new_sy, new_sy[1:]):
+                counts[p] = counts.get(p, 0) + n
+            syms[idx] = s_new
     return merges, syms, False
 
 

@@ -1379,24 +1379,30 @@ def incremental_dedup(
     from mdio_python_spark.operators.text_arrow import shingle_sets_arrow
 
     cached: list[DataFrame] = []
-    sets_new = eager(
-        shingle_sets_arrow(
-            new2, n, unit="word", text_col=text_col, id_col=id_col,
-            spread=False,  # new2 is shuffle-rooted (anti-join + window)
-            minhashes=num_hashes,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sets_new = shingle_sets_arrow(
+        new2, n, unit="word", text_col=text_col, id_col=id_col,
+        spread=False,  # new2 is shuffle-rooted (anti-join + window)
+        minhashes=num_hashes,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cached.append(sets_new)
     if existing_shingles is not None:
         sets_old = shingle_sets(existing_shingles, id_col)
+        eager(sets_new)
     else:
-        sets_old = eager(
-            shingle_sets_arrow(
-                existing_docs, n, unit="word", text_col=text_col,
-                id_col=id_col, minhashes=num_hashes,
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        sets_old = shingle_sets_arrow(
+            existing_docs, n, unit="word", text_col=text_col,
+            id_col=id_col, minhashes=num_hashes,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(sets_old)
+        # the two sides' eager materializations are INDEPENDENT jobs —
+        # submit them concurrently so the old side's tasks back-fill the
+        # new side's tail instead of waiting out two serial jobs
+        # (guide §2.6; job submission is thread-safe and 2 in flight is
+        # exactly the back-fill budget)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(eager, (sets_new, sets_old)))
     rotate_scoped("dedup.incremental_shingles", *cached)
     sig_new = minhash_signatures_from_sets(sets_new, num_hashes, id_col)
     sig_old = (

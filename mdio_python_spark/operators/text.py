@@ -411,20 +411,20 @@ def vocab_diversity(
     sum in DECIMAL(38,0), then two IEEE double ops). A collapsed-diversity
     group is the classic symptom of a scraper stuck on one template.
 
-    Scale: the token multiset is pre-counted per kernel chunk
-    (``text_arrow.gram_multiset_arrow``, round 11 — only chunk-distinct
-    (group, token, c) partials leave the scan task), then ONE combinable
-    groupBy sums the partials into the per-group vocab counts the
-    diversity aggregate reads; no joins, no windows. The squared counts
-    go through DECIMAL(19,0)^2 so a 1e12-occurrence token at 100 TB
-    cannot overflow the bigint product.
+    Scale: two chained combinable groupBys (token stream -> per-group
+    vocab counts -> one row per group); no joins, no windows. The squared
+    counts go through DECIMAL(19,0)^2 so a 1e12-occurrence token at
+    100 TB cannot overflow the bigint product. (Round 11
+    measured-and-rejected: routing the n=1 token counts through the
+    Arrow gram-multiset kernel was 0.18 -> 0.70 s at sf0.1 — single
+    tokens are one codegen explode + a map-side-combined count, and the
+    Python boundary cost exceeds the exchange it shrinks; the kernel
+    stays on the n >= 2 gram consumers where it wins.)
     """
-    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
-
-    tok = gram_multiset_arrow(
-        df, n=1, key_col=group_col, text_col=text_col
-    ).withColumnRenamed("gram", "token")
-    counts = tok.groupBy(group_col, "token").agg(F.sum("c").alias("c"))
+    tok = df.select(
+        F.col(group_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = tok.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("c"))
     cdec = F.col("c").cast("decimal(19,0)")
     n_tok = F.sum("c").cast("bigint")
     sum_sq = F.sum((cdec * cdec).cast("decimal(38,0)")).cast("double")

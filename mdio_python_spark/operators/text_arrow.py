@@ -912,7 +912,11 @@ def gram_multiset_arrow(
     source = _spread(src, [key_col, "_in"]) if spread else src
     key_sql = src.schema[key_col].dataType.simpleString()
     out_schema = f"{key_col} {key_sql}, gram string, c long"
-    chunk_docs = 256  # same transient-memory bound as shingle_sets_arrow
+    # larger chunks than the set kernel's 256: word-gram buffers are
+    # ~3x text bytes (no char-shingle blowup), so 2048 docs stays ~15 MB
+    # of transients per chunk while amortizing the per-chunk C++ hash
+    # aggregation setup 8x
+    chunk_docs = 2048
 
     def build(batches):
         for full in batches:

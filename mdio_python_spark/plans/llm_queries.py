@@ -3722,11 +3722,17 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = dedup.minhash_band_rows(
         sig, num_hashes=8, rows_per_band_legs=legs
     )
-    cand_all = eager(
-        dedup.bucket_pairs(
-            banded, ["leg", "band_id", "band_hash"], carry_cols=("leg",)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Round 11: cand_all is persisted but no longer eager()'d — its ONE
+    # extra count job is redundant: truth's eager materialization scans
+    # cand_all (the leg==1 filter sits ABOVE the InMemoryRelation, so
+    # the scan fills every cached partition), and every downstream join
+    # against it broadcasts the OTHER side explicitly (truth/agg/
+    # n_truth), so no planner decision ever consults cand_all's size
+    # estimate. Same relations cached, one fewer serial job in the
+    # eager-timed construction window (measured ~0.4 s at sf0.1).
+    cand_all = dedup.bucket_pairs(
+        banded, ["leg", "band_id", "band_hash"], carry_cols=("leg",)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     truth = eager(
         dedup.jaccard_pairs_arrays(
             cand_all.where(F.col("leg") == 1).select("doc_a", "doc_b"),
@@ -5808,18 +5814,18 @@ def q_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mdio_python_spark.operators import retrieval
     from mdio_python_spark.operators.caching import attach_cached, rotate_scoped
 
-    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
-
     docs = _t(spark, sf_dir, "documents")
-    # round 11: per-chunk (lang, token, c) partials from the Arrow
-    # multiset kernel (n=1 grams ARE the tokens; drop_empty mirrors the
-    # token <> '' filter) — no explode; sum(c) == count(*)
-    tok = gram_multiset_arrow(
-        docs, n=1, key_col="lang", trim=True, drop_empty=True
-    ).withColumnRenamed("gram", "token")
+    # round 11 measured-and-rejected: the n=1 Arrow multiset kernel was
+    # 0.42 -> 0.80 s here (single tokens are one codegen explode + a
+    # map-side-combined count; the Python boundary costs more than the
+    # exchange it shrinks) — the explode path stays
+    tok = docs.select(
+        "lang",
+        F.explode(text.tokens(F.lower(F.trim(F.col("text"))))).alias("token"),
+    ).where(F.col("token") != "")
     counts = (
         tok.groupBy("lang", "token")
-        .agg(F.sum("c").alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top = retrieval.grouped_topk(counts, ["lang"], "n", "token", k=100)
@@ -6396,7 +6402,11 @@ def q_ann_method_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "candidate_id",
-            similarity.cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            # same tree as similarity.cosine(), built as ONE
+            # server-parsed SQL string (the round-10 F.expr rule)
+            F.expr(similarity._sql_cosine("`q_vec`", "`c_vec`")).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -53,17 +53,28 @@ def test_rotation_bounds_repeat_callers_to_one_generation(spark):
     from mdio_python_spark.operators.grid import ordered_export
 
     spark.catalog.clearCache()  # isolate from other tests' cached relations
+
+    def jvm_ids() -> set[int]:
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
+        }
+
+    # earlier tests' localCheckpoint RDDs (the round-11 kernel gates)
+    # are RDD-level persists that clearCache() does not drop and whose
+    # cleanup is GC-driven — measure the DELTA this test creates, not
+    # the session-global count
+    before = jvm_ids()
     df = spark.range(100).selectExpr("id AS a", "id % 7 AS b")
-    jvm_count = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()  # noqa: E731
     for _ in range(4):
         ordered_export(df, ["a", "b"]).write.format("noop").mode(
             "overwrite"
         ).save()
-    assert jvm_count() <= 1  # only the latest generation survives
+    assert len(jvm_ids() - before) <= 1  # only the latest generation survives
     # explicit release still works on the final generation
     out = ordered_export(df, ["a", "b"])
     out.write.format("noop").mode("overwrite").save()
     from mdio_python_spark.operators.caching import release_cached
 
     release_cached(out)
-    assert jvm_count() == 0
+    assert jvm_ids() - before == set()

@@ -90,16 +90,30 @@ def test_ivf_results_only_from_probed_cells_and_exact_cosine(spark, emb):
 
 
 def test_ivf_plan_shape(spark, emb):
-    """Corpus-side cell assignment must be a projection: the only hash
-    exchange in the plan is the final per-query top-k window, and the
-    probe side arrives via broadcast."""
+    """Round 11 (arrow default): scoring is one MapInPandas kernel pass —
+    join-free; the only hash exchange is the final per-query top-k
+    window. The declarative path's shape (projection assignment +
+    broadcast probe join) is checked separately below."""
     df = sim.ivf_topk(
         emb.where(F.col("vec_id") < 50), emb, k=3, n_centroids=16, nprobe=4
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+
+    df_decl = sim.ivf_topk(
+        emb.where(F.col("vec_id") < 50), emb, k=3, n_centroids=16, nprobe=4,
+        arrow=False,
+    )
+    plan_decl = df_decl._jdf.queryExecution().executedPlan().toString()
+    assert plan_decl.count("Exchange hashpartitioning") == 1, plan_decl
+    assert (
+        "BroadcastHashJoin" in plan_decl
+        or "BroadcastNestedLoopJoin" in plan_decl
+    ), plan_decl
+    assert "SortMergeJoin" not in plan_decl, plan_decl
 
 
 def test_pq_encode_matches_numpy(spark):
