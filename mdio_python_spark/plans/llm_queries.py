@@ -1371,17 +1371,16 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side combinable count; the final top-k is TakeOrderedAndProject
     over the aggregated table — per-task local top-20, never a
     single-task sort of the vocab-sized counts."""
-    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
-
     docs = _t(spark, sf_dir, "documents")
-    # round 11: exact per-doc (doc_id, bigram, c) rows from the Arrow
-    # multiset kernel — sum(c) == count(*) over occurrences, and each
-    # (doc, bigram) appears once so the distinct doc count is unchanged
-    bi = gram_multiset_arrow(docs, n=2, key_col="doc_id").withColumnRenamed(
-        "gram", "bigram"
+    # round 11 measured-and-rejected: the Arrow multiset kernel was a
+    # loss here (0.64 -> 0.98 s bench) — the (bigram, doc_id) partial
+    # distinct already collapses map-side, so the kernel saves no
+    # exchange volume (see top_ngrams_by_lang note)
+    bi = dedup.word_shingles(docs, n=2, distinct=False).withColumnRenamed(
+        "shingle", "bigram"
     )
     counted = bi.groupBy("bigram").agg(
-        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
     # TakeOrderedAndProject, not a partitionless row_number window (which
@@ -4405,16 +4404,18 @@ def q_top_ngrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one task (phase 1 ranks inside (lang, 64 hash buckets),
     phase 2 sees <= 64k survivors per lang)."""
     from mdio_python_spark.operators.retrieval import grouped_topk
-    from mdio_python_spark.operators.text_arrow import gram_multiset_arrow
 
     docs = _t(spark, sf_dir, "documents")
-    # round 11: per-chunk (lang, gram, c) partials from the Arrow
-    # multiset kernel — no explode; sum(c) == the explode path's count(*)
-    grams = gram_multiset_arrow(docs, n=3, key_col="lang").withColumnRenamed(
-        "gram", "shingle"
-    )
+    # round 11 measured-and-rejected: the Arrow multiset kernel was a
+    # wash-to-loss here (0.90 -> 1.18 s bench, parity isolated) — the
+    # (lang, shingle) partial aggregation already collapses occurrence
+    # rows map-side, so the kernel's chunk-distinct partials save no
+    # exchange volume and the Python boundary is pure overhead. The
+    # kernel stays on the per-DOC count consumers (bigram LM, DSIR),
+    # where the agg key is doc-unique and nothing collapses map-side.
+    grams = dedup.word_shingles(docs, n=3, id_col="lang", distinct=False)
     counts = grams.groupBy("lang", "shingle").agg(
-        F.sum("c").alias("n_occurrences")
+        F.count(F.lit(1)).alias("n_occurrences")
     )
     return grouped_topk(counts, ["lang"], "n_occurrences", "shingle", k=10)
 
