@@ -3873,8 +3873,12 @@ def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame
     ties) instead of the arbitrary lowest id — what production dedup
     actually ships when a cluster mixes a clean original with mangled
     mirrors. Composition: LSH pairs -> O(log n) connected components ->
-    score join -> two combinable aggregates (max score per cluster, then
-    min id among the argmax rows); no windows, no driver state."""
+    score join -> ONE combinable aggregate (round 11: the argmax is
+    max(struct(score, -doc_id)) — score DESC then smallest id — so the
+    member subtree is built once; the previous max-then-self-join shape
+    recomputed the cc kernel AND the corpus-sized score groupBy twice
+    and paid an extra exchange for the join); no windows, no driver
+    state."""
     from mdio_python_spark.operators.scoring import model_score
 
     docs = _t(spark, sf_dir, "documents")
@@ -3886,16 +3890,21 @@ def q_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame
     clusters = dedup.connected_components(pairs, assume_distinct=True)
     scores = model_score(docs).select("doc_id", "score")
     m = clusters.join(scores, "doc_id")
-    best = m.groupBy("cluster_id").agg(
-        F.max("score").alias("best_score"),
+    # max over (score, -doc_id) = the max-score member, ties to the
+    # smallest doc_id — identical rows to the old max + equality-join +
+    # min(doc_id) chain (scores are finite doubles: the weight sum is a
+    # ratio of exact ints, never NaN)
+    agg = m.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(
+            F.struct(F.col("score").alias("s"), (-F.col("doc_id")).alias("nd"))
+        ).alias("_b"),
     )
-    return (
-        m.join(best, "cluster_id")
-        .where(F.col("score") == F.col("best_score"))
-        .groupBy("cluster_id", "n_members", "best_score")
-        .agg(F.min("doc_id").alias("best_doc"))
-        .select("cluster_id", "n_members", "best_doc", "best_score")
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        (-F.col("_b").getField("nd")).alias("best_doc"),
+        F.col("_b").getField("s").alias("best_score"),
     )
 
 
